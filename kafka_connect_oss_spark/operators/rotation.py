@@ -1,0 +1,102 @@
+"""File-rotation operators, batch-queryable form (SURVEY.md §2 R1-R4, P6).
+
+The reference rotates the open file for a (topic, kafkaPartition) when:
+  R1  writtenRecordCount >= flush.size          (TopicPartitionWriter.java:231-237)
+  R2  recordTs - baseRecordTs >= rotate.interval.ms  (TopicPartitionWriter.java:338-346)
+  R3  encodedPartition changed                  (TopicPartitionWriter.java:345-346)
+  R4  wallclock schedule                        (TopicPartitionWriter.java:359-384)
+
+Batch re-expression: rotation is a *segmentation of the offset-ordered record
+sequence per Kafka partition*, which Spark expresses as window functions over
+Window.partitionBy(topic, partition).orderBy(offset) — one sort per Kafka
+partition, embarrassingly parallel across partitions (exactly the reference's
+per-TopicPartitionWriter parallelism), no global shuffle.
+
+Deviation (SURVEY.md §7.4 #3): R2 here uses fixed-grid time buckets
+floor(epoch_ms/interval) rather than the reference's per-file anchored
+baseRecordTimestamp; grid rotation is deterministic and exactly-once-safe the
+same way, but boundaries may differ from the anchored variant by < 1 interval.
+R4 (wallclock) is non-deterministic by design and has no batch form — it maps
+to Trigger.ProcessingTime in the streaming layer (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.functions.keys import object_key
+from kafka_connect_oss_spark.functions.partition import duration_bucket
+
+
+def assign_files(records: DataFrame, encoded: Column,
+                 flush_size: int,
+                 rotate_interval_ms: int | None = None,
+                 ts_col: str = "ts") -> DataFrame:
+    """Tag every record with the file it belongs to.
+
+    Adds columns:
+      encoded_partition  — directory fragment (P2-P4 expression passed in)
+      segment            — R3 (+R2) rotation segment index within the partition
+      file_idx           — R1 chunk index within the segment (flush.size)
+      start_offset       — first offset in the file == the offset the file
+                           name carries (TopicPartitionWriter.java:268-285)
+    """
+    df = records.withColumn("encoded_partition", encoded)
+    if rotate_interval_ms and rotate_interval_ms > 0:
+        df = df.withColumn("_tbucket", duration_bucket(F.col(ts_col), rotate_interval_ms))
+    else:
+        df = df.withColumn("_tbucket", F.lit(0))
+
+    w = Window.partitionBy("topic", "partition").orderBy("offset")
+    boundary = (
+        F.lag("encoded_partition").over(w).isNull()
+        | (F.lag("encoded_partition").over(w) != F.col("encoded_partition"))
+        | (F.lag("_tbucket").over(w) != F.col("_tbucket"))
+    )
+    df = df.withColumn("_boundary", boundary.cast("int"))
+    df = df.withColumn(
+        "segment",
+        F.sum("_boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    ws = Window.partitionBy("topic", "partition", "segment").orderBy("offset")
+    df = df.withColumn("file_idx", F.floor((F.row_number().over(ws) - 1) / flush_size))
+    wf = Window.partitionBy("topic", "partition", "segment", "file_idx")
+    df = df.withColumn("start_offset", F.min("offset").over(wf))
+    return df.drop("_tbucket", "_boundary")
+
+
+def committed_files(records: DataFrame, encoded: Column, flush_size: int,
+                    extension: str = ".parquet",
+                    rotate_interval_ms: int | None = None,
+                    topics_dir: str = "topics",
+                    zero_pad_width: int = 10) -> DataFrame:
+    """One row per committed file: object key + record count + offset range.
+
+    This is the batch-queryable form of the commit path (C1): the set of
+    files the reference would upload for this record set, with their exact
+    deterministic names (README.md:119-125 exactly-once-by-determinism).
+    """
+    tagged = assign_files(records, encoded, flush_size, rotate_interval_ms)
+    files = tagged.groupBy("topic", "partition", "encoded_partition",
+                           "segment", "file_idx", "start_offset").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.max("offset").alias("end_offset"),
+    )
+    return files.select(
+        object_key(F.col("topic"), F.col("partition"), F.col("start_offset"),
+                   F.col("encoded_partition"), extension, topics_dir,
+                   zero_pad_width).alias("object_key"),
+        "topic", "partition", "encoded_partition", "start_offset",
+        "end_offset", "record_count",
+    )
+
+
+def offsets_to_commit(records: DataFrame) -> DataFrame:
+    """C2: offsetToCommit = last written offset + 1 per TopicPartition
+    (reference: TopicPartitionWriter.java:330,396-400; OSSSinkTask.java:196-208).
+    """
+    return records.groupBy("topic", "partition").agg(
+        (F.max("offset") + 1).alias("offset_to_commit"),
+        F.count(F.lit(1)).alias("records_written"),
+    )

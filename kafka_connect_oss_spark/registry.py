@@ -1,0 +1,251 @@
+"""Query registry: batch-queryable form of every implemented operator.
+
+Each entry pairs a PySpark DataFrame builder with (where SQL-expressible) an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables. The driver
+(`__spark_entry__.py`) compares row counts, schemas, and order-insensitive
+value hashes, so:
+
+* every computed column is explicitly aliased identically in both forms;
+* every floating-point output is rounded (both sides compute the identical
+  double before rounding — integer/rational math wherever possible);
+* session timezone is pinned to UTC before any datetime formatting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.functions import partition as P
+from kafka_connect_oss_spark.operators import rotation, routing
+from kafka_connect_oss_spark.sources.batch import SINK_RECORDS_SQL, sink_records
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+#: DuckDB CTE mirroring sources.batch.sink_records
+_REC = f"WITH rec AS ({SINK_RECORDS_SQL})"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # datetime formatting must agree with DuckDB's naive-UTC stamps
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# P1 / C2-C3: routing & offset management (OSSSinkTask.java:161-166, 196-208)
+# --------------------------------------------------------------------------
+
+@register(
+    "p1_route_topicpartition",
+    f"""{_REC}
+    SELECT topic, partition, COUNT(*) AS n_records,
+           MIN("offset") AS first_offset, MAX("offset") AS last_offset,
+           COUNT(DISTINCT event_type) AS n_event_types
+    FROM rec GROUP BY topic, partition""",
+)
+def p1_route_topicpartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return routing.route_summary(sink_records(spark, sf_dir))
+
+
+@register(
+    "c2_offsets_to_commit",
+    f"""{_REC}
+    SELECT topic, partition, MAX("offset") + 1 AS offset_to_commit,
+           COUNT(*) AS records_written
+    FROM rec GROUP BY topic, partition""",
+)
+def c2_offsets_to_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rotation.offsets_to_commit(sink_records(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# P2-P5: partition encoding (OSSSinkConnectorConfiguration.java:110-118)
+# --------------------------------------------------------------------------
+
+@register(
+    "p2_default_partitioner",
+    f"""{_REC}
+    SELECT event_id, partition, "offset",
+           'partition=' || CAST(partition AS VARCHAR) AS encoded_partition
+    FROM rec""",
+)
+def p2_default_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = sink_records(spark, sf_dir)
+    return rec.select(
+        "event_id", "partition", "offset",
+        P.default_partition(F.col("partition")).alias("encoded_partition"),
+    )
+
+
+@register(
+    "p3_field_partitioner",
+    f"""{_REC}
+    SELECT 'event_type=' || event_type AS encoded_partition,
+           COUNT(*) AS n_records, ROUND(SUM(value), 3) AS sum_value
+    FROM rec GROUP BY 1""",
+)
+def p3_field_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = sink_records(spark, sf_dir)
+    return (
+        rec.groupBy(P.field_partition(F.col("event_type"), "event_type")
+                    .alias("encoded_partition"))
+        .agg(F.count(F.lit(1)).alias("n_records"),
+             F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+@register(
+    "p4_hourly_partitioner",
+    f"""{_REC}
+    SELECT strftime(ts, '%Y-%m-%d-%H') AS encoded_partition,
+           COUNT(*) AS n_records
+    FROM rec GROUP BY 1""",
+)
+def p4_hourly_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = sink_records(spark, sf_dir)
+    return (
+        rec.groupBy(P.hourly_partition(F.col("ts")).alias("encoded_partition"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+@register(
+    "p4_duration_bucket",
+    f"""{_REC}
+    SELECT CAST((epoch_us(ts) // 1000) // 600000 AS BIGINT) AS bucket,
+           COUNT(*) AS n_records, MIN("offset") AS first_offset
+    FROM rec GROUP BY 1""",
+)
+def p4_duration_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = sink_records(spark, sf_dir)
+    return (
+        rec.groupBy(P.duration_bucket(F.col("ts"), 600_000).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_records"),
+             F.min("offset").alias("first_offset"))
+    )
+
+
+@register(
+    "p5_timestamp_extract",
+    f"""{_REC}
+    SELECT event_id, strftime(ts, '%Y-%m-%d-%H') AS record_hour,
+           strftime(ts, '%Y-%m-%d') AS record_day
+    FROM rec""",
+)
+def p5_timestamp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamp.extractor=Record: the Kafka record timestamp drives
+    # partitioning (TopicPartitionWriter.java:186-191); Wallclock has no
+    # deterministic batch form (README.md:125) and lives in streaming/.
+    rec = sink_records(spark, sf_dir)
+    ts = P.extract_timestamp(F.col("ts"), None, "Record")
+    return rec.select(
+        "event_id",
+        P.hourly_partition(ts).alias("record_hour"),
+        P.daily_partition(ts).alias("record_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R1-R3 / P6 / C1: rotation + deterministic object keys
+# (TopicPartitionWriter.java:231-237, 338-346, 268-285)
+# --------------------------------------------------------------------------
+
+def _files_oracle(encoded_sql: str, flush: int, ext: str,
+                  tbucket_sql: str = "0") -> str:
+    return f"""{_REC},
+    enc AS (SELECT *, {encoded_sql} AS ep, {tbucket_sql} AS tb FROM rec),
+    lagged AS (
+      SELECT *,
+             LAG(ep) OVER (PARTITION BY topic, partition ORDER BY "offset") AS prev_ep,
+             LAG(tb) OVER (PARTITION BY topic, partition ORDER BY "offset") AS prev_tb
+      FROM enc),
+    seg AS (
+      SELECT *, SUM(CASE WHEN prev_ep IS NULL OR prev_ep <> ep
+                              OR prev_tb <> tb THEN 1 ELSE 0 END)
+                OVER (PARTITION BY topic, partition ORDER BY "offset"
+                      ROWS UNBOUNDED PRECEDING) - 1 AS segment
+      FROM lagged),
+    chunk AS (
+      SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY topic, partition, segment
+                                 ORDER BY "offset") - 1) / {flush}) AS BIGINT) AS file_idx
+      FROM seg),
+    files AS (
+      SELECT topic, partition, ep AS encoded_partition, segment, file_idx,
+             MIN("offset") AS start_offset, MAX("offset") AS end_offset,
+             COUNT(*) AS record_count
+      FROM chunk GROUP BY 1, 2, 3, 4, 5)
+    SELECT 'topics/' || topic || '/' || encoded_partition || '/' || topic || '+'
+           || CAST(partition AS VARCHAR) || '+'
+           || lpad(CAST(start_offset AS VARCHAR), 10, '0') || '{ext}' AS object_key,
+           topic, partition, encoded_partition, start_offset, end_offset,
+           record_count
+    FROM files"""
+
+
+@register(
+    "r1_size_rotation_files",
+    _files_oracle("'partition=' || CAST(partition AS VARCHAR)", 100, ".parquet"),
+)
+def r1_size_rotation_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R1: flush.size=100 with the default partitioner — files split every
+    # 100 records per TopicPartition, named by their first offset.
+    rec = sink_records(spark, sf_dir)
+    return rotation.committed_files(
+        rec, P.default_partition(F.col("partition")), flush_size=100,
+        extension=".parquet")
+
+
+@register(
+    "r2_interval_rotation_files",
+    _files_oracle("strftime(ts, '%Y-%m-%d-%H')", 1000000, ".json",
+                  tbucket_sql="CAST((epoch_us(ts) // 1000) // 3600000 AS BIGINT)"),
+)
+def r2_interval_rotation_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R2 (fixed-grid deviation documented in operators/rotation.py) +
+    # R3: hourly encoded partition; rotate.interval.ms = 1h.
+    rec = sink_records(spark, sf_dir)
+    return rotation.committed_files(
+        rec, P.hourly_partition(F.col("ts")), flush_size=1_000_000,
+        extension=".json", rotate_interval_ms=3_600_000)
+
+
+@register(
+    "r3_partition_change_rotation",
+    f"""{_REC},
+    enc AS (SELECT *, strftime(ts, '%Y-%m-%d-%H') AS ep FROM rec),
+    lagged AS (SELECT *, LAG(ep) OVER (PARTITION BY topic, partition
+                                       ORDER BY "offset") AS prev_ep FROM enc)
+    SELECT topic, partition,
+           CAST(SUM(CASE WHEN prev_ep IS NOT NULL AND prev_ep <> ep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rotations,
+           COUNT(DISTINCT ep) AS n_encoded_partitions
+    FROM lagged GROUP BY topic, partition""",
+)
+def r3_partition_change_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R3 in isolation: how many partition-change rotations each
+    # TopicPartitionWriter performs (TopicPartitionWriter.java:345-346).
+    from pyspark.sql import Window
+
+    rec = sink_records(spark, sf_dir).withColumn(
+        "ep", P.hourly_partition(F.col("ts")))
+    w = Window.partitionBy("topic", "partition").orderBy("offset")
+    lagged = rec.withColumn("prev_ep", F.lag("ep").over(w))
+    return lagged.groupBy("topic", "partition").agg(
+        F.sum(F.when(F.col("prev_ep").isNotNull()
+                     & (F.col("prev_ep") != F.col("ep")), 1)
+              .otherwise(0)).alias("n_rotations"),
+        F.countDistinct("ep").alias("n_encoded_partitions"),
+    )
