@@ -1,0 +1,65 @@
+"""Schema projection & decode operators (SURVEY.md §2 E2-E6).
+
+reference:
+  E2 `compatibility.project(record, null, currentSchema)`
+     (TopicPartitionWriter.java:228; Confluent SchemaProjector semantics:
+     fields present in both -> cast; fields only in target -> default/null)
+  E3 JSON decode with/without schema envelope (format/json/JsonFormat.java:37-46)
+  E4 JSON -> registry schema -> Parquet (ParquetJsonRecordWriterProvider.java:85-122;
+     the protobuf class registry becomes a StructType registry here)
+  E6 Struct -> JSON encode (JsonRecordWriterProvider.java:71-85)
+
+All pure column expressions: projection is a `select` of casts + coalesced
+defaults, which Catalyst folds into the scan (column pruning + constant
+folding) — the 100 TB cost is exactly the cost of reading the projected
+columns, nothing more.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def project_to_schema(df: DataFrame, target: T.StructType,
+                      defaults: dict[str, object] | None = None) -> DataFrame:
+    """E2: project a DataFrame onto `target`.
+
+    - field exists in df  -> cast to the target type
+    - field missing       -> default literal (or NULL), mirroring
+      SchemaProjector's defaulted-field fill (TestDataWriterAvro.java:465-466)
+    - extra df fields     -> dropped (projection onto the narrower schema)
+    """
+    defaults = defaults or {}
+    cols: list[Column] = []
+    have = {f.name for f in df.schema.fields}
+    for field in target.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(defaults.get(field.name)).cast(field.dataType)
+                        .alias(field.name))
+    return df.select(*cols)
+
+
+def decode_json_value(df: DataFrame, value_col: str, schema: T.StructType,
+                      envelope: bool = False) -> DataFrame:
+    """E3/E4: parse a JSON string column into typed columns.
+
+    `envelope=True` handles the Connect `{"schema":..., "payload":...}`
+    envelope (TestDataWriterJson.java:192-201) by decoding the payload
+    member; otherwise the whole string is the record
+    (schemas.enable=false path, JsonFormat.java:40-45).
+    """
+    src = F.get_json_object(F.col(value_col), "$.payload") if envelope \
+        else F.col(value_col)
+    decoded = F.from_json(src, schema).alias("_decoded")
+    return df.withColumn("_decoded", decoded).select(
+        *[c for c in df.columns if c != "_decoded"], "_decoded.*")
+
+
+def encode_json_value(df: DataFrame, cols: list[str],
+                      out_col: str = "json_value") -> DataFrame:
+    """E6: struct -> JSON-lines payload (to_json of a struct of columns)."""
+    return df.withColumn(out_col, F.to_json(F.struct(*[F.col(c) for c in cols])))

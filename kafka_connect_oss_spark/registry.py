@@ -18,9 +18,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from kafka_connect_oss_spark.functions import partition as P
-from kafka_connect_oss_spark.operators import rotation, routing
-from kafka_connect_oss_spark.sources.batch import SINK_RECORDS_SQL, sink_records
+from kafka_connect_oss_spark.operators import projection, rotation, routing
+from kafka_connect_oss_spark.sources.batch import (SINK_RECORDS_SQL, load_table,
+                                                   sink_records)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -249,3 +252,56 @@ def r3_partition_change_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).alias("n_rotations"),
         F.countDistinct("ep").alias("n_encoded_partitions"),
     )
+
+
+# --------------------------------------------------------------------------
+# E2-E6: schema projection / JSON decode / JSON encode
+# (TopicPartitionWriter.java:228; JsonFormat.java:37-46;
+#  JsonRecordWriterProvider.java:71-85)
+# --------------------------------------------------------------------------
+
+@register(
+    "e2_schema_projection",
+    """SELECT event_id, event_type, CAST(value AS FLOAT) AS value_f,
+              CAST('abc' AS VARCHAR) AS extra
+       FROM events""",
+)
+def e2_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # project onto a target schema: type-widened value + a defaulted field
+    # the source lacks (the FIXTURES.md F-6 evolution shape)
+    ev = load_table(spark, sf_dir, "events").withColumn("value_f", F.col("value"))
+    target = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_f", T.FloatType()),
+        T.StructField("extra", T.StringType()),
+    ])
+    return projection.project_to_schema(ev, target, defaults={"extra": "abc"})
+
+
+@register(
+    "e3_json_decode",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+       FROM events""",
+)
+def e3_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schemas.enable=false JSON decode of the value payload (E3); the
+    # registry StructType stands in for the protobuf class registry (E4)
+    ev = load_table(spark, sf_dir, "events")
+    decoded = projection.decode_json_value(
+        ev.select("event_id", "props"), "props",
+        T.StructType([T.StructField("k", T.IntegerType())]))
+    return decoded.select("event_id", "k")
+
+
+@register(
+    "e6_json_encode",
+    """SELECT event_id,
+              to_json(struct_pack(event_id := event_id,
+                                  event_type := event_type)) AS json_value
+       FROM events""",
+)
+def e6_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return projection.encode_json_value(
+        ev, ["event_id", "event_type"]).select("event_id", "json_value")
