@@ -1,0 +1,139 @@
+"""Cross-engine deterministic hashing (dedup/fingerprint core).
+
+Engine-native hash functions differ between Spark (xxhash64/murmur3) and
+DuckDB, so every hash the oracle must reproduce is built from two
+primitives both engines share bit-for-bit:
+
+* ``md5(string)`` -> 32 lowercase hex chars,
+* 64-bit integer arithmetic.
+
+``base_hash``: fold the first 15 hex chars of md5 (60 bits < 2^63) into a
+BIGINT via acc*16 + hexval. ``minhash``/``simhash`` then use universal
+hashing g_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31 - 1 so all
+products stay < 2^62 (no signed overflow in either engine).
+
+Each helper emits BOTH dialects from the same constants — the Spark side
+uses F.expr over the generated fragment, the oracle embeds the DuckDB
+fragment — so parity is structural, not coincidental.
+
+At 100 TB these are narrow per-row expressions inside whole-stage codegen:
+no shuffle, no Python; cost is linear in scanned bytes.
+"""
+
+from __future__ import annotations
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+#: (a_i, b_i) for the 8 minhash permutations — fixed, public, arbitrary odd
+#: constants < p (seeded once; stability across runs is what matters)
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_203_114_875, 613_845_907),
+    (1_854_214_013, 153_211_577),
+    (949_484_407, 1_290_575_411),
+    (1_634_902_243, 402_271_517),
+    (724_100_789, 1_952_577_221),
+    (1_179_823_477, 868_048_391),
+    (336_465_782, 1_481_293_315),
+    (2_071_923_125, 727_939_199),
+)
+
+_HEX = "0123456789abcdef"
+
+
+def hex_fold(md5_expr: str, dialect: str) -> str:
+    """First 15 hex chars of an md5 string -> BIGINT (60 bits)."""
+    if dialect == "spark":
+        return (f"aggregate(transform(sequence(1, 15), i -> "
+                f"CAST(instr('{_HEX}', substring({md5_expr}, i, 1)) - 1 AS BIGINT)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)")
+    if dialect == "duckdb":
+        return (f"list_reduce(list_transform(range(1, 16), i -> "
+                f"CAST(instr('{_HEX}', substr({md5_expr}, i, 1)) - 1 AS BIGINT)), "
+                f"(acc, x) -> acc * 16 + x)")
+    raise ValueError(dialect)
+
+
+def base_hash(str_expr: str, dialect: str) -> str:
+    """String -> deterministic 60-bit BIGINT, identical on both engines."""
+    return hex_fold(f"md5({str_expr})", dialect)
+
+
+def universal_hash(x_expr: str, a: int, b: int) -> str:
+    """g(x) = (a*(x mod p) + b) mod p — dialect-neutral integer arithmetic."""
+    p = MERSENNE31
+    return f"(({a} * ({x_expr} % {p}) + {b}) % {p})"
+
+
+def word_shingles(tokens_expr: str, n: int, dialect: str) -> str:
+    """Word n-gram shingle array from a token array (empty if < n tokens)."""
+    if dialect == "spark":
+        joined = ", ".join(f"element_at({tokens_expr}, i + {k})" for k in range(n))
+        return (f"CASE WHEN size({tokens_expr}) >= {n} THEN "
+                f"transform(sequence(1, size({tokens_expr}) - {n - 1}), "
+                f"i -> concat_ws(' ', {joined})) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END")
+    if dialect == "duckdb":
+        joined = " || ' ' || ".join(f"{tokens_expr}[i + {k}]" for k in range(n))
+        return (f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+                f"list_transform(range(1, len({tokens_expr}) - {n - 2}), "
+                f"i -> {joined}) "
+                f"ELSE [] END")
+    raise ValueError(dialect)
+
+
+def shingle_hashes(shingles_expr: str, dialect: str) -> str:
+    """Array of shingles -> array of base hashes (distinct not applied)."""
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({shingles_expr}, s -> {base_hash('s', dialect)})"
+
+
+def minhash_signature(hashes_expr: str, dialect: str) -> list[str]:
+    """Array of shingle hashes -> the 8 minhash components (one expr each).
+
+    Empty input -> component = p (sentinel max), so empty docs never
+    collide with real signatures accidentally... they collide with each
+    other, which exact-jaccard verification then rejects.
+    """
+    tf = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    out = []
+    for a, b in MINHASH_COEFFS:
+        g = universal_hash("h", a, b)
+        expr = f"{amin}({tf}({hashes_expr}, h -> {g}))"
+        out.append(f"coalesce({expr}, {MERSENNE31})")
+    return out
+
+
+def simhash(hashes_expr: str, dialect: str, bits: int = 16) -> str:
+    """Array of shingle hashes -> `bits`-bit SimHash.
+
+    bit_b(doc) = 1 iff sum over shingles of (+1 if bit b of hash else -1) > 0.
+    """
+    tf = "transform" if dialect == "spark" else "list_transform"
+    if dialect == "spark":
+        def bitsum(b: int) -> str:
+            return (f"aggregate({tf}({hashes_expr}, h -> CASE WHEN (h div {1 << b}) % 2 = 1 "
+                    f"THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x)")
+    else:
+        def bitsum(b: int) -> str:
+            return (f"list_sum({tf}({hashes_expr}, h -> CASE WHEN (h // {1 << b}) % 2 = 1 "
+                    f"THEN 1 ELSE -1 END))")
+    terms = [f"(CASE WHEN {bitsum(b)} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def rolling_hash(str_expr: str, dialect: str, mod: int = 1_000_000_007) -> str:
+    """Polynomial rolling hash over codepoints: acc = (acc*31 + c) mod m.
+
+    The classic document-fingerprint primitive; both dialects fold
+    left-to-right so results are identical.
+    """
+    if dialect == "spark":
+        return (f"aggregate(transform(sequence(1, length({str_expr})), "
+                f"i -> CAST(ascii(substring({str_expr}, i, 1)) AS BIGINT)), "
+                f"CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {mod})")
+    if dialect == "duckdb":
+        return (f"coalesce(list_reduce(list_transform(range(1, length({str_expr}) + 1), "
+                f"i -> CAST(unicode(substr({str_expr}, i, 1)) AS BIGINT)), "
+                f"(acc, c) -> (acc * 31 + c) % {mod}), 0)")
+    raise ValueError(dialect)

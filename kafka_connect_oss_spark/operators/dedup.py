@@ -1,0 +1,165 @@
+"""Deduplication operators (driver-mandated extension, designed for 100 TB).
+
+Five tiers, each with a distinct scale profile:
+
+  exact           groupBy(md5(text)) — one shuffle on a 16-byte key, never
+                  on the full text; the canonical first pass.
+  minhash-LSH     per-row signature (narrow, codegen) -> band explode
+                  (x BANDS rows) -> equi-join on band key -> exact-jaccard
+                  verify on candidates only. The classic sub-quadratic
+                  near-dup pipeline: cost ~ O(N) + O(candidates), never
+                  O(N^2).
+  simhash         per-row 16-bit fingerprint; hamming-near pairs can be
+                  found by pivoting on bit-masked keys (candidate join).
+  n-gram Jaccard  the exact metric; quadratic within blocks — only ever
+                  run inside a blocking key (here (lang, source)) or on
+                  LSH candidates.
+  embedding       cosine >= threshold within an LSH/label block.
+
+All hash math comes from functions/hashing.py so the DuckDB oracle can
+reproduce values exactly (engine hashes like xxhash64 are not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.functions import hashing as H
+from kafka_connect_oss_spark.functions import rounding as R
+from kafka_connect_oss_spark.functions import vectors as V
+
+N_MINHASH = len(H.MINHASH_COEFFS)  # 8
+N_BANDS = 4                        # bands of 2 -> catches jaccard ~> 0.3 pairs
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5-hash groupBy: keeper = min id per text hash.
+
+    Shuffles 16-byte digests, not documents — at 100 TB the shuffle is
+    ~32 GB of keys instead of the corpus. (md5 collisions are ignorable at
+    any realistic corpus size; swap for sha256 via config if paranoid.)
+    """
+    return (docs
+            .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def with_shingle_hashes(docs: DataFrame, text_col: str = "text",
+                        ngram: int = 3) -> DataFrame:
+    """Add `sh` (distinct word-ngram shingles) and `hh` (their base hashes)."""
+    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
+    sh = H.word_shingles(tok, ngram, "spark")
+    return (docs
+            .withColumn("sh", F.expr(f"array_distinct({sh})"))
+            .withColumn("hh", F.expr(H.shingle_hashes("sh", "spark"))))
+
+
+def with_minhash_signature(docs: DataFrame, text_col: str = "text",
+                           ngram: int = 3) -> DataFrame:
+    """Add minhash components m0..m7 — narrow per-row math, no shuffle."""
+    df = with_shingle_hashes(docs, text_col, ngram)
+    for i, expr in enumerate(H.minhash_signature("hh", "spark")):
+        df = df.withColumn(f"m{i}", F.expr(expr))
+    return df
+
+
+def minhash_band_keys(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature -> (id, band, band_key) rows, BANDS per doc.
+
+    band_key packs the band's two minhash components into one BIGINT
+    (each < 2^31, so key = m_lo * 2^31 + m_hi is collision-free).
+    """
+    pairs = ", ".join(
+        f"{b}, CAST(m{2 * b} AS BIGINT) * 2147483648 + m{2 * b + 1}"
+        for b in range(N_BANDS))
+    return df.selectExpr(
+        id_col, f"stack({N_BANDS}, {pairs}) AS (band, band_key)")
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        jaccard_threshold: float = 0.3) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline -> verified pairs.
+
+    signature (narrow) -> band explode -> self-equi-join on (band,
+    band_key) -> distinct candidate pairs -> exact jaccard on the two
+    shingle sets -> threshold. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard rounded to 4 (exact rational both engines).
+    """
+    sig = with_minhash_signature(docs, text_col, ngram).select(
+        id_col, "sh", *[f"m{i}" for i in range(N_MINHASH)]).cache()
+    bands = minhash_band_keys(sig, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("inter", F.expr("size(array_intersect(sh_a, sh_b))"))
+                .withColumn("jaccard", R.fround(
+                    F.col("inter") /
+                    (F.expr("size(sh_a)") + F.expr("size(sh_b)") - F.col("inter")), 4)))
+    return (verified.where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", ngram: int = 1,
+                         bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint (narrow). Near-dup = small hamming
+    distance; pair generation pivots on bit-masked keys, not implemented as
+    an all-pairs scan."""
+    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
+    sh = tok if ngram == 1 else H.word_shingles(tok, ngram, "spark")
+    df = docs.withColumn("hh", F.expr(H.shingle_hashes(sh, "spark")))
+    return df.select(id_col,
+                     F.expr(H.simhash("hh", "spark", bits)).alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard within blocking keys.
+
+    Quadratic *within a block* by construction — the block join key keeps
+    the cross product bounded; for unblocked corpora use
+    lsh_candidate_pairs, which is this metric behind an LSH filter.
+    """
+    df = with_shingle_hashes(docs, text_col, ngram).select(
+        id_col, *block_cols, "sh")
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = (a.join(b, block_cols)
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .withColumn("inter", F.expr("size(array_intersect(a.sh, b.sh))"))
+             .withColumn("jaccard", R.fround(
+                 F.col("inter") /
+                 (F.expr("size(a.sh)") + F.expr("size(b.sh)") - F.col("inter")), 4)))
+    return (pairs.where(F.col("jaccard") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), "jaccard"))
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       block_col: str = "label") -> DataFrame:
+    """Cosine near-dup pairs within a blocking key (label here; sign-LSH
+    bucket in the unblocked case — see similarity.ann_lsh)."""
+    df = embeddings.select(
+        id_col, block_col,
+        V.as_double_array(F.col(vec_col)).alias("v"))
+    a, b = df.alias("a"), df.alias("b")
+    return (a.join(b, block_col)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .withColumn("cosine", R.fround(
+                V.dot(F.col("a.v"), F.col("b.v"))
+                / (V.norm(F.col("a.v")) * V.norm(F.col("b.v"))), 4))
+            .where(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), "cosine"))

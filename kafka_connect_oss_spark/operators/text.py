@@ -1,0 +1,88 @@
+"""Text-analysis operators (driver-mandated extension): stats, quality,
+language-ID, token counting, fingerprinting — all built-in expressions
+(no UDFs; linear in scanned bytes, no shuffle until the optional agg)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.functions import hashing as H
+from kafka_connect_oss_spark.functions import rounding as R
+from kafka_connect_oss_spark.functions import text as X
+
+
+def text_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc surface statistics (the quality-scoring raw features)."""
+    tok = X.sql_tokens(text_col, "spark")
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.expr(f"size({tok})").alias("n_tokens"),
+        F.expr(X.sql_bpe_token_count(text_col, "spark")).alias("n_bpe_tokens"),
+        F.expr(f"size(array_distinct({tok}))").alias("n_distinct_tokens"),
+        R.fround(F.expr(
+            f"aggregate({tok}, 0, (acc, t) -> acc + length(t)) "
+            f"/ CAST(size({tok}) AS DOUBLE)"), 4).alias("avg_token_len"),
+        R.fround(F.expr(
+            f"{X.sql_count_matching(tok, X.QUALITY_STOPWORDS, 'spark')} "
+            f"/ CAST(size({tok}) AS DOUBLE)"), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality heuristic (Gopher-rule-style, public recipe):
+    length in range + type/token ratio + stopword presence. Integer/
+    rational arithmetic -> oracle-exact."""
+    tok = X.sql_tokens(text_col, "spark")
+    n_tok = f"size({tok})"
+    distinct_ratio = f"(size(array_distinct({tok})) / CAST({n_tok} AS DOUBLE))"
+    stop_ratio = (f"({X.sql_count_matching(tok, X.QUALITY_STOPWORDS, 'spark')}"
+                  f" / CAST({n_tok} AS DOUBLE))")
+    return docs.select(
+        id_col,
+        F.expr(f"CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 1 ELSE 0 END")
+        .alias("len_ok"),
+        R.fround(F.expr(distinct_ratio), 4).alias("distinct_ratio"),
+        R.fround(F.expr(stop_ratio), 4).alias("stopword_ratio"),
+        R.fround(F.expr(
+            f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
+            f"ELSE CAST(0.0 AS DOUBLE) END) + "
+            f"CAST(0.3 AS DOUBLE) * {distinct_ratio} + "
+            f"CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} > 0 "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"), 4)
+        .alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic class). Deterministic
+    argmax with fixed tie order en > es > de."""
+    tok = X.sql_tokens(text_col, "spark")
+    scores = {lang: X.sql_count_matching(tok, words, "spark")
+              for lang, words in X.LANG_STOPWORDS.items()}
+    s_en, s_es, s_de = scores["en"], scores["es"], scores["de"]
+    pred = (f"CASE WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} THEN 'en' "
+            f"WHEN {s_es} >= {s_de} THEN 'es' ELSE 'de' END")
+    return docs.select(
+        id_col,
+        F.expr(s_en).alias("score_en"),
+        F.expr(s_es).alias("score_es"),
+        F.expr(s_de).alias("score_de"),
+        F.expr(pred).alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 (content identity) + polynomial rolling
+    hash (the shift-friendly primitive used by chunking/dedup schemes)."""
+    norm = f"lower(trim({text_col}))"
+    return docs.select(
+        id_col,
+        F.expr(f"md5({norm})").alias("md5_fp"),
+        F.expr(H.rolling_hash(norm, "spark")).alias("rolling_fp"),
+    )

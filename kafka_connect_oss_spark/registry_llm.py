@@ -1,0 +1,243 @@
+"""Registry entries for the LLM-data-pipeline extensions (dedup,
+similarity search, text analysis). Oracle SQL is generated from the same
+constants/fragments as the Spark plans (functions/hashing.py,
+functions/vectors.py, functions/text.py) so parity is structural."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.functions import hashing as H
+from kafka_connect_oss_spark.functions.rounding import round_sql
+from kafka_connect_oss_spark.functions import text as X
+from kafka_connect_oss_spark.functions import vectors as V
+from kafka_connect_oss_spark.operators import dedup, similarity
+from kafka_connect_oss_spark.operators import text as TXT
+from kafka_connect_oss_spark.registry import register
+from kafka_connect_oss_spark.sources.batch import load_table
+
+# thresholds chosen to yield non-empty results on the synthetic corpus
+# (small shared vocabulary => modest jaccard/cosine between random docs);
+# production defaults live in the operator signatures
+JACCARD_DEMO = 0.08
+COSINE_DEMO = 0.12
+
+_DTOK = X.sql_tokens("text", "duckdb")
+_DSH3 = f"list_distinct({H.word_shingles(_DTOK, 3, 'duckdb')})"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""WITH tok AS (SELECT doc_id, text, {_DTOK} AS t FROM documents)
+    SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+           {X.sql_bpe_token_count('text', 'duckdb')} AS n_bpe_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           {round_sql('list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE)', 4)} AS avg_token_len,
+           {round_sql(X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb') + ' / CAST(len(t) AS DOUBLE)', 4)} AS stopword_ratio
+    FROM tok""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    n_tok = "len(t)"
+    distinct_ratio = f"(len(list_distinct(t)) / CAST({n_tok} AS DOUBLE))"
+    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
+                  f" / CAST({n_tok} AS DOUBLE))")
+    return f"""WITH tok AS (SELECT doc_id, {_DTOK} AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS len_ok,
+           {round_sql(distinct_ratio, 4)} AS distinct_ratio,
+           {round_sql(stop_ratio, 4)} AS stopword_ratio,
+           {round_sql(f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * {distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)} AS quality
+    FROM tok"""
+
+
+@register("text_quality_score", _quality_oracle())
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    scores = {lang: X.sql_count_matching("t", words, "duckdb")
+              for lang, words in X.LANG_STOPWORDS.items()}
+    s_en, s_es, s_de = scores["en"], scores["es"], scores["de"]
+    return f"""WITH tok AS (SELECT doc_id, {_DTOK} AS t FROM documents)
+    SELECT doc_id, {s_en} AS score_en, {s_es} AS score_es, {s_de} AS score_de,
+           CASE WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} THEN 'en'
+                WHEN {s_es} >= {s_de} THEN 'es' ELSE 'de' END AS pred_lang
+    FROM tok"""
+
+
+@register("text_language_id", _langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""SELECT doc_id, md5(lower(trim(text))) AS md5_fp,
+               {H.rolling_hash('lower(trim(text))', 'duckdb')} AS rolling_fp
+    FROM documents""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TXT.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_copies
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _sig_cte() -> str:
+    """documents -> (doc_id, sh, m0..m7) CTE chain in DuckDB."""
+    ms = ", ".join(f"{e} AS m{i}" for i, e in
+                   enumerate(H.minhash_signature("hh", "duckdb")))
+    return f"""tok AS (SELECT doc_id, {_DSH3} AS sh FROM documents),
+    hsh AS (SELECT doc_id, sh, {H.shingle_hashes('sh', 'duckdb')} AS hh FROM tok),
+    sig AS (SELECT doc_id, sh, {ms} FROM hsh)"""
+
+
+@register(
+    "dedup_minhash_signature",
+    f"""WITH {_sig_cte()}
+    SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7 FROM sig""",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dedup.with_minhash_signature(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", *[f"m{i}" for i in range(dedup.N_MINHASH)])
+
+
+def _lsh_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 + m{2*b+1} "
+        f"AS band_key FROM sig" for b in range(dedup.N_BANDS))
+    return f"""WITH {_sig_cte()},
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    ver AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS inter,
+                   len(sa.sh) AS la, len(sb.sh) AS lb
+            FROM cand
+            JOIN sig sa ON sa.doc_id = cand.id_a
+            JOIN sig sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b,
+           {round_sql('inter / CAST(la + lb - inter AS DOUBLE)', 4)} AS jaccard
+    FROM ver
+    WHERE {round_sql('inter / CAST(la + lb - inter AS DOUBLE)', 4)} >= {JACCARD_DEMO}"""
+
+
+@register("dedup_minhash_lsh_pairs", _lsh_oracle())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=JACCARD_DEMO)
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH tok AS (SELECT doc_id, {_DTOK} AS t FROM documents),
+    hsh AS (SELECT doc_id, {H.shingle_hashes('t', 'duckdb')} AS hh FROM tok)
+    SELECT doc_id, {H.simhash('hh', 'duckdb')} AS simhash FROM hsh""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""WITH tok AS (SELECT doc_id, lang, source, {_DSH3} AS sh
+                            FROM documents),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) AS la, len(b.sh) AS lb
+              FROM tok a JOIN tok b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           {round_sql('inter / CAST(la + lb - inter AS DOUBLE)', 4)} AS jaccard
+    FROM pairs
+    WHERE {round_sql('inter / CAST(la + lb - inter AS DOUBLE)', 4)} >= {JACCARD_DEMO}"""
+
+
+@register("dedup_ngram_jaccard_pairs", _ngram_jaccard_oracle())
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"], threshold=JACCARD_DEMO)
+
+
+_DCOS = ("list_dot_product(a.v, b.v) / "
+         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {round_sql(_DCOS, 4)} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {round_sql(_DCOS, 4)} >= {COSINE_DEMO}""",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_DEMO)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_QCOS = ("list_dot_product(e.v, q.qv) / "
+         "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))")
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {round_sql(_QCOS, 6)} AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.topk_cosine(emb, q, k=10)
+
+
+def _ann_oracle() -> str:
+    bucket = V.lsh_bucket_sql("v", 4, "duckdb")
+    qbucket = V.lsh_bucket_sql("qv", 4, "duckdb")
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT qv, {qbucket} AS qbucket FROM q)
+    SELECT e.vec_id, e.bucket, {round_sql(_QCOS, 6)} AS cosine
+    FROM eb e JOIN qb q ON e.bucket = q.qbucket
+    ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+
+@register("sim_ann_lsh_topk", _ann_oracle())
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.ann_lsh_topk(emb, q, k=10, n_planes=4)

@@ -1,0 +1,66 @@
+"""Behavioral checks for the dedup/similarity operators on constructed
+near-duplicates (the synthetic corpus has none, so these prove recall)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the old wooden door of the barn")
+    mutated = base.replace("warm mat", "cold mat")          # 1-word change
+    unrelated = ("completely different words about spark query engines "
+                 "processing petabytes of training data with vectorized "
+                 "parquet readers and adaptive shuffle partitioning")
+    rows = [(0, base), (1, base), (2, mutated), (3, unrelated)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical(near_dup_docs):
+    out = dedup.exact_dedup(near_dup_docs).collect()
+    by_count = sorted(r.n_copies for r in out)
+    assert by_count == [1, 1, 2]            # (0,1) identical, 2 and 3 unique
+    dup = [r for r in out if r.n_copies == 2][0]
+    assert dup.keep_id == 0                  # keeper = min id
+
+
+def test_lsh_finds_near_duplicates(near_dup_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.lsh_candidate_pairs(
+                 near_dup_docs, jaccard_threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # identical docs
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7    # 1-word mutation
+    assert not any(3 in p for p in pairs)             # unrelated never pairs
+
+
+def test_simhash_near_for_near_docs(near_dup_docs):
+    fp = {r.doc_id: r.simhash
+          for r in dedup.simhash_fingerprints(near_dup_docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_blocked(near_dup_docs):
+    docs = near_dup_docs.withColumn("lang", F.lit("en")) \
+                        .withColumn("source", F.lit("s"))
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, ["lang", "source"], threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs
+
+
+def test_ann_lsh_is_subset_of_bruteforce_universe(spark, sf_dir):
+    from kafka_connect_oss_spark.sources.batch import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    exact = similarity.topk_cosine(emb, q, k=10).collect()
+    ann = similarity.ann_lsh_topk(emb, q, k=10).collect()
+    assert exact[0].vec_id == 0 and exact[0].cosine == 1.0  # self is top-1
+    assert 0 in {r.vec_id for r in ann}      # query's own bucket contains it
+    assert all(-1.0 <= r.cosine <= 1.0 for r in ann)
