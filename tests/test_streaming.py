@@ -1,0 +1,74 @@
+"""Streaming ingest: file-source stand-in driving the foreachBatch
+deterministic commit, with checkpoint-based exactly-once restart
+(SURVEY.md §2 C2-C4, §7.2 step 7)."""
+
+import pytest
+
+from kafka_connect_oss_spark.config import PipelineConfig
+from kafka_connect_oss_spark.sinks import read_committed
+from kafka_connect_oss_spark.sources.files import events_file_stream
+from kafka_connect_oss_spark.streaming.pipeline import IngestPipeline
+
+
+@pytest.fixture()
+def stream(spark, sf_dir):
+    return events_file_stream(spark, sf_dir)
+
+
+def test_stream_commits_deterministic_files(spark, stream, sf_dir, tmp_path):
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="parquet",
+                         flush_size=100,
+                         checkpoint_location=str(tmp_path / "ckpt"))
+    pipe = IngestPipeline(cfg)
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(120)
+    assert pipe.committed, "no files committed by the stream"
+    back = read_committed(spark, cfg.url, cfg)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_events
+
+
+def test_stream_restart_is_exactly_once(spark, stream, sf_dir, tmp_path):
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="json",
+                         flush_size=500,
+                         checkpoint_location=str(tmp_path / "ckpt"))
+    pipe = IngestPipeline(cfg)
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(120)
+    first_epochs = list(pipe.epochs)
+    first_keys = sorted(set(pipe.committed))
+    assert first_epochs
+
+    # restart against the same checkpoint: nothing new to process
+    stream2 = events_file_stream(spark, sf_dir)
+    pipe2 = IngestPipeline(cfg)
+    q2 = pipe2.start(stream2, available_now=True)
+    q2.awaitTermination(120)
+    assert pipe2.committed == []             # no replays, no duplicates
+
+    back = read_committed(spark, cfg.url, cfg)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_events
+    assert sorted(set(first_keys)) == first_keys
+
+
+def test_streaming_matches_batch_output(spark, stream, sf_dir, tmp_path):
+    # determinism across execution modes: streaming commit == batch commit
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.sources.batch import sink_records
+
+    cfg_s = PipelineConfig(url=str(tmp_path / "s"), format="parquet",
+                           flush_size=250,
+                           checkpoint_location=str(tmp_path / "ckpt"))
+    pipe = IngestPipeline(cfg_s)
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(120)
+
+    cfg_b = PipelineConfig(url=str(tmp_path / "b"), format="parquet",
+                           flush_size=250)
+    batch_keys = IngestPipeline(cfg_b).run_batch(sink_records(spark, sf_dir))
+
+    # availableNow may split the input into several micro-batches, so file
+    # *sets* can differ at batch boundaries; with one source file they match
+    assert sorted(set(pipe.committed)) == batch_keys
