@@ -41,15 +41,17 @@ _HEX = "0123456789abcdef"
 
 
 def hex_fold(md5_expr: str, dialect: str) -> str:
-    """First 15 hex chars of an md5 string -> BIGINT (60 bits)."""
+    """First 15 hex chars of an md5 string -> BIGINT (60 bits).
+
+    Single built-in per engine (Spark conv(h,16,10), DuckDB '0x'||h cast) —
+    an earlier per-character fold via nested higher-order lambdas was
+    interpreted (not codegen'd) and dominated the LSH pipeline's runtime.
+    Verified to produce identical values on both engines.
+    """
     if dialect == "spark":
-        return (f"aggregate(transform(sequence(1, 15), i -> "
-                f"CAST(instr('{_HEX}', substring({md5_expr}, i, 1)) - 1 AS BIGINT)), "
-                f"CAST(0 AS BIGINT), (acc, x) -> acc * 16 + x)")
+        return (f"CAST(conv(substring({md5_expr}, 1, 15), 16, 10) AS BIGINT)")
     if dialect == "duckdb":
-        return (f"list_reduce(list_transform(range(1, 16), i -> "
-                f"CAST(instr('{_HEX}', substr({md5_expr}, i, 1)) - 1 AS BIGINT)), "
-                f"(acc, x) -> acc * 16 + x)")
+        return f"CAST('0x' || substr({md5_expr}, 1, 15) AS BIGINT)"
     raise ValueError(dialect)
 
 
@@ -82,9 +84,16 @@ def word_shingles(tokens_expr: str, n: int, dialect: str) -> str:
 
 
 def shingle_hashes(shingles_expr: str, dialect: str) -> str:
-    """Array of shingles -> array of base hashes (distinct not applied)."""
+    """Array of shingles -> array of base hashes (distinct not applied).
+
+    Two-step transform: materialize md5 digests first, then hex-fold —
+    otherwise the md5 call sits inside the per-hex-char lambda and gets
+    re-evaluated 15x per shingle (measured 4-5x slowdown on the LSH
+    pipeline; codegen does not CSE across lambda scopes).
+    """
     fn = "transform" if dialect == "spark" else "list_transform"
-    return f"{fn}({shingles_expr}, s -> {base_hash('s', dialect)})"
+    md5s = f"{fn}({shingles_expr}, s -> md5(s))"
+    return f"{fn}({md5s}, hx -> {hex_fold('hx', dialect)})"
 
 
 def minhash_signature(hashes_expr: str, dialect: str) -> list[str]:

@@ -47,12 +47,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across all cores before CPU-heavy per-row work.
+
+    Small local files arrive as 1-2 input splits, which would serialize the
+    per-shingle hashing onto one core; at production scale (thousands of
+    splits) the condition never triggers and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingle_hashes(docs: DataFrame, text_col: str = "text",
                         ngram: int = 3) -> DataFrame:
     """Add `sh` (distinct word-ngram shingles) and `hh` (their base hashes)."""
     tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
     sh = H.word_shingles(tok, ngram, "spark")
-    return (docs
+    return (_fan_out(docs)
             .withColumn("sh", F.expr(f"array_distinct({sh})"))
             .withColumn("hh", F.expr(H.shingle_hashes("sh", "spark"))))
 
@@ -117,7 +130,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     an all-pairs scan."""
     tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
     sh = tok if ngram == 1 else H.word_shingles(tok, ngram, "spark")
-    df = docs.withColumn("hh", F.expr(H.shingle_hashes(sh, "spark")))
+    df = _fan_out(docs).withColumn("hh", F.expr(H.shingle_hashes(sh, "spark")))
     return df.select(id_col,
                      F.expr(H.simhash("hh", "spark", bits)).alias("simhash"))
 

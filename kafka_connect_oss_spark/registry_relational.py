@@ -1,0 +1,192 @@
+"""Relational/analytic query surface (scan -> filter -> join -> agg ->
+window -> top-k), the batch-analytics layer of the engine and the bench
+headliners.
+
+The reference contains no joins/aggregations (SURVEY.md §2: its "GROUP BY"
+is partition routing), so these queries define the engine's *analytics*
+capability over the same tables, built the way the 100 TB plan should look:
+dimension joins broadcast, aggregations partial-agg'd map-side by Catalyst,
+top-k as TakeOrderedAndProject (no global sort).
+
+Float-determinism discipline: every summed money/measure column is scaled
+to exact integer cents (floor(x*100 + 0.5) on 2-decimal inputs) so sums
+are exact BIGINTs in both engines, then divided back to DOUBLE at output —
+identical bits, no summation-order sensitivity at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.registry import register
+from kafka_connect_oss_spark.sources.batch import load_table
+
+# exact integer cents from a 2-decimal double (dialect-neutral SQL)
+def _cents(col: str) -> str:
+    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM({_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')}) * (100 + {_cents('l_tax')})) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(SUM({_cents('l_quantity')}) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_qty,
+           CAST(SUM({_cents('l_discount')}) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan agg; Catalyst does map-side partial agg,
+    the shuffle moves only (flag, status) x partial sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+        (F.sum(F.expr(_cents("l_quantity"))).cast("double") / 100.0)
+        .alias("sum_qty"),
+        (F.sum(F.expr(_cents("l_extendedprice"))).cast("double") / 100.0)
+        .alias("sum_base_price"),
+        (F.sum(F.expr(f"{_cents('l_extendedprice')} * (100 - {_cents('l_discount')})"))
+         .cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(F.expr(f"{_cents('l_extendedprice')} * (100 - {_cents('l_discount')}) "
+                      f"* (100 + {_cents('l_tax')})"))
+         .cast("double") / 1000000.0).alias("sum_charge"),
+        (F.sum(F.expr(_cents("l_quantity"))).cast("double")
+         / (100.0 * F.count(F.lit(1)))).alias("avg_qty"),
+        (F.sum(F.expr(_cents("l_discount"))).cast("double")
+         / (100.0 * F.count(F.lit(1)))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ))
+
+
+Q3_DATE = "1996-06-01 00:00:00"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""SELECT l_orderkey,
+           CAST(SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')})) AS DOUBLE) / 10000.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> joins -> agg -> top-k.
+    customer is small => broadcast; top-k is TakeOrderedAndProject."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    agg = (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg((F.sum(F.expr(f"{_cents('l_extendedprice')} * "
+                              f"(100 - {_cents('l_discount')})"))
+                 .cast("double") / 10000.0).alias("revenue")))
+    return (agg.select("l_orderkey", "revenue",
+                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                       "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@register(
+    "q5_nation_revenue",
+    f"""SELECT n_name,
+           CAST(SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')})) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through three broadcast dims; only the fact table moves."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = (load_table(spark, sf_dir, "region")
+           .where(F.col("r_name").isin("ASIA", "EUROPE")))
+    dims = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select("s_suppkey", "n_name"))
+    return (li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .groupBy("n_name")
+            .agg((F.sum(F.expr(f"{_cents('l_extendedprice')} * "
+                               f"(100 - {_cents('l_discount')})"))
+                  .cast("double") / 10000.0).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+@register(
+    "events_hourly_rollup",
+    f"""SELECT strftime(ts, '%Y-%m-%d-%H') AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming windowed aggregation (window(ts, '1 hour')
+    x event_type): identical grouping keys, exactly the rollup a
+    writeStream.groupBy(window(...)) maintains incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.expr(_cents("value"))).cast("double") / 100.0)
+                 .alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "events_top_users_per_type",
+    f"""WITH per_user AS (
+      SELECT event_type, user_id,
+             SUM({_cents('value')}) AS cents, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id),
+    ranked AS (
+      SELECT event_type, user_id, cents, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents DESC, user_id) AS rnk
+      FROM per_user)
+    SELECT event_type, user_id,
+           CAST(cents AS DOUBLE) / 100.0 AS total_value, n AS n_events, rnk
+    FROM ranked WHERE rnk <= 3""",
+)
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: partial agg then a per-group window — the window
+    runs on the already-aggregated (small) relation, not on raw events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("event_type", "user_id")
+                .agg(F.sum(F.expr(_cents("value"))).alias("cents"),
+                     F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").desc(), "user_id")
+    return (per_user.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("event_type", "user_id",
+                    (F.col("cents").cast("double") / 100.0).alias("total_value"),
+                    F.col("n").alias("n_events"), "rnk"))
