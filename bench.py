@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_ann_lsh_topk",
     "text_stats",
     "text_fingerprints",
+    "multimodal_catalog",
+    "multimodal_video_frames",
 ]
 
 
@@ -68,6 +70,10 @@ def main() -> None:
     queries = entrymod.queries()
     # JVM/codegen warm-up on a trivial plan (not timed)
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Python-worker + Arrow warm-up so UDF queries measure steady state,
+    # not the one-time worker spawn (not timed)
+    spark.range(int(CPUS) * 2).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

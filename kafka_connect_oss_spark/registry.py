@@ -37,6 +37,10 @@ def register(name: str, oracle: str | None = None):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # datetime formatting must agree with DuckDB's naive-UTC stamps
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # pandas-UDF closures need the package importable on executors
+            from kafka_connect_oss_spark.shipping import (
+                ensure_package_on_executors)
+            ensure_package_on_executors(spark)
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

@@ -1,0 +1,119 @@
+"""Multimodal-column query surface (binary payloads + typed metadata +
+pandas-UDF decode stages; operators/multimodal.py).
+
+Every query's codec stage is the deterministic md5 fake (the real codec is
+stubbed — see operators/multimodal.decode_real), which makes the full
+mapInPandas pipeline SQL-expressible: each oracle below recomputes the fake
+decode in DuckDB. ``documents.text`` is verified pure-ASCII, so DuckDB
+string functions over ``text`` operate on exactly the bytes Spark sees in
+the ``payload`` binary column (md5/substr/length agree byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_connect_oss_spark.operators import multimodal as MM
+from kafka_connect_oss_spark.registry import register
+from kafka_connect_oss_spark.sources.batch import load_table
+
+
+def _hex_int(h_expr: str, start: int, n: int) -> str:
+    """DuckDB: integer from ``n`` hex chars of a digest at 1-based ``start``."""
+    return f"CAST('0x' || substr({h_expr}, {start}, {n}) AS BIGINT)"
+
+
+#: modality assignment must match operators/multimodal.attach_binary
+_MODALITY = ("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+             "WHEN 1 THEN 'audio' ELSE 'video' END")
+
+_MM_BASE = f"""WITH mm AS (
+  SELECT doc_id, {_MODALITY} AS modality, md5(text) AS h,
+         CAST(length(text) AS BIGINT) AS byte_len, text
+  FROM documents)"""
+
+
+def _mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.attach_binary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_catalog",
+    f"""{_MM_BASE}
+    SELECT doc_id, modality,
+           CASE modality WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav'
+                ELSE 'mp4' END AS fmt,
+           byte_len,
+           CASE WHEN modality = 'image'
+                THEN CAST(16 + {_hex_int('h', 1, 4)} % 2032 AS INT) END AS width,
+           CASE WHEN modality = 'image'
+                THEN CAST(16 + {_hex_int('h', 5, 4)} % 2032 AS INT) END AS height,
+           CASE WHEN modality = 'image'
+                THEN CAST(1 + {_hex_int('h', 9, 1)} % 4 AS INT) END AS channels,
+           CASE WHEN modality = 'audio'
+                THEN CAST(8000 * (1 + {_hex_int('h', 1, 2)} % 6) AS INT)
+                END AS sample_rate,
+           CASE WHEN modality = 'audio'
+                THEN byte_len * 1000 // (8000 * (1 + {_hex_int('h', 1, 2)} % 6))
+                END AS duration_ms,
+           CASE WHEN modality = 'video'
+                THEN CAST((byte_len + {MM.FRAME_BYTES - 1}) // {MM.FRAME_BYTES}
+                          AS INT) END AS n_frames
+    FROM mm""",
+)
+def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingest + typed metadata decode for all three modalities."""
+    return MM.decode_metadata(_mm(spark, sf_dir))
+
+
+@register(
+    "multimodal_image_resize",
+    f"""{_MM_BASE},
+    img AS (
+      SELECT doc_id,
+             CAST(16 + {_hex_int('h', 1, 4)} % 2032 AS INT) AS width,
+             CAST(16 + {_hex_int('h', 5, 4)} % 2032 AS INT) AS height
+      FROM mm WHERE modality = 'image')
+    SELECT doc_id, width, height,
+           GREATEST(1, CAST(FLOOR(width * LEAST({MM.RESIZE_BOX}.0 / width,
+                {MM.RESIZE_BOX}.0 / height, 1.0)) AS INT)) AS new_w,
+           GREATEST(1, CAST(FLOOR(height * LEAST({MM.RESIZE_BOX}.0 / width,
+                {MM.RESIZE_BOX}.0 / height, 1.0)) AS INT)) AS new_h
+    FROM img""",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-within-box resize plan (pixel op stubbed)."""
+    return MM.image_resize_plan(_mm(spark, sf_dir))
+
+
+@register(
+    "multimodal_video_frames",
+    f"""{_MM_BASE}
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(length(substr(text, CAST(i * {MM.FRAME_BYTES} + 1 AS INT),
+                              {MM.FRAME_BYTES})) AS INT) AS frame_len,
+           md5(substr(text, CAST(i * {MM.FRAME_BYTES} + 1 AS INT),
+                      {MM.FRAME_BYTES})) AS frame_md5
+    FROM mm, unnest(range(0, (byte_len + {MM.FRAME_BYTES - 1})
+                             // {MM.FRAME_BYTES}, {MM.FRAME_STRIDE})) AS t(i)
+    WHERE modality = 'video'""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided pseudo-frame sampling, one row per sampled frame."""
+    return MM.video_frame_sample(_mm(spark, sf_dir))
+
+
+_EMBED_COLS = ", ".join(
+    _hex_int(f"md5(text || '{j}')", 1, 8) + f" / 4294967296.0 AS v{j}"
+    for j in range(MM.EMBED_DIMS))
+
+
+@register(
+    "multimodal_embed",
+    f"""{_MM_BASE}
+    SELECT doc_id, {_EMBED_COLS}
+    FROM mm""",
+)
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> fixed-dim feature vector (encoder stubbed, plumbing real)."""
+    return MM.binary_embed(_mm(spark, sf_dir))

@@ -4,6 +4,7 @@ the driver runs (CORRECTNESS_r{N}.json), kept green locally at sf0.001."""
 import pytest
 
 import kafka_connect_oss_spark.registry_llm  # noqa: F401 (registers entries)
+import kafka_connect_oss_spark.registry_multimodal  # noqa: F401 (registers entries)
 import kafka_connect_oss_spark.registry_relational  # noqa: F401 (registers entries)
 from kafka_connect_oss_spark.registry import ORACLES, QUERIES
 from tests.parity import compare, duck_connection
