@@ -12,10 +12,11 @@ Window.partitionBy(topic, partition).orderBy(offset) — one sort per Kafka
 partition, embarrassingly parallel across partitions (exactly the reference's
 per-TopicPartitionWriter parallelism), no global shuffle.
 
-Deviation (SURVEY.md §7.4 #3): R2 here uses fixed-grid time buckets
-floor(epoch_ms/interval) rather than the reference's per-file anchored
-baseRecordTimestamp; grid rotation is deterministic and exactly-once-safe the
-same way, but boundaries may differ from the anchored variant by < 1 interval.
+R2 comes in two forms: ``assign_files`` uses fixed-grid time buckets
+floor(epoch_ms/interval) — pure window functions, boundaries may differ from
+the reference's by < 1 interval (SURVEY.md §7.4 #3) — and
+``anchored_interval_files`` reproduces the reference's per-file
+baseRecordTimestamp anchoring exactly via applyInPandas.
 R4 (wallclock) is non-deterministic by design and has no batch form — it maps
 to Trigger.ProcessingTime in the streaming layer (streaming/pipeline.py).
 """
@@ -90,6 +91,55 @@ def committed_files(records: DataFrame, encoded: Column, flush_size: int,
         "topic", "partition", "encoded_partition", "start_offset",
         "end_offset", "record_count",
     )
+
+
+def anchored_interval_files(records: DataFrame,
+                            rotate_interval_ms: int) -> DataFrame:
+    """R2 with the reference's EXACT anchoring semantics: the interval clock
+    starts at the first record of each file (baseRecordTimestamp), not on a
+    fixed grid (TopicPartitionWriter.java:188-190,338-346).
+
+    The running anchor makes this a sequential scan per TopicPartition —
+    inexpressible as window functions — so it runs as ``applyInPandas``
+    grouped by (topic, partition): one Arrow batch per Kafka partition, the
+    same per-partition sequential order the reference's writer loop has.
+    At scale the group is one micro-batch x one Kafka partition (bounded by
+    maxOffsetsPerTrigger), exactly the state the reference holds in memory.
+
+    Returns one row per file: (topic, partition, file_seq, base_ts_us,
+    start_offset, end_offset, record_count).
+    """
+    import pandas as pd
+
+    iv_us = rotate_interval_ms * 1000
+    schema = ("topic string, partition int, file_seq int, base_ts_us long, "
+              "start_offset long, end_offset long, record_count long")
+
+    def split(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        offsets = pdf["offset"].to_numpy()
+        out: dict[str, list] = {k: [] for k in
+                                ("topic", "partition", "file_seq",
+                                 "base_ts_us", "start_offset", "end_offset",
+                                 "record_count")}
+        base = None
+        for t, o in zip(ts_us, offsets):
+            if base is None or t - base >= iv_us:
+                base = int(t)
+                out["topic"].append(pdf["topic"].iloc[0])
+                out["partition"].append(pdf["partition"].iloc[0])
+                out["file_seq"].append(len(out["file_seq"]))
+                out["base_ts_us"].append(base)
+                out["start_offset"].append(int(o))
+                out["end_offset"].append(int(o))
+                out["record_count"].append(0)
+            out["end_offset"][-1] = int(o)
+            out["record_count"][-1] += 1
+        return pd.DataFrame(out)
+
+    return (records.select("topic", "partition", "offset", "ts")
+            .groupBy("topic", "partition").applyInPandas(split, schema))
 
 
 def offsets_to_commit(records: DataFrame) -> DataFrame:

@@ -229,6 +229,54 @@ def r2_interval_rotation_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         extension=".json", rotate_interval_ms=3_600_000)
 
 
+#: R2 anchored-rotation interval (4h keeps the oracle's recursion depth
+#: ~180 per partition over the 30-day synthetic stream)
+_ANCHOR_IV_MS = 4 * 3600 * 1000
+
+
+@register(
+    "r2_anchored_rotation_files",
+    f"""WITH RECURSIVE rec AS ({SINK_RECORDS_SQL}),
+    anch AS (
+      SELECT topic, partition, MIN(ts) AS base_ts, 0 AS file_seq
+      FROM rec GROUP BY topic, partition
+      UNION ALL
+      SELECT a.topic, a.partition,
+             (SELECT MIN(r.ts) FROM rec r
+              WHERE r.topic = a.topic AND r.partition = a.partition
+                AND epoch_us(r.ts) - epoch_us(a.base_ts)
+                    >= {_ANCHOR_IV_MS * 1000}) AS base_ts,
+             a.file_seq + 1
+      FROM anch a
+      WHERE EXISTS (SELECT 1 FROM rec r
+                    WHERE r.topic = a.topic AND r.partition = a.partition
+                      AND epoch_us(r.ts) - epoch_us(a.base_ts)
+                          >= {_ANCHOR_IV_MS * 1000})),
+    assign AS (
+      SELECT r.topic, r.partition, r."offset", MAX(a.file_seq) AS file_seq
+      FROM rec r JOIN anch a
+        ON a.topic = r.topic AND a.partition = r.partition
+       AND a.base_ts <= r.ts
+      GROUP BY 1, 2, 3)
+    SELECT s.topic, s.partition, CAST(s.file_seq AS INT) AS file_seq,
+           epoch_us(a.base_ts) AS base_ts_us,
+           MIN(s."offset") AS start_offset, MAX(s."offset") AS end_offset,
+           COUNT(*) AS record_count
+    FROM assign s JOIN anch a
+      ON a.topic = s.topic AND a.partition = s.partition
+     AND a.file_seq = s.file_seq
+    GROUP BY 1, 2, 3, 4""",
+)
+def r2_anchored_rotation_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R2 with the reference's exact per-file baseRecordTimestamp anchoring
+    # (TopicPartitionWriter.java:338-346). The oracle's recursive CTE walks
+    # anchors forward — valid because the synthetic stream's ts is monotonic
+    # per partition (verified); the Spark operator implements the general
+    # offset-order semantics.
+    rec = sink_records(spark, sf_dir)
+    return rotation.anchored_interval_files(rec, _ANCHOR_IV_MS)
+
+
 @register(
     "r3_partition_change_rotation",
     f"""{_REC},

@@ -1,0 +1,86 @@
+"""Streaming analytics: watermark windowed agg, bounded-state dedup, and the
+applyInPandasWithState sessionizer (streaming/analytics.py), driven by the
+file-source Kafka stand-in and golden-checked against batch equivalents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.shipping import ensure_package_on_executors
+from kafka_connect_oss_spark.sources.batch import sink_records
+from kafka_connect_oss_spark.sources.files import events_file_stream
+from kafka_connect_oss_spark.streaming import analytics as A
+
+
+def _run_to_memory(df, name: str, tmp_path, timeout: int = 180):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir, tmp_path):
+    stream = events_file_stream(spark, sf_dir)
+    _run_to_memory(A.windowed_rollup(stream), "roll", tmp_path)
+    got = spark.sql("SELECT * FROM roll")
+
+    batch = (sink_records(spark, sf_dir)
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 3).alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "sum_value"))
+    # append mode holds back windows the watermark hasn't passed; everything
+    # emitted must match the batch result exactly, and most windows emit
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows <= batch_rows
+    assert len(got_rows) >= len(batch_rows) * 0.9
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
+    stream = events_file_stream(spark, sf_dir)
+    deduped = A.streaming_exact_dedup(stream, key_cols=("key",))
+    _run_to_memory(deduped, "dedup", tmp_path)
+    got = spark.sql("SELECT * FROM dedup")
+    n_keys = sink_records(spark, sf_dir).select("key").distinct().count()
+    # one source file -> one micro-batch -> every in-horizon dup is caught
+    assert got.count() == n_keys
+    assert got.select("key").distinct().count() == n_keys
+
+
+def test_sessionize_matches_batch_sessionization(spark, sf_dir, tmp_path):
+    ensure_package_on_executors(spark)
+    gap_ms = 30 * 60 * 1000
+    stream = events_file_stream(spark, sf_dir)
+    _run_to_memory(A.sessionize(stream, gap_ms=gap_ms), "sess", tmp_path)
+    got = spark.sql("SELECT * FROM sess")
+
+    # batch oracle: classic gap sessionization with window functions
+    rec = sink_records(spark, sf_dir).select("user_id", "ts")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sessions = (rec
+                .withColumn("prev", F.lag("ts").over(w))
+                .withColumn("brk", (F.col("prev").isNull() | (
+                    F.unix_micros("ts") - F.unix_micros("prev")
+                    > gap_ms * 1000)).cast("int"))
+                .withColumn("sid", F.sum("brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)))
+                .groupBy("user_id", "sid")
+                .agg(F.min("ts").alias("session_start"),
+                     F.max("ts").alias("session_end"),
+                     F.count(F.lit(1)).alias("n_events")))
+
+    got_rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in got.collect()}
+    batch_rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                  for r in sessions.collect()}
+    # sessions still open at end-of-stream (watermark never passed their
+    # timeout) are withheld in append mode; emitted ones must match exactly
+    assert got_rows <= batch_rows
+    missing = batch_rows - got_rows
+    # at most one open session per user can be withheld
+    users_missing = {m[0] for m in missing}
+    assert len(missing) == len(users_missing)
