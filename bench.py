@@ -27,6 +27,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "r1_size_rotation_files",
     "r2_interval_rotation_files",
+    "r2_anchored_rotation_files",
     "c2_offsets_to_commit",
     "e2_schema_projection",
     "e3_json_decode",
@@ -41,6 +42,7 @@ HEADLINE = [
     "dedup_embedding_cosine_pairs",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
     "text_stats",
     "text_fingerprints",
     "multimodal_catalog",

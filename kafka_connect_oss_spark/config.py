@@ -84,11 +84,16 @@ class PipelineConfig:
             if value not in valid:
                 raise ValueError(f"{key}={value!r} not in {valid}")
 
-        _check(self.format, VALID_FORMATS, "format")
+        # P7/A3: names in the plugin registries are as valid as built-ins
+        # (the reference's recommender accepts any loadable class)
+        from kafka_connect_oss_spark import plugins
+
+        _check(self.format, VALID_FORMATS + tuple(plugins.FORMATS), "format")
         _check(self.compression, VALID_COMPRESSION, "compression")
         _check(self.avro_codec, VALID_AVRO_CODECS, "avro_codec")
         _check(self.schema_compatibility, VALID_COMPATIBILITY, "schema_compatibility")
-        _check(self.partitioner, VALID_PARTITIONERS, "partitioner")
+        _check(self.partitioner,
+               VALID_PARTITIONERS + tuple(plugins.PARTITIONERS), "partitioner")
         _check(self.timestamp_extractor, VALID_TS_EXTRACTORS, "timestamp_extractor")
         if self.partitioner == "field" and not self.partition_field_name:
             raise ValueError("field partitioner requires partition_field_name")
@@ -112,8 +117,13 @@ class PipelineConfig:
     def extension(self) -> str:
         """Object-key extension incl. compression suffix
         (reference: CompressionType.java:108-120, JsonRecordWriterProvider.java:42-44)."""
-        base = {"json": ".json", "avro": ".avro", "parquet": ".parquet",
-                "parquet-json": ".parquet", "bytearray": self.byte_extension}[self.format]
+        builtin = {"json": ".json", "avro": ".avro", "parquet": ".parquet",
+                   "parquet-json": ".parquet", "bytearray": self.byte_extension}
+        if self.format not in builtin:
+            from kafka_connect_oss_spark import plugins
+
+            return plugins.FORMATS[self.format].extension
+        base = builtin[self.format]
         if self.format in ("json", "bytearray") and self.compression == "gzip":
             return base + ".gz"
         return base

@@ -36,6 +36,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized_sql(vec_expr: str, dialect: str) -> str:
+    """Unit-normalize a vector: x_i / sqrt(sum x^2), same left-fold sum both
+    dialects. Normalizing BEFORE a pairwise join is the scale move: the
+    exchange materializes it once per row, so each pair costs one dot
+    instead of dot + two norms (3x fewer interpreted lambda steps — HOFs
+    don't codegen)."""
+    if dialect == "spark":
+        nrm = (f"sqrt(aggregate(transform({vec_expr}, y -> y * y), 0D, "
+               f"(acc, x) -> acc + x))")
+        return f"transform({vec_expr}, x -> x / {nrm})"
+    if dialect == "duckdb":
+        return (f"list_transform({vec_expr}, "
+                f"x -> x / sqrt(list_dot_product({vec_expr}, {vec_expr})))")
+    raise ValueError(dialect)
+
+
 # ---- deterministic pseudo-random hyperplanes for sign-LSH ----------------
 # plane_j[i] = ((a*j + b*i + c) mod m)/m - 0.5 — integer-generated so the
 # DuckDB oracle can rebuild the identical planes (functions/hashing.py

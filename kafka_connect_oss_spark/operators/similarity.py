@@ -1,6 +1,6 @@
 """Similarity search over embeddings (driver-mandated extension).
 
-Two paths:
+Three paths:
 
   brute-force top-k   broadcast the query vector, one narrow pass computing
                       cosine, TopK via sort+limit (Spark executes this as
@@ -10,9 +10,17 @@ Two paths:
                       for deterministic hyperplanes, probe only the query's
                       bucket. At 100 TB the bucket column is a partition/
                       cluster key so a probe touches ~1/2^planes of data.
+  IVF ANN             assign every vector to its nearest centroid (broadcast
+                      K centroids, one narrow pass + argmax); probe only the
+                      nprobe best centroids for the query. The cid column is
+                      the physical partition key at scale.
 
-No UDFs: dot products are zip_with/aggregate (codegen); planes are
-integer-generated (functions/vectors.py) so DuckDB oracles reproduce them.
+No UDFs: dot products are zip_with/aggregate (codegen-adjacent HOFs); all
+vectors are unit-normalized ONCE in a narrow pass (functions/vectors.
+normalized_sql) so every comparison is a single dot product — HOF lambdas
+are interpreted, so shaving the two norm folds per comparison is ~3x.
+Planes/centroids are integer-generated/data-derived so DuckDB oracles
+reproduce them exactly.
 """
 
 from __future__ import annotations
@@ -24,32 +32,41 @@ from kafka_connect_oss_spark.functions import rounding as R
 from kafka_connect_oss_spark.functions import vectors as V
 
 
+def with_normalized(embeddings: DataFrame, vec_col: str = "embedding",
+                    out_col: str = "nv") -> DataFrame:
+    """Add the unit-normalized vector column (narrow, once per row)."""
+    nv = V.normalized_sql(f"cast({vec_col} as array<double>)", "spark")
+    return embeddings.withColumn(out_col, F.expr(nv))
+
+
 def query_vector(spark: SparkSession, embeddings: DataFrame,
                  vec_id: int, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
-    """1-row DataFrame holding the (double-cast) query vector."""
-    return (embeddings.where(F.col(id_col) == vec_id)
-            .select(V.as_double_array(F.col(vec_col)).alias("qv")))
+    """1-row DataFrame holding the unit-normalized query vector."""
+    return (with_normalized(embeddings.where(F.col(id_col) == vec_id),
+                            vec_col, "qv")
+            .select("qv"))
 
 
 def topk_cosine(embeddings: DataFrame, query: DataFrame, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine: broadcast 1-row query, narrow pass, TopK."""
-    scored = (embeddings
+    scored = (with_normalized(embeddings, vec_col)
               .crossJoin(F.broadcast(query))
               .select(id_col,
-                      R.fround(V.cosine(V.as_double_array(F.col(vec_col)),
-                                       F.col("qv")), 6).alias("cosine")))
+                      R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                      .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 4,
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "nv") -> DataFrame:
     """Add the sign-LSH bucket id (narrow; the 100 TB layout would
-    partition/cluster the table by this column)."""
-    vexpr = f"cast({vec_col} as array<double>)"
+    partition/cluster the table by this column). Buckets are computed on
+    the normalized vector — signs are scale-invariant, so it equals the
+    raw-vector bucket."""
     return embeddings.withColumn(
-        "bucket", F.expr(V.lsh_bucket_sql(vexpr, n_planes, "spark")))
+        "bucket", F.expr(V.lsh_bucket_sql(vec_col, n_planes, "spark")))
 
 
 def ann_lsh_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
@@ -60,12 +77,69 @@ def ann_lsh_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     Single-probe (bucket equality). Multi-probe = relax the equality to a
     hamming ball over bucket bits; same plan shape.
     """
-    bucketed = with_lsh_bucket(embeddings, n_planes, vec_col)
-    qb = with_lsh_bucket(query.withColumnRenamed("qv", vec_col),
-                         n_planes, vec_col) \
-        .select(F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket"))
+    bucketed = with_lsh_bucket(with_normalized(embeddings, vec_col), n_planes)
+    qb = (with_lsh_bucket(query.withColumnRenamed("qv", "nv"), n_planes)
+          .select(F.col("nv").alias("qv"), F.col("bucket").alias("qbucket")))
     scored = (bucketed.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
               .select(id_col, "bucket",
-                      R.fround(V.cosine(V.as_double_array(F.col(vec_col)),
-                                       F.col("qv")), 6).alias("cosine")))
+                      R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                      .alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Deterministic seed centroids: the n lowest-id vectors, normalized.
+
+    Stands in for an offline KMeans fit (pyspark.ml.clustering.KMeans on a
+    sample, model broadcast) — seed-vector centroids keep the whole index
+    SQL-expressible for the oracle while exercising the identical plan
+    shape; swap this function for the fitted model at deploy time.
+    """
+    return (with_normalized(embeddings.where(F.col(id_col) < n_centroids),
+                            vec_col, "cv")
+            .select(F.col(id_col).alias("cid"), "cv"))
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF build: nearest centroid per vector (broadcast K centroids, one
+    narrow pass + argmax). At 100 TB this output IS the physical layout —
+    write the table partitioned/clustered by `cid` so probes prune files.
+
+    Ties break to the lowest cid (row_number, not max_by) so both engines
+    agree deterministically.
+    """
+    from pyspark.sql import Window
+
+    e = with_normalized(embeddings, vec_col).select(id_col, "nv")
+    scored = (e.crossJoin(F.broadcast(centroids))
+              .select(id_col, "cid", V.dot(F.col("nv"), F.col("cv"))
+                      .alias("ccos")))
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select(id_col, "cid"))
+
+
+def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF probe: rank centroids against the query, exact-search only the
+    vectors assigned to the best `nprobe` centroids (~nprobe/n_centroids of
+    the corpus; with cid-partitioned layout the scan prunes to those files).
+    """
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
+    probe = (query.crossJoin(F.broadcast(cents))
+             .select(F.col("cid"),
+                     V.dot(F.col("qv"), F.col("cv")).alias("qcos"))
+             .orderBy(F.col("qcos").desc(), F.col("cid")).limit(nprobe)
+             .select("cid"))
+    e = with_normalized(embeddings, vec_col).select(id_col, "nv")
+    cand = (e.join(assigned, id_col).join(F.broadcast(probe), "cid"))
+    scored = (cand.crossJoin(F.broadcast(query))
+              .select(id_col, "cid",
+                      R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                      .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

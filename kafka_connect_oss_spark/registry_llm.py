@@ -184,18 +184,21 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "source"], threshold=JACCARD_DEMO)
 
 
-_DCOS = ("list_dot_product(a.v, b.v) / "
-         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+#: pair cosine = dot of pre-normalized vectors — must match the Spark
+#: operator's normalize-before-join formula bit-for-bit (same fold order)
+_NDOT = "list_dot_product(a.nv, b.nv)"
 
 
 @register(
     "dedup_embedding_cosine_pairs",
     f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                   FROM embeddings)
+                   FROM embeddings),
+    n AS (SELECT vec_id, label, {V.normalized_sql('v', 'duckdb')} AS nv
+          FROM e)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {round_sql(_DCOS, 4)} AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {round_sql(_DCOS, 4)} >= {COSINE_DEMO}""",
+           {round_sql(_NDOT, 4)} AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {round_sql(_NDOT, 4)} >= {COSINE_DEMO}""",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(
@@ -206,16 +209,21 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search
 # --------------------------------------------------------------------------
 
-_QCOS = ("list_dot_product(e.v, q.qv) / "
-         "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))")
+#: normalized CTE fragments shared by the similarity oracles — the Spark
+#: operators normalize once per row, so oracles use the identical formula
+_NORM_E = (f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+           f"n AS (SELECT vec_id, {V.normalized_sql('v', 'duckdb')} AS nv FROM e)")
+_NORM_Q = ("q AS (SELECT {nv} AS qv FROM (SELECT embedding::DOUBLE[] AS v "
+           "FROM embeddings WHERE vec_id = 0))").format(
+    nv=V.normalized_sql("v", "duckdb"))
+_QDOT = "list_dot_product(e.nv, q.qv)"
 
 
 @register(
     "sim_topk_bruteforce",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id, {round_sql(_QCOS, 6)} AS cosine
-    FROM e, q
+    f"""WITH {_NORM_E}, {_NORM_Q}
+    SELECT e.vec_id, {round_sql(_QDOT, 6)} AS cosine
+    FROM n e, q
     ORDER BY cosine DESC, e.vec_id LIMIT 10""",
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,13 +233,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_oracle() -> str:
-    bucket = V.lsh_bucket_sql("v", 4, "duckdb")
+    bucket = V.lsh_bucket_sql("nv", 4, "duckdb")
     qbucket = V.lsh_bucket_sql("qv", 4, "duckdb")
-    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    eb AS (SELECT vec_id, nv, {bucket} AS bucket FROM n),
     qb AS (SELECT qv, {qbucket} AS qbucket FROM q)
-    SELECT e.vec_id, e.bucket, {round_sql(_QCOS, 6)} AS cosine
+    SELECT e.vec_id, e.bucket, {round_sql(_QDOT, 6)} AS cosine
     FROM eb e JOIN qb q ON e.bucket = q.qbucket
     ORDER BY cosine DESC, e.vec_id LIMIT 10"""
 
@@ -241,3 +248,31 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.query_vector(spark, emb, 0)
     return similarity.ann_lsh_topk(emb, q, k=10, n_planes=4)
+
+
+def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4) -> str:
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id < {n_centroids}),
+    scored AS (SELECT e.vec_id, c.cid, list_dot_product(e.nv, c.cv) AS ccos
+               FROM n e CROSS JOIN c),
+    assigned AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn FROM scored) WHERE rn = 1),
+    probe AS (SELECT cid FROM (
+        SELECT c.cid, list_dot_product(q.qv, c.cv) AS qcos FROM q CROSS JOIN c
+        ORDER BY qcos DESC, c.cid LIMIT {nprobe})),
+    cand AS (SELECT e.vec_id, a.cid, e.nv FROM n e
+             JOIN assigned a ON a.vec_id = e.vec_id
+             JOIN probe p ON p.cid = a.cid)
+    SELECT e.vec_id, e.cid, {round_sql(_QDOT, 6)} AS cosine
+    FROM cand e, q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+
+@register("sim_ann_ivf_topk", _ivf_oracle())
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: build = broadcast-argmax assignment, probe = nprobe
+    centroid buckets only (operators/similarity.ann_ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)

@@ -69,7 +69,13 @@ def _write_staged(df: DataFrame, cfg: PipelineConfig, path: str) -> None:
         # configured separator; gzip via writer option (F6)
         writer.option("lineSep", cfg.byte_line_separator).text(path)
     else:
-        raise ValueError(f"unknown format {cfg.format!r}")
+        # A3: custom formats registered by name (plugins.py)
+        from kafka_connect_oss_spark import plugins
+
+        if fmt in plugins.FORMATS:
+            plugins.FORMATS[fmt].write(df, path, cfg.spark_writer_options())
+        else:
+            raise ValueError(f"unknown format {cfg.format!r}")
 
 
 def payload_columns(df: DataFrame, cfg: PipelineConfig) -> list[str]:
@@ -170,4 +176,8 @@ def read_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
         return spark.read.text(glob)
     if cfg.format == "avro":
         return spark.read.format("avro").load(glob)
+    from kafka_connect_oss_spark import plugins
+
+    if cfg.format in plugins.FORMATS:
+        return plugins.FORMATS[cfg.format].read(spark, glob)
     raise ValueError(cfg.format)

@@ -53,6 +53,12 @@ def encoded_partition_column(cfg: PipelineConfig) -> Column:
                            P.duration_bucket(ts, cfg.partition_duration_ms)
                            .cast("string"))
         return col
+    # P7: custom partitioners registered by name (plugins.py), the analog of
+    # partitioner.class reflective loading (OSSSinkTask.java:124-140)
+    from kafka_connect_oss_spark import plugins
+
+    if cfg.partitioner in plugins.PARTITIONERS:
+        return plugins.PARTITIONERS[cfg.partitioner](cfg)
     raise ValueError(cfg.partitioner)
 
 
