@@ -33,7 +33,8 @@ from kafka_connect_oss_spark.functions.partition import duration_bucket
 def assign_files(records: DataFrame, encoded: Column,
                  flush_size: int,
                  rotate_interval_ms: int | None = None,
-                 ts_col: str = "ts") -> DataFrame:
+                 ts_col: str = "ts",
+                 with_start_offset: bool = True) -> DataFrame:
     """Tag every record with the file it belongs to.
 
     Adds columns:
@@ -41,7 +42,10 @@ def assign_files(records: DataFrame, encoded: Column,
       segment            — R3 (+R2) rotation segment index within the partition
       file_idx           — R1 chunk index within the segment (flush.size)
       start_offset       — first offset in the file == the offset the file
-                           name carries (TopicPartitionWriter.java:268-285)
+                           name carries (TopicPartitionWriter.java:268-285);
+                           skipped when with_start_offset=False (one fewer
+                           window pass — aggregating callers derive it as
+                           min(offset) per file group instead)
     """
     df = records.withColumn("encoded_partition", encoded)
     if rotate_interval_ms and rotate_interval_ms > 0:
@@ -62,8 +66,9 @@ def assign_files(records: DataFrame, encoded: Column,
     )
     ws = Window.partitionBy("topic", "partition", "segment").orderBy("offset")
     df = df.withColumn("file_idx", F.floor((F.row_number().over(ws) - 1) / flush_size))
-    wf = Window.partitionBy("topic", "partition", "segment", "file_idx")
-    df = df.withColumn("start_offset", F.min("offset").over(wf))
+    if with_start_offset:
+        wf = Window.partitionBy("topic", "partition", "segment", "file_idx")
+        df = df.withColumn("start_offset", F.min("offset").over(wf))
     return df.drop("_tbucket", "_boundary")
 
 
@@ -78,9 +83,11 @@ def committed_files(records: DataFrame, encoded: Column, flush_size: int,
     files the reference would upload for this record set, with their exact
     deterministic names (README.md:119-125 exactly-once-by-determinism).
     """
-    tagged = assign_files(records, encoded, flush_size, rotate_interval_ms)
+    tagged = assign_files(records, encoded, flush_size, rotate_interval_ms,
+                          with_start_offset=False)
     files = tagged.groupBy("topic", "partition", "encoded_partition",
-                           "segment", "file_idx", "start_offset").agg(
+                           "segment", "file_idx").agg(
+        F.min("offset").alias("start_offset"),
         F.count(F.lit(1)).alias("record_count"),
         F.max("offset").alias("end_offset"),
     )
