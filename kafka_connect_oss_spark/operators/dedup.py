@@ -104,6 +104,11 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     """
     sig = with_minhash_signature(docs, text_col, ngram).select(
         id_col, "sh", *[f"m{i}" for i in range(N_MINHASH)]).cache()
+    # eager materialization: four plan branches (two band sides, two verify
+    # sides) read sig; if the first action schedules them concurrently they
+    # race past the unpopulated cache and EACH recomputes the md5 signature
+    # (measured 4x swings on the bench). One count() = one compute.
+    sig.count()
     bands = minhash_band_keys(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, ["band", "band_key"])
