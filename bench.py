@@ -93,6 +93,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # the reference's core function: stream -> rotated, offset-named files.
+    # availableNow file-stream -> foreachBatch two-phase commit to parquet,
+    # flush.size=10000 (reference quick-start, README.md:169).
+    import shutil
+    import tempfile
+
+    from kafka_connect_oss_spark.config import PipelineConfig
+    from kafka_connect_oss_spark.sources.files import events_file_stream
+    from kafka_connect_oss_spark.streaming.pipeline import IngestPipeline
+
+    best = float("inf")
+    for _ in range(reps):
+        workdir = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            cfg = PipelineConfig(url=f"{workdir}/out", format="parquet",
+                                 flush_size=10_000,
+                                 checkpoint_location=f"{workdir}/ckpt")
+            t0 = time.perf_counter()
+            q = IngestPipeline(cfg).start(events_file_stream(spark, SF_DIR),
+                                          available_now=True)
+            q.awaitTermination(300)
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+    timings["streaming_ingest_parquet"] = round(best, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline suite wall seconds (ingest plan + analytics + "
