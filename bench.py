@@ -36,6 +36,7 @@ HEADLINE = [
     "q5_nation_revenue",
     "events_hourly_rollup",
     "events_top_users_per_type",
+    "sessions_per_user",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",

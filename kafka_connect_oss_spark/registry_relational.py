@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from kafka_connect_oss_spark.registry import register
 from kafka_connect_oss_spark.sources.batch import load_table
 
+SESSION_GAP_MS = 30 * 60 * 1000
+
 # exact integer cents from a 2-decimal double (dialect-neutral SQL)
 def _cents(col: str) -> str:
     return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
@@ -190,3 +192,49 @@ def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "user_id",
                     (F.col("cents").cast("double") / 100.0).alias("total_value"),
                     F.col("n").alias("n_events"), "rnk"))
+
+
+@register(
+    "sessions_per_user",
+    f"""WITH seq AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    brk AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_MS * 1000}
+                  THEN 1 ELSE 0 END AS is_break
+      FROM seq),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM brk)
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, session_id""",
+)
+def sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (gap = 30 min): the
+    window-function equivalent of streaming/analytics.sessionize
+    (applyInPandasWithState), which test_streaming_analytics golden-checks
+    against this exact shape. One shuffle on user_id; both window specs
+    share the (user_id, ts) sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (ev.withColumn("prev", F.lag("ts").over(w))
+           .withColumn("is_break", (
+               F.col("prev").isNull()
+               | (F.unix_micros("ts") - F.unix_micros("prev")
+                  > SESSION_GAP_MS * 1000)).cast("int")))
+    sid = brk.withColumn("session_id", F.sum("is_break").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return (sid.groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("session_start_us"),
+                 F.unix_micros(F.max("ts")).alias("session_end_us"),
+                 F.count(F.lit(1)).alias("n_events")))
