@@ -113,6 +113,28 @@ def minhash_signature(hashes_expr: str, dialect: str) -> list[str]:
     return out
 
 
+def minhash_signature_array(hashes_expr: str) -> str:
+    """Array of shingle hashes -> ARRAY<BIGINT> of all 8 minhash components
+    in ONE expression (Spark dialect; the oracle keeps per-component SQL).
+
+    A single fold carrying an 8-slot accumulator: the hash array — and
+    everything under it, the md5-shingle chain once projection collapse
+    inlines it — is evaluated ONCE per row. Emitting m0..m7 as 8 separate
+    expressions re-evaluated the whole chain 8-9x during the LSH signature
+    materialization (measured 44s -> ~8s at 50k docs). Values are identical
+    to minhash_signature's, component by component.
+    """
+    p = MERSENNE31
+    a_arr = "array(" + ", ".join(str(a) + "L" for a, _ in MINHASH_COEFFS) + ")"
+    b_arr = "array(" + ", ".join(str(b) + "L" for _, b in MINHASH_COEFFS) + ")"
+    n = len(MINHASH_COEFFS)
+    init = f"array_repeat(CAST({p} AS BIGINT), {n})"
+    step = (f"(acc, h) -> zip_with(acc, sequence(0, {n - 1}), (cur, i) -> "
+            f"least(cur, (element_at({a_arr}, CAST(i + 1 AS INT)) * (h % {p}) "
+            f"+ element_at({b_arr}, CAST(i + 1 AS INT))) % {p}))")
+    return f"aggregate({hashes_expr}, {init}, {step})"
+
+
 def simhash(hashes_expr: str, dialect: str, bits: int = 16) -> str:
     """Array of shingle hashes -> `bits`-bit SimHash.
 

@@ -80,13 +80,16 @@ def with_minhash_signature(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_band_keys(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Signature -> (id, band, band_key) rows, BANDS per doc.
+    """msig array -> (id, band, band_key) rows, BANDS per doc.
 
     band_key packs the band's two minhash components into one BIGINT
-    (each < 2^31, so key = m_lo * 2^31 + m_hi is collision-free).
+    (each < 2^31, so key = m_lo * 2^31 + m_hi is collision-free). Expects
+    the single-expression `msig` column (cached upstream, so the
+    element_at accesses read a materialized array).
     """
     pairs = ", ".join(
-        f"{b}, CAST(m{2 * b} AS BIGINT) * 2147483648 + m{2 * b + 1}"
+        f"{b}, element_at(msig, {2 * b + 1}) * 2147483648 "
+        f"+ element_at(msig, {2 * b + 2})"
         for b in range(N_BANDS))
     return df.selectExpr(
         id_col, f"stack({N_BANDS}, {pairs}) AS (band, band_key)")
@@ -99,11 +102,18 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
     signature (narrow) -> band explode -> self-equi-join on (band,
     band_key) -> distinct candidate pairs -> exact jaccard on the two
-    shingle sets -> threshold. Returns (id_a, id_b, jaccard) with
+    shingle-hash sets -> threshold. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard rounded to 4 (exact rational both engines).
+
+    Scale posture: the cached signature is (id, hh, msig) — shingle hashes
+    as BIGINTs (strings never leave the signature stage) and the 8-slot
+    signature from ONE fold (minhash_signature_array); verification
+    shuffles long arrays, ~3x lighter than the raw shingles.
     """
-    sig = with_minhash_signature(docs, text_col, ngram).select(
-        id_col, "sh", *[f"m{i}" for i in range(N_MINHASH)]).cache()
+    sig = (with_shingle_hashes(docs, text_col, ngram)
+           .select(id_col, "hh",
+                   F.expr(H.minhash_signature_array("hh")).alias("msig"))
+           .cache())
     # eager materialization: four plan branches (two band sides, two verify
     # sides) read sig; if the first action schedules them concurrently they
     # race past the unpopulated cache and EACH recomputes the md5 signature
@@ -116,13 +126,13 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("hh").alias("h_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("hh").alias("h_b"))
     verified = (cand.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("inter", F.expr("size(array_intersect(sh_a, sh_b))"))
+                .withColumn("inter", F.expr("size(array_intersect(h_a, h_b))"))
                 .withColumn("jaccard", R.fround(
                     F.col("inter") /
-                    (F.expr("size(sh_a)") + F.expr("size(sh_b)") - F.col("inter")), 4)))
+                    (F.expr("size(h_a)") + F.expr("size(h_b)") - F.col("inter")), 4)))
     return (verified.where(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard"))
 

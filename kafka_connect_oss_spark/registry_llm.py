@@ -134,11 +134,11 @@ def _lsh_oracle() -> str:
                ON a.band = b.band AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id),
     ver AS (SELECT id_a, id_b,
-                   len(list_intersect(sa.sh, sb.sh)) AS inter,
-                   len(sa.sh) AS la, len(sb.sh) AS lb
+                   len(list_intersect(sa.hh, sb.hh)) AS inter,
+                   len(sa.hh) AS la, len(sb.hh) AS lb
             FROM cand
-            JOIN sig sa ON sa.doc_id = cand.id_a
-            JOIN sig sb ON sb.doc_id = cand.id_b)
+            JOIN hsh sa ON sa.doc_id = cand.id_a
+            JOIN hsh sb ON sb.doc_id = cand.id_b)
     SELECT id_a, id_b,
            {round_sql('inter / CAST(la + lb - inter AS DOUBLE)', 4)} AS jaccard
     FROM ver
