@@ -347,6 +347,28 @@ def e3_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e3_json_envelope_decode",
+    """SELECT event_id,
+              CAST(json_extract_string(
+                   '{"schema":{"type":"struct"},"payload":' || props || '}',
+                   '$.payload.k') AS INT) AS k
+       FROM events""",
+)
+def e3_json_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Connect {"schema":...,"payload":...} envelope path
+    # (TestDataWriterJson.java:187-211): wrap props into an envelope, then
+    # decode through the envelope-aware branch
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit('{"schema":{"type":"struct"},"payload":'),
+                 F.col("props"), F.lit("}")).alias("value"))
+    decoded = projection.decode_json_value(
+        ev, "value",
+        T.StructType([T.StructField("k", T.IntegerType())]), envelope=True)
+    return decoded.select("event_id", "k")
+
+
+@register(
     "e6_json_encode",
     """SELECT event_id,
               to_json(struct_pack(event_id := event_id,

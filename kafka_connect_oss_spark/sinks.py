@@ -173,7 +173,12 @@ def read_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
     if cfg.format == "json":
         return spark.read.json(glob)
     if cfg.format == "bytearray":
-        return spark.read.text(glob)
+        # custom line separators must round-trip (F5 cfg:
+        # format.bytearray.separator, ByteArrayRecordWriterProvider.java:44-92)
+        reader = spark.read
+        if cfg.byte_line_separator != "\n":
+            reader = reader.option("lineSep", cfg.byte_line_separator)
+        return reader.text(glob)
     if cfg.format == "avro":
         return spark.read.format("avro").load(glob)
     from kafka_connect_oss_spark import plugins

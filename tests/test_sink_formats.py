@@ -59,6 +59,21 @@ def test_bytearray_lines(spark, tmp_path):
     assert back.count() == df.count()
 
 
+def test_bytearray_custom_separator_and_extension(spark, tmp_path):
+    # F5 config surface: format.bytearray.separator + .extension
+    # (TestDataWriterByteArray.java:117-138)
+    cfg = PipelineConfig(url=str(tmp_path), format="bytearray", flush_size=50,
+                         byte_line_separator="#", byte_extension=".dat")
+    df = (sink_records_small(spark)
+          .withColumn("value", F.concat_ws("|", "event_type", "key")))
+    keys = commit_batch(df, _default_enc(), cfg)
+    assert keys and all(k.endswith(".dat") for k in keys)
+    back = read_committed(spark, str(tmp_path), cfg)
+    assert back.count() == df.count()
+    assert sorted(r.value for r in back.collect()) == \
+        sorted(r.value for r in df.select("value").collect())
+
+
 def sink_records_small(spark):
     rows = [("events", i % 2, i // 2, f"k{i}", f"t{i % 3}") for i in range(100)]
     return spark.createDataFrame(
