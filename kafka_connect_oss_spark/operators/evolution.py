@@ -119,3 +119,53 @@ class SchemaTracker:
     def projection_target(self, partition_key: str) -> T.StructType | None:
         st = self._state.get(partition_key)
         return st.current if st else None
+
+
+def process_mixed_schema_batch(batch, schema_registry: dict[int, T.StructType],
+                               tracker: SchemaTracker, write_fn,
+                               value_col: str = "value",
+                               schema_id_col: str = "schema_id",
+                               partition_key: str = "_stream") -> list:
+    """Mixed-schema micro-batch: split by schema id, decode each group with
+    its schema, let the tracker rotate/adopt, project onto the tracked
+    target, write groups sequentially in version order.
+
+    This is the Spark answer to the reference's per-record schema checks on
+    an alternating-schema stream (createRecordsWithAlteringSchemas,
+    TestDataWriterAvro.java:411-437): records carry a schema id (the Schema
+    Registry wire-format model), and a DataFrame being single-schema forces
+    group-at-a-time processing. Documented deviation (SURVEY.md §7.4 #2):
+    under NONE with schemas alternating record-by-record the reference cuts
+    a file at every flip; grouping cuts one file set per (schema, batch) —
+    same records, same projection semantics, coarser file boundaries.
+
+    `write_fn(decoded_df) -> list` performs the actual commit (e.g.
+    sinks.commit_batch curried with config); returns the concatenated
+    write_fn results in processing order. Only the tiny distinct-id set is
+    collected to the driver; row data never leaves executors.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.operators.projection import project_to_schema
+
+    ids = sorted(r[0] for r in
+                 batch.select(schema_id_col).distinct().collect())
+    committed: list = []
+    for sid in ids:
+        schema = schema_registry[sid]
+        tracker.observe(partition_key, schema)
+        target = tracker.projection_target(partition_key) or schema
+        sub = batch.where(F.col(schema_id_col) == sid)
+        # envelope columns are dropped in the same select that expands the
+        # decoded struct — payload fields may legally shadow their names
+        carried = [c for c in sub.columns
+                   if c not in (value_col, schema_id_col)]
+        decoded = (sub
+                   .withColumn("_decoded",
+                               F.from_json(F.col(value_col), schema))
+                   .select(*carried, "_decoded.*"))
+        full_target = T.StructType(
+            [f for f in decoded.schema.fields if f.name in carried]
+            + list(target.fields))
+        committed.extend(write_fn(project_to_schema(decoded, full_target)))
+    return committed

@@ -169,7 +169,9 @@ def read_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
     glob = posixpath.join(out_url.rstrip("/"), cfg.topics_dir, topic,
                           "*", f"*{cfg.extension()}")
     if cfg.format in ("parquet", "parquet-json"):
-        return spark.read.parquet(glob)
+        # schema-evolved partitions legitimately hold files with differing
+        # (compatible) schemas — mergeSchema is the Spark read-side of E1/E2
+        return spark.read.option("mergeSchema", "true").parquet(glob)
     if cfg.format == "json":
         return spark.read.json(glob)
     if cfg.format == "bytearray":
