@@ -41,9 +41,12 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_embedding_cosine_pairs",
+    "dedup_cleaned_corpus",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
+    "sim_knn_join",
+    "text_ngram_topk",
     "text_stats",
     "text_fingerprints",
     "multimodal_catalog",

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_oss_spark.functions import hashing as H
-from kafka_connect_oss_spark.functions.rounding import round_sql
+from kafka_connect_oss_spark.functions.rounding import fround, round_sql
 from kafka_connect_oss_spark.functions import text as X
 from kafka_connect_oss_spark.functions import vectors as V
 from kafka_connect_oss_spark.operators import dedup, similarity
@@ -276,3 +276,120 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.query_vector(spark, emb, 0)
     return similarity.ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# corpus statistics + dedup application + multi-query kNN
+# --------------------------------------------------------------------------
+
+_SSH3 = ("array_distinct(" + H.word_shingles(
+    X.sql_tokens("text", "spark"), 3, "spark") + ")")
+
+
+@register(
+    "text_ngram_topk",
+    f"""WITH sh AS (SELECT doc_id, unnest({_DSH3}) AS shingle FROM documents)
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle LIMIT 20""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top trigram shingles by document
+    frequency — explode is per-row, the shuffle carries (shingle, partial
+    count) pairs only (map-side combine), top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.expr(_SSH3)).alias("shingle"))
+            .groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.col("doc_freq").desc(), "shingle").limit(20))
+
+
+def _cleaned_corpus_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 + m{2*b+1} "
+        f"AS band_key FROM sig" for b in range(dedup.N_BANDS))
+    jac = round_sql("inter / CAST(la + lb - inter AS DOUBLE)", 4)
+    return f"""WITH {_sig_cte()},
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    ver AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.hh, sb.hh)) AS inter,
+                   len(sa.hh) AS la, len(sb.hh) AS lb
+            FROM cand
+            JOIN hsh sa ON sa.doc_id = cand.id_a
+            JOIN hsh sb ON sb.doc_id = cand.id_b),
+    near_drops AS (SELECT DISTINCT id_b AS doc_id FROM ver
+                   WHERE {jac} >= {JACCARD_DEMO}),
+    exact_drops AS (SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents) WHERE doc_id <> keep),
+    drops AS (SELECT doc_id FROM near_drops
+              UNION SELECT doc_id FROM exact_drops)
+    SELECT d.lang, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS n_kept
+    FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+    GROUP BY d.lang"""
+
+
+@register("dedup_cleaned_corpus", _cleaned_corpus_oracle())
+def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the dedup verdicts: drop exact dups (keep min id per content
+    hash) and near-dups (keep the smaller id of each verified pair), report
+    per-language survival. The drop list is tiny relative to the corpus, so
+    the anti-join broadcasts at any scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    near_drops = (dedup.lsh_candidate_pairs(docs, jaccard_threshold=JACCARD_DEMO)
+                  .select(F.col("id_b").alias("doc_id")).distinct())
+    w = Window.partitionBy(F.md5("text"))
+    exact_drops = (docs
+                   .withColumn("keep", F.min("doc_id").over(w))
+                   .where(F.col("doc_id") != F.col("keep"))
+                   .select("doc_id"))
+    drops = near_drops.union(exact_drops).distinct()
+    return (docs.join(F.broadcast(drops.withColumn("_drop", F.lit(1))),
+                      "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_kept")))
+
+
+def _knn_join_oracle(n_queries: int = 4, k: int = 5) -> str:
+    return f"""WITH {_NORM_E},
+    q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {round_sql('list_dot_product(e.nv, q.qv)', 6)} AS cosine
+      FROM n e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+@register("sim_knn_join", _knn_join_oracle())
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query kNN join: Q query vectors broadcast against the corpus,
+    one narrow scoring pass, per-query top-k via window rank over the
+    (corpus x Q) scored relation — the batch retrieval shape for building
+    eval sets. At scale, Q rows broadcast; the corpus never shuffles until
+    the rank, which AQE keeps partitioned by query_id."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = similarity.with_normalized(emb).select("vec_id", "nv")
+    q = (n.where(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")))
+    scored = (n.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5))
