@@ -238,3 +238,51 @@ def sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.unix_micros(F.min("ts")).alias("session_start_us"),
                  F.unix_micros(F.max("ts")).alias("session_end_us"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "events_user_running_value",
+    f"""SELECT event_id, user_id,
+           CAST(SUM({_cents('value')}) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+           AS running_value
+    FROM events""",
+)
+def events_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregation window (frame = unbounded preceding): one
+    shuffle on user_id, one sort per partition; integer-cents accumulator
+    keeps the running sum order-insensitive-exact on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(F.expr(_cents("value"))).over(w).cast("double") / 100.0)
+        .alias("running_value"))
+
+
+@register(
+    "events_day_over_day_retention",
+    """WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+                   FROM events)
+    SELECT a.day, COUNT(*) AS retained
+    FROM du a JOIN du b
+      ON b.user_id = a.user_id
+     AND b.day = strftime(CAST(a.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+    GROUP BY a.day""",
+)
+def events_day_over_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection per day pair (users active on d AND d+1): distinct
+    projection first so the self-join runs on the small (day, user) set."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                   "user_id").distinct()
+    a = du.withColumn(
+        "day1", F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd"))
+    b = du.select(F.col("day").alias("bday"), F.col("user_id").alias("uid"))
+    return (a.join(b, (a.user_id == b.uid) & (a.day1 == b.bday))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("retained")))
