@@ -297,7 +297,9 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top trigram shingles by document
     frequency — explode is per-row, the shuffle carries (shingle, partial
     count) pairs only (map-side combine), top-k is TakeOrderedAndProject."""
-    docs = load_table(spark, sf_dir, "documents")
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    docs = _fan_out(load_table(spark, sf_dir, "documents"))
     return (docs.select(F.explode(F.expr(_SSH3)).alias("shingle"))
             .groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
             .orderBy(F.col("doc_freq").desc(), "shingle").limit(20))
