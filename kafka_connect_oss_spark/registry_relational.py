@@ -286,3 +286,49 @@ def events_day_over_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame
     return (a.join(b, (a.user_id == b.uid) & (a.day1 == b.bday))
             .groupBy("day")
             .agg(F.count(F.lit(1)).alias("retained")))
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_daily_pivot",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' "
+               f"THEN {_cents('value')} ELSE 0 END) AS DOUBLE) / 100.0 "
+               f"AS {t}_value" for t in EVENT_TYPES)}
+    FROM events GROUP BY 1""",
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT family: day x event_type crosstab. The explicit value list
+    keeps the schema static (one aggregation pass, no extra distinct scan
+    Spark's dynamic pivot would need)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+           .pivot("event_type", list(EVENT_TYPES))
+           .agg(F.sum(F.expr(_cents("value")))))
+    return piv.select(
+        "day", *[(F.coalesce(F.col(t), F.lit(0)).cast("double") / 100.0)
+                 .alias(f"{t}_value") for t in EVENT_TYPES])
+
+
+@register(
+    "events_value_percentiles",
+    f"""SELECT event_type,
+           {", ".join(
+               f"ROUND(quantile_cont({_cents('value')}, {q}) / 100.0, 4) "
+               f"AS p{int(q * 100)}" for q in (0.5, 0.9, 0.99))}
+    FROM events GROUP BY event_type""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark
+    `percentile` and DuckDB `quantile_cont` share the definition; computed
+    over integer cents so interpolation arithmetic is exact). At 100 TB
+    swap for approx_percentile (t-digest) — same plan shape, bounded
+    memory; exact form kept for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr(_cents("value"))
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile(cents, F.lit(q)) / 100.0, 4)
+                   .alias(f"p{int(q * 100)}") for q in (0.5, 0.9, 0.99)]))
