@@ -162,6 +162,53 @@ def _promote_staged(spark: SparkSession, staging: str, out: str) -> list[str]:
     return sorted(committed)
 
 
+def compact_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
+                      topic: str = "events",
+                      target_records_per_file: int = 1_000_000) -> list[str]:
+    """Small-file compaction (SURVEY.md §7.4 #5): rewrite each encoded
+    partition's committed objects into files of `target_records_per_file`,
+    preserving offset order and deterministic offset-derived names.
+
+    Low flush.size / frequent rotation at high partition counts produces
+    the classic small-file explosion; a periodic compaction pass is how a
+    100 TB layout stays scannable. The rewrite reuses commit_batch, so
+    compacted files follow the same key scheme (topic+partition+startOffset)
+    and the pass is idempotent — rerunning it is a no-op rename over
+    identical bytes. Readers see partition dirs atomically per-file; run it
+    when the partition is no longer being appended (past partitions under
+    time-based layouts).
+
+    Returns the new object keys. Requires the envelope columns
+    (topic/partition/offset[/ts]) in the stored payload.
+    """
+    from dataclasses import replace
+
+    existing = read_committed(spark, out_url, cfg, topic)
+    big_cfg = replace(cfg, flush_size=target_records_per_file)
+    # rewrite under the same url: deterministic keys mean overlapping names
+    # are overwritten in place (S5), then stale small files are removed
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(posixpath.join(out_url.rstrip("/"), cfg.topics_dir, topic))
+    fs = root.getFileSystem(conf)
+    old_files: set[str] = set()
+    if fs.exists(root):
+        it = fs.listFiles(root, True)  # Hadoop RemoteIterator
+        while it.hasNext():
+            old_files.add(str(it.next().getPath().toUri().getPath()))
+
+    from kafka_connect_oss_spark.streaming.pipeline import (
+        encoded_partition_column)
+    keys = commit_batch(existing, encoded_partition_column(big_cfg), big_cfg,
+                        out_url)
+    new_suffixes = tuple("/" + k for k in keys)
+    for f in sorted(old_files):
+        if not f.endswith(new_suffixes):
+            fs.delete(Path(f), False)
+    return keys
+
+
 def read_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
                    topic: str = "events") -> DataFrame:
     """Independent read-back of committed objects (golden-check reader,

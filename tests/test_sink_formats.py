@@ -105,3 +105,26 @@ def test_hourly_partitioner_layout(spark, records, tmp_path):
     assert all(len(d) == 13 and d.startswith("2024-") for d in dirs)
     # no straggler staging dirs
     assert not glob.glob(str(tmp_path / "_staging*"))
+
+
+def test_compaction_merges_small_files(spark, records, tmp_path):
+    # SURVEY §7.4 #5: low flush.size explodes file counts; compaction
+    # rewrites to target size with the same deterministic key scheme
+    from kafka_connect_oss_spark.sinks import compact_committed
+
+    cfg = PipelineConfig(url=str(tmp_path), format="parquet", flush_size=50)
+    small_keys = commit_batch(records, _default_enc(), cfg)
+    assert len(small_keys) >= 16  # many small files
+
+    new_keys = compact_committed(spark, str(tmp_path), cfg,
+                                 target_records_per_file=10_000)
+    assert len(new_keys) < len(small_keys)
+    back = read_committed(spark, str(tmp_path), cfg)
+    assert back.count() == records.count()
+    # same rows, same envelope content
+    assert back.agg(F.sum("offset")).first()[0] == \
+        records.agg(F.sum("offset")).first()[0]
+    # idempotent: rerun produces identical keys and file set
+    again = compact_committed(spark, str(tmp_path), cfg,
+                              target_records_per_file=10_000)
+    assert again == new_keys

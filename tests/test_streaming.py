@@ -72,3 +72,39 @@ def test_streaming_matches_batch_output(spark, stream, sf_dir, tmp_path):
     # availableNow may split the input into several micro-batches, so file
     # *sets* can differ at batch boundaries; with one source file they match
     assert sorted(set(pipe.committed)) == batch_keys
+
+
+def test_transient_failure_recovers_exactly_once(spark, sf_dir, tmp_path):
+    # C4: a failure AFTER some files uploaded but BEFORE the epoch commits
+    # must replay the whole batch on restart, overwriting identical keys
+    # (README.md:119-125 determinism; TopicPartitionWriter.java:157-175)
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="json",
+                         flush_size=500,
+                         checkpoint_location=str(tmp_path / "ckpt"))
+
+    class FlakyPipeline(IngestPipeline):
+        failed = False
+
+        def process_batch(self, batch, epoch_id):
+            super().process_batch(batch, epoch_id)  # files ARE uploaded
+            if not FlakyPipeline.failed:
+                FlakyPipeline.failed = True
+                raise RuntimeError("injected transient sink failure")
+
+    flaky = FlakyPipeline(cfg)
+    q = flaky.start(events_file_stream(spark, sf_dir), available_now=True)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    first_keys = sorted(set(flaky.committed))
+    assert first_keys  # the failing attempt did write objects
+
+    # restart against the same checkpoint: the batch replays and the
+    # deterministic keys overwrite byte-identically
+    pipe2 = IngestPipeline(cfg)
+    q2 = pipe2.start(events_file_stream(spark, sf_dir), available_now=True)
+    q2.awaitTermination(120)
+    assert sorted(set(pipe2.committed)) == first_keys  # same keys replayed
+
+    back = read_committed(spark, cfg.url, cfg)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_events  # no dupes, no loss
