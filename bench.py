@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine_pairs",
     "dedup_cleaned_corpus",
+    "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",

@@ -174,6 +174,50 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                     F.col(f"b.{id_col}").alias("id_b"), "jaccard"))
 
 
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    labeled with its cluster representative (min id reachable through
+    pairs). Transitive closure — A~B, B~C puts A,B,C in one cluster even
+    if A,C never paired.
+
+    Iterative min-label propagation (the GraphFrames/Pregel CC shape):
+    label(v) <- min(label(v), min over neighbors u of label(u)), repeated
+    until fixpoint; converges in O(component diameter) rounds. Per round:
+    one shuffle join on ids + one aggregation — near-dup components are
+    tiny (diameter 2-3), so 2-4 rounds in practice. The driver loop only
+    reads ONE aggregate (changed-count) per round; labels stay distributed.
+
+    Returns (doc_id, cluster_id, is_representative).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    labels = docs.select(F.col(id_col).alias("node"),
+                         F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        updated = (labels.join(neighbor_min,
+                               labels.node == neighbor_min.src, "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nmin"), F.col("label")))
+                           .alias("label")).cache())
+        updated.count()  # materialize before comparing (and cut lineage)
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+                   .where(F.col("u.label") != F.col("l.label")).count())
+        labels.unpersist()  # no-op on the uncached initial frame
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_representative"))
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        block_col: str = "label") -> DataFrame:

@@ -395,3 +395,42 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5))
+
+
+def _clusters_oracle() -> str:
+    jac = round_sql("inter / CAST(la + lb - inter AS DOUBLE)", 4)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 + m{2*b+1} "
+        f"AS band_key FROM sig" for b in range(dedup.N_BANDS))
+    return f"""WITH RECURSIVE {_sig_cte()},
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    ver AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.hh, sb.hh)) AS inter,
+                   len(sa.hh) AS la, len(sb.hh) AS lb
+            FROM cand
+            JOIN hsh sa ON sa.doc_id = cand.id_a
+            JOIN hsh sb ON sb.doc_id = cand.id_b),
+    pairs AS (SELECT id_a, id_b FROM ver WHERE {jac} >= {JACCARD_DEMO}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk (node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node)
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_representative
+    FROM walk GROUP BY node"""
+
+
+@register("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clustering: connected components over the
+    verified LSH pair graph (operators/dedup.dedup_clusters — iterative
+    min-label propagation, the Pregel CC shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, jaccard_threshold=JACCARD_DEMO)
+    return dedup.dedup_clusters(docs, pairs)
