@@ -128,3 +128,43 @@ def test_compaction_merges_small_files(spark, records, tmp_path):
     again = compact_committed(spark, str(tmp_path), cfg,
                               target_records_per_file=10_000)
     assert again == new_keys
+
+
+def test_parquet_json_path_e4(spark, tmp_path):
+    # E4: JSON payloads + registry StructType -> typed parquet (the
+    # protobuf-class registry analog, ParquetJsonRecordWriterProvider.java)
+    from pyspark.sql import types as T
+
+    from kafka_connect_oss_spark.operators.projection import decode_json_value
+
+    cfg = PipelineConfig(url=str(tmp_path), format="parquet-json",
+                         flush_size=100)
+    raw = sink_records_small(spark).withColumn(
+        "value", F.concat(F.lit('{"k":'), (F.col("offset") % 7).cast("string"),
+                          F.lit(',"tag":"x"}')))
+    schema = T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("tag", T.StringType())])
+    decoded = decode_json_value(raw, "value", schema).drop("value")
+    keys = commit_batch(decoded, _default_enc(), cfg)
+    assert keys and all(k.endswith(".parquet") for k in keys)
+    back = read_committed(spark, str(tmp_path), cfg)
+    assert back.count() == raw.count()
+    assert dict(back.dtypes)["k"] == "int"          # typed, not string
+    assert back.agg(F.sum("k")).first()[0] == \
+        decoded.agg(F.sum("k")).first()[0]
+
+
+def test_multi_topic_directory_layout(spark, tmp_path):
+    # P1/P6: records from several topics land under their own
+    # <topics.dir>/<topic>/ prefix with independent offset sequences
+    cfg = PipelineConfig(url=str(tmp_path), format="json", flush_size=30)
+    a = sink_records_small(spark)
+    b = sink_records_small(spark).withColumn("topic", F.lit("audit"))
+    keys = commit_batch(a.unionByName(b), _default_enc(), cfg)
+    topics = {k.split("/")[1] for k in keys}
+    assert topics == {"events", "audit"}
+    for t in topics:
+        tkeys = [k for k in keys if k.split("/")[1] == t]
+        assert all(k.split("/")[-1].startswith(t + "+") for k in tkeys)
+    back = read_committed(spark, str(tmp_path), cfg, topic="audit")
+    assert back.count() == 100
