@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_ann_ivf_topk",
     "sim_knn_join",
     "text_ngram_topk",
+    "sketch_distinct_users_kmv",
     "text_stats",
     "text_fingerprints",
     "multimodal_catalog",

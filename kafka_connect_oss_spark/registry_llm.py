@@ -434,3 +434,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, jaccard_threshold=JACCARD_DEMO)
     return dedup.dedup_clusters(docs, pairs)
+
+
+# --------------------------------------------------------------------------
+# sketches: KMV distinct-count estimator
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+_HASH_SPACE = float(1 << 60)  # base_hash range (60-bit md5 fold)
+
+
+def _kmv_oracle() -> str:
+    h = H.base_hash("CAST(user_id AS VARCHAR)", "duckdb")
+    return f"""WITH hashed AS (
+      SELECT event_type, {h} AS hv
+      FROM events GROUP BY event_type, user_id),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed)
+    SELECT event_type, n_exact AS exact_distinct,
+           CASE WHEN n_exact <= {KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE ROUND(({KMV_K} - 1) * {_HASH_SPACE} / MAX(hv), 4)
+           END AS kmv_estimate
+    FROM ranked WHERE rnk <= {KMV_K}
+    GROUP BY event_type, n_exact"""
+
+
+@register("sketch_distinct_users_kmv", _kmv_oracle())
+def sketch_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group: keep the K
+    smallest 60-bit hashes of the key; estimate = (K-1) * space / kth_min.
+
+    The portable-sketch answer to approx_count_distinct: HLL registers are
+    engine-specific (Spark and DuckDB estimates differ), while KMV over the
+    shared md5 base hash is bit-deterministic on both engines — so the
+    sketch itself is oracle-verified, not just its error bound. At scale
+    the K smallest hashes per group are a mergeable partial aggregate
+    (same shuffle shape as approx_count_distinct); exact_distinct is
+    emitted alongside to exhibit the estimator's error on real data.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (ev.groupBy("event_type", "user_id")
+              .agg(F.expr(H.base_hash("CAST(user_id AS STRING)", "spark"))
+                   .alias("hv")))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    ranked = (hashed
+              .withColumn("rnk", F.row_number().over(w))
+              .withColumn("n_exact", F.count(F.lit(1)).over(wc))
+              .where(F.col("rnk") <= KMV_K))
+    return (ranked.groupBy("event_type", F.col("n_exact").alias("exact_distinct"))
+            .agg(F.when(F.col("exact_distinct") <= KMV_K,
+                        F.col("exact_distinct").cast("double"))
+                 .otherwise(F.round((KMV_K - 1) * F.lit(_HASH_SPACE)
+                                    / F.max("hv"), 4))
+                 .alias("kmv_estimate"))
+            .select("event_type", "exact_distinct", "kmv_estimate"))
