@@ -150,6 +150,42 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
                      F.expr(H.simhash("hh", "spark", bits)).alias("simhash"))
 
 
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ngram: int = 1,
+                       bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the `bits` fingerprint into (max_hamming+1)
+    chunks — two fingerprints within hamming d must agree EXACTLY on at
+    least one chunk — so candidates come from an equi-join on (chunk_idx,
+    chunk_value), never an all-pairs scan; exact popcount verifies.
+    Same sub-quadratic shape as MinHash-LSH: O(N) blocking + O(candidates).
+    """
+    n_chunks = max_hamming + 1
+    bounds = [(i * bits) // n_chunks for i in range(n_chunks)] + [bits]
+    fp = simhash_fingerprints(docs, text_col, id_col, ngram, bits)
+
+    chunk_rows = ", ".join(
+        f"{i}, (simhash div {1 << bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])}"
+        for i in range(n_chunks))
+    chunks = fp.selectExpr(
+        id_col, "simhash",
+        f"stack({n_chunks}, {chunk_rows}) AS (chunk_idx, chunk_val)")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, ["chunk_idx", "chunk_val"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         text_col: str = "text", id_col: str = "doc_id",
                         ngram: int = 3, threshold: float = 0.5) -> DataFrame:

@@ -87,6 +87,30 @@ def ann_lsh_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ann_lsh_multiprobe_topk(embeddings: DataFrame, query: DataFrame,
+                            k: int = 10, n_planes: int = 4,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Multi-probe LSH: search the query's bucket plus every bucket at
+    hamming distance 1 (one plane flipped) — recall of ~(n_planes+1)x the
+    single-probe candidate pool for the same index, no rebuild. The probe
+    list stays tiny (n_planes+1 rows) and broadcasts; plan shape is
+    identical to single-probe with an IN-list bucket join."""
+    bucketed = with_lsh_bucket(with_normalized(embeddings, vec_col), n_planes)
+    qb = (with_lsh_bucket(query.withColumnRenamed("qv", "nv"), n_planes)
+          .select(F.col("nv").alias("qv"), F.col("bucket").alias("qbucket")))
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(n_planes)]])
+    probes = (qb.withColumn("m", F.explode(masks))
+              .select("qv", F.expr("cast(qbucket ^ m as bigint)")
+                      .alias("pbucket")))
+    scored = (bucketed.join(F.broadcast(probes),
+                            F.col("bucket") == F.col("pbucket"))
+              .select(id_col, "bucket",
+                      R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                      .alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:

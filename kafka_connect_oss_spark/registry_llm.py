@@ -494,3 +494,57 @@ def sketch_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / F.max("hv"), 4))
                  .alias("kmv_estimate"))
             .select("event_type", "exact_distinct", "kmv_estimate"))
+
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:
+    n_chunks = max_hamming + 1
+    bounds = [(i * bits) // n_chunks for i in range(n_chunks)] + [bits]
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk_idx, "
+        f"(simhash // {1 << bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])} "
+        f"AS chunk_val FROM fp" for i in range(n_chunks))
+    return f"""WITH tok AS (SELECT doc_id, {_DTOK} AS t FROM documents),
+    hsh AS (SELECT doc_id, {H.shingle_hashes('t', 'duckdb')} AS hh FROM tok),
+    fp AS (SELECT doc_id, {H.simhash('hh', 'duckdb', bits)} AS simhash
+           FROM hsh),
+    chunks AS ({chunk_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+             FROM chunks a JOIN chunks b
+               ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+              AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_oracle(bits=32))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-near pairs via pigeonhole chunk blocking
+    (operators/dedup.simhash_near_pairs). 32-bit fingerprints: the
+    synthetic corpus's shared vocabulary makes 16-bit simhash weakly
+    discriminative (9% of all pairs within hamming 2)."""
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"),
+                                    bits=32)
+
+
+def _multiprobe_oracle(n_planes: int = 4) -> str:
+    bucket = V.lsh_bucket_sql("nv", n_planes, "duckdb")
+    qbucket = V.lsh_bucket_sql("qv", n_planes, "duckdb")
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_planes)])
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    eb AS (SELECT vec_id, nv, {bucket} AS bucket FROM n),
+    qb AS (SELECT qv, {qbucket} AS qbucket FROM q),
+    probes AS (SELECT qv, CAST(xor(qbucket, t.m) AS BIGINT) AS pbucket
+               FROM qb, unnest([{masks}]) AS t(m))
+    SELECT e.vec_id, e.bucket, {round_sql('list_dot_product(e.nv, p.qv)', 6)} AS cosine
+    FROM eb e JOIN probes p ON e.bucket = p.pbucket
+    ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+
+@register("sim_ann_lsh_multiprobe_topk", _multiprobe_oracle())
+def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-k: query bucket + hamming-1 ball
+    (operators/similarity.ann_lsh_multiprobe_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.ann_lsh_multiprobe_topk(emb, q, k=10, n_planes=4)
