@@ -332,3 +332,45 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type")
             .agg(*[F.round(F.percentile(cents, F.lit(q)) / 100.0, 4)
                    .alias(f"p{int(q * 100)}") for q in (0.5, 0.9, 0.99)]))
+
+
+@register(
+    "events_rollup_day_type",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+              COUNT(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)""",
+)
+def events_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family: ROLLUP(day, event_type) — subtotal and
+    grand-total rows in one aggregation pass (Spark expands to grouping
+    sets; partial agg still applies per set)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "orders_without_recent_lineitems",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+    GROUP BY o_orderpriority""",
+)
+def orders_without_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join family (NOT EXISTS): orders with no lineitem shipped after
+    the cutoff. The filter pushes into the anti-join's build side; only
+    l_orderkey survives the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    recent = (load_table(spark, sf_dir, "lineitem")
+              .where(F.col("l_shipdate") >
+                     F.lit("1997-01-01 00:00:00").cast("timestamp"))
+              .select("l_orderkey"))
+    return (orders.join(recent, orders.o_orderkey == recent.l_orderkey,
+                        "left_anti")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
