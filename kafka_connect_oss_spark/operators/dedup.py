@@ -229,6 +229,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
+    # the edge list joins into EVERY propagation round — without a
+    # materialized cache the whole upstream pair pipeline (LSH signature,
+    # banding, verification) re-executes per iteration
+    edges = edges.cache()
+    edges.count()
     labels = docs.select(F.col(id_col).alias("node"),
                          F.col(id_col).alias("label"))
     for _ in range(max_iterations):
