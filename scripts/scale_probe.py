@@ -63,6 +63,21 @@ def main() -> None:
     docs = scaled(load_table(spark, SF_DIR, "documents"), ["doc_id"], SCALE)
     emb = scaled(load_table(spark, SF_DIR, "embeddings"), ["vec_id"], SCALE)
 
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators import multimodal, similarity
+
+    def sessions():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        brk = (ev.select("user_id", "ts", "event_id")
+               .withColumn("prev", F.lag("ts").over(w))
+               .withColumn("b", (F.col("prev").isNull() | (
+                   F.unix_micros("ts") - F.unix_micros("prev")
+                   > 1_800_000_000)).cast("int")))
+        sid = brk.withColumn("sid", F.sum("b").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        return sid.groupBy("user_id", "sid").count()
+
     probes = {
         "r1_committed_files": lambda: rotation.committed_files(
             ev, P.default_partition(F.col("partition")), flush_size=100,
@@ -71,9 +86,15 @@ def main() -> None:
             ev, 4 * 3600 * 1000),
         "hourly_rollup": lambda: ev.groupBy(
             F.date_format("ts", "yyyy-MM-dd-HH"), "event_type").count(),
+        "sessionization": sessions,
         "dedup_exact": lambda: dedup.exact_dedup(docs),
         "dedup_minhash_lsh": lambda: dedup.lsh_candidate_pairs(docs),
+        "dedup_simhash_pairs": lambda: dedup.simhash_near_pairs(docs, bits=32),
         "embedding_cosine_pairs": lambda: dedup.embedding_near_dup(emb),
+        "sim_ivf_topk": lambda: similarity.ann_ivf_topk(
+            emb, similarity.query_vector(spark, emb, 0)),
+        "multimodal_catalog": lambda: multimodal.decode_metadata(
+            multimodal.attach_binary(docs)),
     }
     print(f"scale={SCALE} events={ev.count():,} docs={docs.count():,} "
           f"vectors={emb.count():,}")
