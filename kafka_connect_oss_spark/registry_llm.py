@@ -548,3 +548,53 @@ def sim_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.query_vector(spark, emb, 0)
     return similarity.ann_lsh_multiprobe_topk(emb, q, k=10, n_planes=4)
+
+
+def _multi_signal_oracle() -> str:
+    jac = round_sql("inter / CAST(la + lb - inter AS DOUBLE)", 4)
+    nd = "list_dot_product(a.nv, b.nv)"
+    return f"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+    n AS (SELECT vec_id, label, {V.normalized_sql('v', 'duckdb')} AS nv FROM e),
+    cpairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      {round_sql(nd, 4)} AS cosine
+               FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE {round_sql(nd, 4)} >= {COSINE_DEMO}),
+    tok AS (SELECT doc_id, {_DSH3} AS sh FROM documents),
+    hsh AS (SELECT doc_id, {H.shingle_hashes('sh', 'duckdb')} AS hh FROM tok),
+    ver AS (SELECT p.id_a, p.id_b, p.cosine,
+                   len(list_intersect(ha.hh, hb.hh)) AS inter,
+                   len(ha.hh) AS la, len(hb.hh) AS lb
+            FROM cpairs p
+            JOIN hsh ha ON ha.doc_id = p.id_a
+            JOIN hsh hb ON hb.doc_id = p.id_b)
+    SELECT id_a, id_b, cosine, {jac} AS jaccard,
+           {jac} >= {JACCARD_DEMO} AS lexical_agree
+    FROM ver"""
+
+
+@register("dedup_multi_signal", _multi_signal_oracle())
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal near-dup verification: embedding-cosine candidates
+    (cheap, semantic) cross-checked with exact lexical jaccard — the
+    production pattern where neither signal alone is trusted. Embeddings'
+    vec_id keys into documents' doc_id on the synthetic corpus; the shingle
+    join only touches candidate ids (semi-join pushdown), never the full
+    corpus cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cpairs = dedup.embedding_near_dup(emb, threshold=COSINE_DEMO)
+    hashed = dedup.with_shingle_hashes(docs).select(
+        "doc_id", F.expr("hh").alias("hh"))
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("hh").alias("h_a"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hh").alias("h_b"))
+    verified = (cpairs.join(ha, "id_a").join(hb, "id_b")
+                .withColumn("inter",
+                            F.expr("size(array_intersect(h_a, h_b))"))
+                .withColumn("jaccard", fround(
+                    F.col("inter") /
+                    (F.expr("size(h_a)") + F.expr("size(h_b)")
+                     - F.col("inter")), 4)))
+    return verified.select(
+        "id_a", "id_b", "cosine", "jaccard",
+        (F.col("jaccard") >= JACCARD_DEMO).alias("lexical_agree"))
