@@ -102,7 +102,7 @@ class PipelineConfig:
 
     def spark_writer_options(self) -> dict[str, str]:
         """Writer options for the chosen format (F6/F7 -> Spark options)."""
-        if self.format == "parquet":
+        if self.format in ("parquet", "parquet-json"):
             return {"compression": self.parquet_codec,
                     "parquet.block.size": str(self.parquet_block_size),
                     "parquet.page.size": str(self.parquet_page_size)}

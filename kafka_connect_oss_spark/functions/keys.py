@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 
 
 def zero_pad(offset: Column, width: int = 10) -> Column:
-    """'%010d'-style zero padding (TopicPartitionWriter.java:272-274)."""
-    return F.lpad(offset.cast("string"), width, "0")
+    """'%010d'-style zero padding (TopicPartitionWriter.java:272-274).
+
+    Uses format_string (Java String.format semantics: pads but NEVER
+    truncates) rather than lpad, which would truncate offsets wider than
+    `width` and collapse distinct files onto one object key.
+    """
+    return F.format_string(f"%0{width}d", offset.cast("long"))
 
 
 def object_key(topic: Column, kafka_partition: Column, start_offset: Column,

@@ -10,7 +10,9 @@ reference semantics (README.md:127-142; TopicPartitionWriter.java:136-137,
               onto the current one.
   FORWARD   — records are projected onto the *oldest* schema seen; no
               rotation on newer schemas.
-  FULL      — both directions project; rotation only on the first schema.
+  FULL      — same rotation/projection action as BACKWARD (the reference
+              README's "FULL performs the same action as BACKWARD"), plus a
+              bidirectional compatibility check.
 
 Spark DataFrames are single-schema per plan, so mixed-schema input arrives
 as separate DataFrames (or is split by a schema-id column); this module

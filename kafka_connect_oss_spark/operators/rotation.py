@@ -3,7 +3,11 @@
 The reference rotates the open file for a (topic, kafkaPartition) when:
   R1  writtenRecordCount >= flush.size          (TopicPartitionWriter.java:231-237)
   R2  recordTs - baseRecordTs >= rotate.interval.ms  (TopicPartitionWriter.java:338-346)
-  R3  encodedPartition changed                  (TopicPartitionWriter.java:345-346)
+  R3  encodedPartition changed — ONLY when time-based rotation is active
+      (rotateOnTime requires rotateIntervalMs > 0 && timestampExtractor,
+      TopicPartitionWriter.java:343-346); with rotation off, one writer per
+      encodedPartition stays open concurrently and flush.size counts records
+      across all of them (writeRecord :243-266)
   R4  wallclock schedule                        (TopicPartitionWriter.java:359-384)
 
 Batch re-expression: rotation is a *segmentation of the offset-ordered record
@@ -48,28 +52,50 @@ def assign_files(records: DataFrame, encoded: Column,
                            min(offset) per file group instead)
     """
     df = records.withColumn("encoded_partition", encoded)
-    if rotate_interval_ms and rotate_interval_ms > 0:
-        df = df.withColumn("_tbucket", duration_bucket(F.col(ts_col), rotate_interval_ms))
-    else:
-        df = df.withColumn("_tbucket", F.lit(0))
-
     w = Window.partitionBy("topic", "partition").orderBy("offset")
-    boundary = (
-        F.lag("encoded_partition").over(w).isNull()
-        | (F.lag("encoded_partition").over(w) != F.col("encoded_partition"))
-        | (F.lag("_tbucket").over(w) != F.col("_tbucket"))
-    )
-    df = df.withColumn("_boundary", boundary.cast("int"))
-    df = df.withColumn(
-        "segment",
-        F.sum("_boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
-    )
-    ws = Window.partitionBy("topic", "partition", "segment").orderBy("offset")
-    df = df.withColumn("file_idx", F.floor((F.row_number().over(ws) - 1) / flush_size))
+
+    if rotate_interval_ms and rotate_interval_ms > 0:
+        # Time-based rotation active (rotateIntervalMs > 0 + timestamp
+        # extractor): rotateOnTime fires on interval elapse OR encoded-
+        # partition change (TopicPartitionWriter.java:338-346) and
+        # commitFiles() closes everything, so files are contiguous runs.
+        df = df.withColumn("_tbucket",
+                           duration_bucket(F.col(ts_col), rotate_interval_ms))
+        boundary = (
+            F.lag("encoded_partition").over(w).isNull()
+            | (F.lag("encoded_partition").over(w) != F.col("encoded_partition"))
+            | (F.lag("_tbucket").over(w) != F.col("_tbucket"))
+        )
+        df = df.withColumn("_boundary", boundary.cast("int"))
+        df = df.withColumn(
+            "segment",
+            F.sum("_boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+        ws = Window.partitionBy("topic", "partition", "segment").orderBy("offset")
+        df = df.withColumn("file_idx",
+                           F.floor((F.row_number().over(ws) - 1) / flush_size))
+        df = df.drop("_tbucket", "_boundary")
+    else:
+        # Rotation OFF: encoded-partition change does NOT rotate. One writer
+        # per encodedPartition stays open concurrently and a SINGLE
+        # writtenRecordCount across all of them triggers commitFiles() at
+        # flush.size (checkRotationOrAppend/writeRecord,
+        # TopicPartitionWriter.java:214-266) — so a "segment" here is a
+        # commit group of flush.size consecutive records per TopicPartition,
+        # and the file identity is (commit group, encodedPartition): records
+        # of the same encodedPartition interleaved within a commit group
+        # land in ONE file whose start_offset is the first offset written to
+        # that encodedPartition since the last commit.
+        df = df.withColumn(
+            "segment",
+            F.floor((F.row_number().over(w) - 1) / flush_size).cast("long"))
+        df = df.withColumn("file_idx", F.lit(0).cast("bigint"))
+
     if with_start_offset:
-        wf = Window.partitionBy("topic", "partition", "segment", "file_idx")
+        wf = Window.partitionBy("topic", "partition", "encoded_partition",
+                                "segment", "file_idx")
         df = df.withColumn("start_offset", F.min("offset").over(wf))
-    return df.drop("_tbucket", "_boundary")
+    return df
 
 
 def committed_files(records: DataFrame, encoded: Column, flush_size: int,
@@ -124,7 +150,10 @@ def anchored_interval_files(records: DataFrame,
 
     def split(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("offset")
-        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        # normalize to ns first: pandas/Arrow may deliver datetime64[us],
+        # where a bare astype('int64') would be silently 1000x off
+        ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                 // 1000).to_numpy()
         offsets = pdf["offset"].to_numpy()
         out: dict[str, list] = {k: [] for k in
                                 ("topic", "partition", "file_seq",

@@ -229,6 +229,38 @@ def r2_interval_rotation_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         extension=".json", rotate_interval_ms=3_600_000)
 
 
+@register(
+    "r1_interleaved_commit_files",
+    f"""{_REC},
+    enc AS (SELECT *, 'event_type=' || event_type AS ep FROM rec),
+    grp AS (
+      SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY topic, partition
+                                ORDER BY "offset") - 1) / 100) AS BIGINT) AS seg
+      FROM enc),
+    files AS (
+      SELECT topic, partition, ep AS encoded_partition, seg,
+             MIN("offset") AS start_offset, MAX("offset") AS end_offset,
+             COUNT(*) AS record_count
+      FROM grp GROUP BY 1, 2, 3, 4)
+    SELECT 'topics/' || topic || '/' || encoded_partition || '/' || topic || '+'
+           || CAST(partition AS VARCHAR) || '+'
+           || lpad(CAST(start_offset AS VARCHAR), 10, '0') || '.parquet' AS object_key,
+           topic, partition, encoded_partition, start_offset, end_offset,
+           record_count
+    FROM files""",
+)
+def r1_interleaved_commit_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # flush.size commit groups with rotate.interval.ms OFF: the reference
+    # keeps one writer per encodedPartition open concurrently and a single
+    # writtenRecordCount across them (TopicPartitionWriter.java:214-266,
+    # 343-346) — interleaved event_type records within one commit group land
+    # in one file per event_type, named by the first offset written to it.
+    rec = sink_records(spark, sf_dir)
+    return rotation.committed_files(
+        rec, P.field_partition(F.col("event_type"), "event_type"),
+        flush_size=100, extension=".parquet")
+
+
 #: R2 anchored-rotation interval (4h keeps the oracle's recursion depth
 #: ~180 per partition over the 30-day synthetic stream)
 _ANCHOR_IV_MS = 4 * 3600 * 1000

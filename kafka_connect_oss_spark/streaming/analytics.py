@@ -103,7 +103,10 @@ def _session_func(gap_ms: int):
 
         ts_us: list[int] = []
         for pdf in pdfs:
-            ts_us.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+            # normalize to ns: Arrow may hand back datetime64[us]
+            ts_us.extend(int(v) // 1000
+                         for v in pdf["ts"].astype("datetime64[ns]")
+                         .astype("int64"))
         ts_us.sort()
 
         if state.exists:

@@ -89,6 +89,42 @@ def test_anchored_rotation_invariants(spark, recs, iv_s):
             assert b.base_ts_us - a.base_ts_us >= iv_s * 1_000_000
 
 
+def test_zero_pad_never_truncates(spark):
+    # reference ZERO_PAD_FMT is String.format("%010d") — pads but never
+    # truncates; lpad would collapse offsets >= 10^width onto one key
+    from kafka_connect_oss_spark.functions.keys import zero_pad
+    row = spark.range(1).select(
+        zero_pad(F.lit(12345678901), 10).alias("wide"),
+        zero_pad(F.lit(42), 10).alias("narrow")).first()
+    assert row.wide == "12345678901"
+    assert row.narrow == "0000000042"
+
+
+def test_interleaved_commit_groups_no_rotation(spark):
+    # rotate.interval.ms OFF: encoded-partition change must NOT rotate;
+    # flush.size counts across encoded partitions, files keyed by
+    # (commit group, encodedPartition) with start_offset = first offset
+    # written to that encodedPartition since the last commit
+    # (TopicPartitionWriter.java:214-266, 343-346)
+    rows = [("t", 0, o, ["A", "B", "A", "A", "B", "C"][o % 6])
+            for o in range(12)]
+    df = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, etype string"
+    ).withColumn("ts", F.lit(1_700_000_000).cast("timestamp"))
+    tagged = assign_files(df, F.col("etype"), flush_size=6)
+    got = {((r.segment, r.encoded_partition)): None for r in tagged.collect()}
+    # 12 records, flush 6 -> 2 commit groups x 3 etypes = 6 files
+    assert len(got) == 6
+    by_file: dict = {}
+    for r in tagged.collect():
+        by_file.setdefault((r.segment, r.encoded_partition), []).append(r)
+    for (seg, ep), rs in by_file.items():
+        assert all(x.start_offset == min(y.offset for y in rs) for x in rs)
+    # interleaved A-records 0,2,3 share one file in commit group 0
+    a0 = by_file[(0, "A")]
+    assert sorted(x.offset for x in a0) == [0, 2, 3]
+
+
 def test_object_key_roundtrip():
     # key encodes (topic, partition, start_offset) losslessly
     import re
