@@ -401,6 +401,56 @@ def e3_json_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e4_protobuf_decode",
+    """SELECT event_id,
+              (event_id % 2 = 0) AS p_bool,
+              CAST(event_id % 1000 AS INT) AS p_int,
+              event_id AS p_long,
+              ROUND(value, 3) AS p_double,
+              event_type AS m_et,
+              event_type AS l1,
+              event_type AS l2
+       FROM events""",
+)
+def e4_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E4 native: encode each event as a protobuf TestMessage
+    # (src/main/proto/parquet.proto:1-13) on the wire, decode it back, and
+    # project the decoded fields — the JSON->protobuf->columnar path of
+    # ParquetJsonRecordWriterProvider.java:85-122 without the jar. The
+    # oracle asserts decode(encode(x)) == x field-by-field.
+    from kafka_connect_oss_spark.formats import protobuf_py
+
+    ev = load_table(spark, sf_dir, "events")
+    msg = ev.select(
+        "event_id",
+        F.struct(
+            (F.col("event_id") % 2 == 0).alias("boolean"),
+            (F.col("event_id") % 1000).cast("int").alias("int"),
+            F.col("event_id").alias("long"),
+            F.col("value").cast("float").alias("float"),
+            F.col("value").alias("double"),
+            F.create_map(F.lit("et"), F.col("event_type")).alias("map1"),
+            F.create_map(F.lit("u"), F.col("user_id").cast("string"))
+            .alias("map2"),
+            F.array(F.col("event_type")).alias("list1"),
+            F.array(F.lit("x"), F.col("event_type")).alias("list2"),
+        ).alias("msg"))
+    enc = protobuf_py.proto_encode_col(protobuf_py.TEST_MESSAGE_SPEC)
+    dec = protobuf_py.proto_decode_col(protobuf_py.TEST_MESSAGE_SPEC)
+    decoded = msg.select("event_id", dec(enc(F.col("msg"))).alias("d"))
+    return decoded.select(
+        "event_id",
+        F.col("d.boolean").alias("p_bool"),
+        F.col("d.int").alias("p_int"),
+        F.col("d.long").alias("p_long"),
+        F.round(F.col("d.double"), 3).alias("p_double"),
+        F.element_at("d.map1", F.lit("et")).alias("m_et"),
+        F.element_at("d.list1", 1).alias("l1"),
+        F.element_at("d.list2", 2).alias("l2"),
+    )
+
+
+@register(
     "e6_json_encode",
     """SELECT event_id,
               to_json(struct_pack(event_id := event_id,

@@ -56,14 +56,15 @@ def _write_staged(df: DataFrame, cfg: PipelineConfig, path: str) -> None:
     elif fmt == "json":
         writer.json(path)
     elif fmt == "avro":
-        # spark-avro is an external module; gate so environments without
-        # the jar fail with a clear message (F2)
-        try:
+        # F2: prefer the spark-avro connector when its jar is present;
+        # otherwise the self-contained container writer (formats/avro_py)
+        # keeps the format fully exercised — same layout, same codecs
+        from kafka_connect_oss_spark.formats import avro_py
+
+        if avro_py.spark_avro_available(df.sparkSession):
             writer.format("avro").save(path)
-        except Exception as exc:  # pragma: no cover
-            raise RuntimeError(
-                "avro format needs the spark-avro jar on the classpath "
-                "(org.apache.spark:spark-avro); not bundled in this env") from exc
+        else:
+            avro_py.write_staged(df, path, cfg.avro_codec)
     elif fmt == "bytearray":
         # raw byte-lines (F5): value rendered as text lines with the
         # configured separator; gzip via writer option (F6)
@@ -229,7 +230,11 @@ def read_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
             reader = reader.option("lineSep", cfg.byte_line_separator)
         return reader.text(glob)
     if cfg.format == "avro":
-        return spark.read.format("avro").load(glob)
+        from kafka_connect_oss_spark.formats import avro_py
+
+        if avro_py.spark_avro_available(spark):
+            return spark.read.format("avro").load(glob)
+        return avro_py.read_avro(spark, glob)
     from kafka_connect_oss_spark import plugins
 
     if cfg.format in plugins.FORMATS:
