@@ -87,17 +87,21 @@ def main() -> None:
     # measured 2-3x run-to-run swings on trivial plans), so the minimum is
     # the faithful steady-state number. Data caches are cleared between
     # reps so only JVM/codegen warm-up is amortized, never cached results.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        times: list[float] = []
         for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times), 3)
+        # spread = max-min across reps: when spread ~ best, a round-over-
+        # round delta of that size is noise, not a regression
+        spreads[name] = round(max(times) - min(times), 3)
 
     # the reference's core function: stream -> rotated, offset-named files.
     # availableNow file-stream -> foreachBatch two-phase commit to parquet,
@@ -109,7 +113,7 @@ def main() -> None:
     from kafka_connect_oss_spark.sources.files import events_file_stream
     from kafka_connect_oss_spark.streaming.pipeline import IngestPipeline
 
-    best = float("inf")
+    ingest_times: list[float] = []
     for _ in range(reps):
         workdir = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
@@ -120,10 +124,12 @@ def main() -> None:
             q = IngestPipeline(cfg).start(events_file_stream(spark, SF_DIR),
                                           available_now=True)
             q.awaitTermination(300)
-            best = min(best, time.perf_counter() - t0)
+            ingest_times.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
-    timings["streaming_ingest_parquet"] = round(best, 3)
+    timings["streaming_ingest_parquet"] = round(min(ingest_times), 3)
+    spreads["streaming_ingest_parquet"] = round(
+        max(ingest_times) - min(ingest_times), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -132,6 +138,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "reps": reps,
         "sf": float(sf),
     }
     print(json.dumps(out))

@@ -95,6 +95,56 @@ def minhash_band_keys(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         id_col, f"stack({N_BANDS}, {pairs}) AS (band, band_key)")
 
 
+#: intra-group pair generation spreads across ceil(n / cap) tasks
+HOT_GROUP_CAP = 1024
+
+
+def _salted_intra_pairs(members: DataFrame, key_col: str, id_col: str,
+                        cap: int = HOT_GROUP_CAP) -> DataFrame:
+    """All ordered (id_a < id_b) pairs WITHIN each `key_col` group, with the
+    per-group quadratic work spread over a salt grid.
+
+    A group of n rows owes C(n,2) output pairs — irreducible — but a naive
+    self-join computes all of them in the ONE task that owns the hot key.
+    Here the b-side is bucketed by hash(id) % s (s = ceil(n/cap)) and the
+    a-side replicated s ways, so each task emits ~n·cap pairs: mega-cluster
+    (boilerplate-page) keys get s ~ n/cap parallel tasks instead of one
+    straggler. Returns (id_a, id_b, key_col).
+    """
+    m = members.where(F.col("gn") > 1)
+    s = F.greatest(F.lit(1), F.ceil(F.col("gn") / cap)).cast("int")
+    a = (m.withColumn("_s", s)
+         .withColumn("_gb", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+         .select(F.col(id_col).alias("id_a"), key_col, "_gb"))
+    b = (m.withColumn("_s", s)
+         .withColumn("_gb", F.pmod(F.xxhash64(F.col(id_col)),
+                                   F.col("_s")).cast("int"))
+         .select(F.col(id_col).alias("id_b"), key_col, "_gb"))
+    return (a.join(b, [key_col, "_gb"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", key_col))
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
+                      id_col: str, payload_col: str) -> DataFrame:
+    """Expand verified representative pairs to member pairs: every doc in
+    rep_a's identity group pairs with every doc in rep_b's, inheriting the
+    representatives' verified score (identical inputs => identical metric).
+    Fan-out is driven by two ordinary hash joins, so AQE's skew split
+    spreads mega-group expansion."""
+    ma = members.select(F.col("rep").alias("rep_a"),
+                        F.col(id_col).alias("ma_id"))
+    mb = members.select(F.col("rep").alias("rep_b"),
+                        F.col(id_col).alias("mb_id"))
+    return (rep_pairs
+            .withColumnRenamed("id_a", "rep_a")
+            .withColumnRenamed("id_b", "rep_b")
+            .join(ma, "rep_a").join(mb, "rep_b")
+            .select(F.least("ma_id", "mb_id").alias("id_a"),
+                    F.greatest("ma_id", "mb_id").alias("id_b"),
+                    payload_col))
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
                         jaccard_threshold: float = 0.3) -> DataFrame:
@@ -105,12 +155,31 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     shingle-hash sets -> threshold. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard rounded to 4 (exact rational both engines).
 
+    Hot-band guard: identical texts are collapsed to ONE representative
+    before banding (md5 identity groups), so a mega-cluster of k identical
+    boilerplate pages contributes one signature to the band join instead
+    of k rows in the same band key (which would make candidate generation
+    quadratic inside one task). The cluster's own C(k,2) pairs — exact
+    jaccard 1.0 — are emitted by a salt-grid self-join bounded to ~cap
+    pairs per task, and cross-cluster pairs expand from the verified
+    representative pairs (identical text => identical jaccard). The result
+    set is bit-identical to the unguarded pipeline.
+
     Scale posture: the cached signature is (id, hh, msig) — shingle hashes
     as BIGINTs (strings never leave the signature stage) and the 8-slot
     signature from ONE fold (minhash_signature_array); verification
     shuffles long arrays, ~3x lighter than the raw shingles.
     """
-    sig = (with_shingle_hashes(docs, text_col, ngram)
+    # identity groups shuffle (id, 16-byte digest) only — text never moves
+    keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
+    groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"),
+                                        F.count(F.lit(1)).alias("gn"))
+    members = (keyed.join(groups, "_tmd5")
+               .select(id_col, "_tmd5", "rep", "gn"))
+
+    rep_docs = docs.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "semi")
+    sig = (with_shingle_hashes(rep_docs, text_col, ngram)
            .select(id_col, "hh",
                    F.expr(H.minhash_signature_array("hh")).alias("msig"))
            .cache())
@@ -128,13 +197,29 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
             .distinct())
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("hh").alias("h_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("hh").alias("h_b"))
-    verified = (cand.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("inter", F.expr("size(array_intersect(h_a, h_b))"))
-                .withColumn("jaccard", R.fround(
-                    F.col("inter") /
-                    (F.expr("size(h_a)") + F.expr("size(h_b)") - F.col("inter")), 4)))
-    return (verified.where(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", "jaccard"))
+    rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("inter",
+                             F.expr("size(array_intersect(h_a, h_b))"))
+                 .withColumn("jaccard", R.fround(
+                     F.col("inter") /
+                     (F.expr("size(h_a)") + F.expr("size(h_b)")
+                      - F.col("inter")), 4))
+                 .where(F.col("jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    cross = _expand_rep_pairs(rep_pairs, members, id_col, "jaccard")
+
+    # intra-group pairs: identical shingle sets => jaccard exactly 1.0;
+    # empty shingle sets give NULL jaccard in the unguarded pipeline
+    # (0/0), which the threshold drops — mirror that with a size guard
+    rep_sizes = sig.select(F.col(id_col).alias("rep"),
+                           F.expr("size(hh)").alias("_nsh"))
+    intra = (_salted_intra_pairs(members, "_tmd5", id_col)
+             .join(members.where(F.col(id_col) == F.col("rep"))
+                   .select("_tmd5", "rep"), "_tmd5")
+             .join(rep_sizes, "rep")
+             .where(F.col("_nsh") > 0)
+             .select("id_a", "id_b", F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(intra)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -165,10 +250,28 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     bounds = [(i * bits) // n_chunks for i in range(n_chunks)] + [bits]
     fp = simhash_fingerprints(docs, text_col, id_col, ngram, bits)
 
+    # Hot-chunk guard (same shape as lsh_candidate_pairs): collapse
+    # identical fingerprints to one representative — the chunk join then
+    # sees at most 2^bits distinct rows regardless of corpus size, and a
+    # mega-cluster of identical pages can't make one chunk key quadratic.
+    # Intra-group pairs are hamming 0 by identity (salt-grid generated);
+    # cross-group pairs inherit the representatives' popcount.
+    # the fingerprint plan (shingle hashing + simhash fold, the CPU-heavy
+    # stage) feeds groups + members + reps: cache it and materialize
+    # eagerly, or each branch recomputes the fold (see lsh sig.count()
+    # note — measured multi-x swings)
+    fp = fp.cache()
+    fp.count()
+    groups = fp.groupBy("simhash").agg(F.min(id_col).alias("rep"),
+                                       F.count(F.lit(1)).alias("gn"))
+    members = fp.join(groups, "simhash").select(id_col, "simhash", "rep",
+                                                "gn")
+    reps = groups.select(F.col("rep").alias(id_col), "simhash")
+
     chunk_rows = ", ".join(
         f"{i}, (simhash div {1 << bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])}"
         for i in range(n_chunks))
-    chunks = fp.selectExpr(
+    chunks = reps.selectExpr(
         id_col, "simhash",
         f"stack({n_chunks}, {chunk_rows}) AS (chunk_idx, chunk_val)")
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -179,11 +282,15 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                     F.col("a.simhash").alias("sh_a"),
                     F.col("b.simhash").alias("sh_b"))
             .distinct())
-    return (cand
-            .withColumn("hamming",
-                        F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    rep_pairs = (cand
+                 .withColumn("hamming",
+                             F.expr("bit_count(sh_a ^ sh_b)").cast("int"))
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+    cross = _expand_rep_pairs(rep_pairs, members, id_col, "hamming")
+    intra = (_salted_intra_pairs(members, "simhash", id_col)
+             .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming")))
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],

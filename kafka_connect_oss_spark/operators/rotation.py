@@ -178,6 +178,40 @@ def anchored_interval_files(records: DataFrame,
             .groupBy("topic", "partition").applyInPandas(split, schema))
 
 
+def scheduled_rotation_files(records: DataFrame,
+                             rotate_schedule_interval_ms: int,
+                             clock: Column | None = None,
+                             clock_col: str = "ts") -> DataFrame:
+    """R4 wallclock-scheduled rotation, batch-testable via an injected clock.
+
+    reference: TopicPartitionWriter.java:359-384 — scheduled boundaries are
+    wallclock times aligned to the start of day in the configured timezone
+    (DateTimeUtils.getNextTimeAdjustedByDay), independent of record
+    timestamps; the open files rotate when processing crosses a boundary.
+    The streaming layer realizes this with Trigger.ProcessingTime
+    (streaming/pipeline.py), which is non-deterministic by nature
+    (README.md:125). For a deterministic batch form the wallclock is
+    INJECTED as a column (each record's processing/arrival time): grouping
+    by the day-aligned schedule slot of that clock yields exactly the file
+    set the scheduled writer commits. Day alignment matters whenever the
+    interval does not divide 24 h — slots restart at midnight, mirroring
+    getNextTimeAdjustedByDay.
+
+    Returns one row per file: (topic, partition, schedule_bucket_ms,
+    start_offset, end_offset, record_count).
+    """
+    day_ms = 86_400_000
+    ms = F.unix_millis(clock if clock is not None else F.col(clock_col))
+    day_start = F.floor(ms / day_ms) * day_ms
+    slot = F.floor((ms - day_start) / rotate_schedule_interval_ms)
+    bucket = (day_start + slot * rotate_schedule_interval_ms).cast("long")
+    return (records.withColumn("schedule_bucket_ms", bucket)
+            .groupBy("topic", "partition", "schedule_bucket_ms")
+            .agg(F.min("offset").alias("start_offset"),
+                 F.max("offset").alias("end_offset"),
+                 F.count(F.lit(1)).alias("record_count")))
+
+
 def offsets_to_commit(records: DataFrame) -> DataFrame:
     """C2: offsetToCommit = last written offset + 1 per TopicPartition
     (reference: TopicPartitionWriter.java:330,396-400; OSSSinkTask.java:196-208).

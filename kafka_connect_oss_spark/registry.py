@@ -344,6 +344,39 @@ def r3_partition_change_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  JsonRecordWriterProvider.java:71-85)
 # --------------------------------------------------------------------------
 
+#: R4 oracle interval: 7 h does NOT divide 24 h, so the day-aligned slot
+#: restart (getNextTimeAdjustedByDay) is actually exercised
+_R4_IV_MS = 7 * 3600 * 1000
+
+
+@register(
+    "r4_scheduled_rotation",
+    f"""{_REC},
+    clocked AS (
+      SELECT topic, partition, "offset",
+             CAST(epoch_us(ts + INTERVAL 42 SECOND) // 1000 AS BIGINT) AS ms
+      FROM rec),
+    sched AS (
+      SELECT *,
+             (ms // 86400000) * 86400000
+             + ((ms - (ms // 86400000) * 86400000) // {_R4_IV_MS})
+               * {_R4_IV_MS} AS schedule_bucket_ms
+      FROM clocked)
+    SELECT topic, partition, schedule_bucket_ms,
+           MIN("offset") AS start_offset, MAX("offset") AS end_offset,
+           COUNT(*) AS record_count
+    FROM sched GROUP BY 1, 2, 3""",
+)
+def r4_scheduled_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R4 with an injected wallclock (arrival = record ts + 42 s pipeline
+    # delay): day-aligned 7 h schedule slots, deterministic and
+    # oracle-checkable unlike the Trigger.ProcessingTime streaming form
+    # (TopicPartitionWriter.java:359-384).
+    rec = sink_records(spark, sf_dir)
+    arrival = F.col("ts") + F.expr("INTERVAL 42 SECONDS")
+    return rotation.scheduled_rotation_files(rec, _R4_IV_MS, clock=arrival)
+
+
 @register(
     "e2_schema_projection",
     """SELECT event_id, event_type, CAST(value AS FLOAT) AS value_f,

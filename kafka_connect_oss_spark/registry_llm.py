@@ -470,30 +470,39 @@ def sketch_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     The portable-sketch answer to approx_count_distinct: HLL registers are
     engine-specific (Spark and DuckDB estimates differ), while KMV over the
     shared md5 base hash is bit-deterministic on both engines — so the
-    sketch itself is oracle-verified, not just its error bound. At scale
-    the K smallest hashes per group are a mergeable partial aggregate
-    (same shuffle shape as approx_count_distinct); exact_distinct is
-    emitted alongside to exhibit the estimator's error on real data.
+    sketch itself is oracle-verified, not just its error bound. The K
+    smallest hashes per group are computed as a mergeable two-level
+    aggregate (per-partition K-min arrays, then a per-group merge — the
+    approx_count_distinct shuffle shape); exact_distinct is emitted
+    alongside to exhibit the estimator's error on real data.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     hashed = (ev.groupBy("event_type", "user_id")
               .agg(F.expr(H.base_hash("CAST(user_id AS STRING)", "spark"))
                    .alias("hv")))
-    w = Window.partitionBy("event_type").orderBy("hv")
-    wc = Window.partitionBy("event_type")
-    ranked = (hashed
-              .withColumn("rnk", F.row_number().over(w))
-              .withColumn("n_exact", F.count(F.lit(1)).over(wc))
-              .where(F.col("rnk") <= KMV_K))
-    return (ranked.groupBy("event_type", F.col("n_exact").alias("exact_distinct"))
-            .agg(F.when(F.col("exact_distinct") <= KMV_K,
-                        F.col("exact_distinct").cast("double"))
-                 .otherwise(F.round((KMV_K - 1) * F.lit(_HASH_SPACE)
-                                    / F.max("hv"), 4))
-                 .alias("kmv_estimate"))
-            .select("event_type", "exact_distinct", "kmv_estimate"))
+    # Mergeable two-level aggregate — approx_count_distinct's shuffle shape,
+    # NOT a per-group window sort (which would pull every distinct hash of
+    # an event_type into one partition). Level 1 folds each physical
+    # partition's hashes into its own K-min array (map-side combine: one
+    # row per (event_type, partition) crosses the wire); level 2 merges
+    # those arrays per group — #partitions × K longs per group, constant
+    # in the number of users.
+    partials = (hashed
+                .groupBy("event_type", F.spark_partition_id().alias("pid"))
+                .agg(F.slice(F.array_sort(F.collect_list("hv")), 1, KMV_K)
+                     .alias("ph"),
+                     F.count(F.lit(1)).alias("pn")))
+    merged = (partials.groupBy("event_type")
+              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("ph"))),
+                           1, KMV_K).alias("kmins"),
+                   F.sum("pn").alias("exact_distinct")))
+    return merged.select(
+        "event_type", "exact_distinct",
+        F.when(F.col("exact_distinct") <= KMV_K,
+               F.col("exact_distinct").cast("double"))
+        .otherwise(F.round((KMV_K - 1) * F.lit(_HASH_SPACE)
+                           / F.element_at("kmins", KMV_K), 4))
+        .alias("kmv_estimate"))
 
 
 def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:

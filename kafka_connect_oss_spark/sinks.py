@@ -131,8 +131,25 @@ def commit_batch(records: DataFrame, encoded: Column, cfg: PipelineConfig,
     return _promote_staged(spark, staging, out)
 
 
+#: concurrent metadata ops during commit phase 2 (renames are cheap
+#: metadata RPCs on OSS/HDFS; 64 in flight keeps the phase O(files/64)
+#: instead of O(files) serialized through one client)
+_RENAME_POOL_SIZE = 64
+
+
 def _promote_staged(spark: SparkSession, staging: str, out: str) -> list[str]:
-    """Phase 2: rename staged part-files to their decoded object keys."""
+    """Phase 2: rename staged part-files to their decoded object keys.
+
+    The rename list is collected with one listStatus sweep, then executed
+    from a thread pool: each rename is an independent per-file metadata op
+    (delete-before-rename keeps S5 idempotency per file), so at
+    reference-style flush sizes — millions of files per 100 TB — the phase
+    is bounded by pool width, not file count, instead of serializing every
+    RPC through the driver loop. py4j and Hadoop FileSystem clients are
+    thread-safe; pool width 64 matches typical object-store admin QPS.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
@@ -140,9 +157,11 @@ def _promote_staged(spark: SparkSession, staging: str, out: str) -> list[str]:
     staging_path = Path(staging)
     fs = staging_path.getFileSystem(conf)
 
-    committed: list[str] = []
     if not fs.exists(staging_path):
-        return committed
+        return []
+
+    renames: list[tuple] = []        # (src Path, dest Path, key)
+    dest_parents: set[str] = set()
     for status in fs.listStatus(staging_path):
         name = status.getPath().getName()
         if not name.startswith("_file_id="):
@@ -154,11 +173,26 @@ def _promote_staged(spark: SparkSession, staging: str, out: str) -> list[str]:
         # one file per group by construction (repartition on _file_id)
         assert len(part_files) == 1, f"expected 1 file for {key}: {part_files}"
         dest = Path(posixpath.join(out, key))
-        fs.mkdirs(dest.getParent())
+        dest_parents.add(posixpath.dirname(posixpath.join(out, key)))
+        renames.append((part_files[0], dest, key))
+
+    # parent dirs once per directory, not once per file
+    for parent in dest_parents:
+        fs.mkdirs(Path(parent))
+
+    def _rename(item) -> str:
+        src, dest, key = item
         if fs.exists(dest):          # S5: idempotent re-upload
             fs.delete(dest, False)
-        fs.rename(part_files[0], dest)
-        committed.append(key)
+        fs.rename(src, dest)
+        return key
+
+    if renames:
+        with ThreadPoolExecutor(
+                min(_RENAME_POOL_SIZE, len(renames))) as pool:
+            committed = list(pool.map(_rename, renames))
+    else:
+        committed = []
     fs.delete(staging_path, True)    # drop staging metadata
     return sorted(committed)
 
@@ -204,9 +238,14 @@ def compact_committed(spark: SparkSession, out_url: str, cfg: PipelineConfig,
     keys = commit_batch(existing, encoded_partition_column(big_cfg), big_cfg,
                         out_url)
     new_suffixes = tuple("/" + k for k in keys)
-    for f in sorted(old_files):
-        if not f.endswith(new_suffixes):
-            fs.delete(Path(f), False)
+    stale = [f for f in sorted(old_files) if not f.endswith(new_suffixes)]
+    if stale:
+        # deletes are independent metadata ops — same pooling rationale as
+        # _promote_staged
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(_RENAME_POOL_SIZE, len(stale))) as pool:
+            list(pool.map(lambda f: fs.delete(Path(f), False), stale))
     return keys
 
 
