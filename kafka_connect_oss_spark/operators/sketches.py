@@ -1,0 +1,84 @@
+"""Mergeable distinct-count sketches (driver-mandated extension).
+
+KMV (k-minimum-values): keep the K smallest base-hashes of the key per
+group; estimate = (K-1) * hash_space / kth_min. Chosen over HLL because the
+sketch is *portable*: Spark's approx_count_distinct and DuckDB's
+approx_count_distinct use engine-specific HLL registers and disagree, while
+KMV over the shared md5-fold base hash (functions/hashing.py) is
+bit-deterministic on both engines — the estimate itself oracle-verifies.
+
+Shuffle shape: a mergeable two-level aggregate, like approx_count_distinct.
+Level 1 folds each physical partition's hashes into a local K-min array
+(map-side combine — one row per (group, partition) crosses the wire);
+level 2 merges arrays per group, #partitions × K longs per group, constant
+in the number of distinct keys. Never a per-group window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.functions import hashing as H
+
+KMV_K = 64
+HASH_SPACE = float(1 << 60)  # base_hash range (60-bit md5 fold)
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], key_col: str,
+                 k: int = KMV_K) -> DataFrame:
+    """Per-group KMV distinct estimate of `key_col`.
+
+    Returns (*group_cols, exact_distinct, kmv_estimate); exact_distinct is
+    emitted alongside to exhibit estimator error (it rides the same
+    distinct pass, adding no extra shuffle).
+    """
+    # dedupe the RAW key per group, then hash — exact_distinct counts
+    # distinct keys, not distinct hashes (hash collisions must not merge)
+    hv = F.expr(H.base_hash(f"CAST({key_col} AS STRING)", "spark"))
+    hashed = (df.select(*group_cols, key_col).distinct()
+              .select(*group_cols, hv.alias("hv")))
+    partials = (hashed
+                .groupBy(*group_cols, F.spark_partition_id().alias("_pid"))
+                .agg(F.slice(F.array_sort(F.collect_list("hv")), 1, k)
+                     .alias("ph"),
+                     F.count(F.lit(1)).alias("pn")))
+    merged = (partials.groupBy(*group_cols)
+              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("ph"))),
+                           1, k).alias("kmins"),
+                   F.sum("pn").alias("exact_distinct")))
+    return merged.select(
+        *group_cols, "exact_distinct",
+        kmv_estimate_col(k).alias("kmv_estimate"))
+
+
+def kmv_estimate_col(k: int = KMV_K) -> Column:
+    """Estimate from (exact_distinct, kmins): exact below K, else the KMV
+    estimator rounded to 4 (identical double math in the DuckDB oracle)."""
+    return (F.when(F.col("exact_distinct") <= k,
+                   F.col("exact_distinct").cast("double"))
+            .otherwise(F.round((k - 1) * F.lit(HASH_SPACE)
+                               / F.element_at("kmins", k), 4)))
+
+
+def kmv_oracle_sql(group_cols_sql: str, key_sql: str, from_sql: str,
+                   k: int = KMV_K) -> str:
+    """DuckDB oracle for kmv_distinct over the same table: identical hash,
+    identical estimator, per-group window form (fine at oracle scale)."""
+    return f"""WITH dedup AS (
+      SELECT DISTINCT {group_cols_sql}, {key_sql} AS k FROM {from_sql}),
+    hashed AS (
+      SELECT {group_cols_sql}, {H.base_hash('k', 'duckdb')} AS hv
+      FROM dedup),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY {group_cols_sql}
+                                ORDER BY hv) AS rnk,
+             COUNT(*) OVER (PARTITION BY {group_cols_sql}) AS n_exact
+      FROM hashed)
+    SELECT {group_cols_sql}, n_exact AS exact_distinct,
+           CASE WHEN n_exact <= {k} THEN CAST(n_exact AS DOUBLE)
+                ELSE ROUND(({k} - 1) * {HASH_SPACE} / MAX(hv), 4)
+           END AS kmv_estimate
+    FROM ranked WHERE rnk <= {k}
+    GROUP BY {group_cols_sql}, n_exact"""

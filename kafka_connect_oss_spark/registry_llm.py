@@ -13,6 +13,7 @@ from kafka_connect_oss_spark.functions.rounding import fround, round_sql
 from kafka_connect_oss_spark.functions import text as X
 from kafka_connect_oss_spark.functions import vectors as V
 from kafka_connect_oss_spark.operators import dedup, similarity
+from kafka_connect_oss_spark.operators import sketches as SK
 from kafka_connect_oss_spark.operators import text as TXT
 from kafka_connect_oss_spark.registry import register
 from kafka_connect_oss_spark.sources.batch import load_table
@@ -440,29 +441,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches: KMV distinct-count estimator
 # --------------------------------------------------------------------------
 
-KMV_K = 64
-_HASH_SPACE = float(1 << 60)  # base_hash range (60-bit md5 fold)
-
-
-def _kmv_oracle() -> str:
-    h = H.base_hash("CAST(user_id AS VARCHAR)", "duckdb")
-    return f"""WITH hashed AS (
-      SELECT event_type, {h} AS hv
-      FROM events GROUP BY event_type, user_id),
-    ranked AS (
-      SELECT event_type, hv,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rnk,
-             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
-      FROM hashed)
-    SELECT event_type, n_exact AS exact_distinct,
-           CASE WHEN n_exact <= {KMV_K} THEN CAST(n_exact AS DOUBLE)
-                ELSE ROUND(({KMV_K} - 1) * {_HASH_SPACE} / MAX(hv), 4)
-           END AS kmv_estimate
-    FROM ranked WHERE rnk <= {KMV_K}
-    GROUP BY event_type, n_exact"""
-
-
-@register("sketch_distinct_users_kmv", _kmv_oracle())
+@register("sketch_distinct_users_kmv",
+          SK.kmv_oracle_sql("event_type", "CAST(user_id AS VARCHAR)",
+                            "events"))
 def sketch_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per group: keep the K
     smallest 60-bit hashes of the key; estimate = (K-1) * space / kth_min.
@@ -470,39 +451,12 @@ def sketch_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     The portable-sketch answer to approx_count_distinct: HLL registers are
     engine-specific (Spark and DuckDB estimates differ), while KMV over the
     shared md5 base hash is bit-deterministic on both engines — so the
-    sketch itself is oracle-verified, not just its error bound. The K
-    smallest hashes per group are computed as a mergeable two-level
-    aggregate (per-partition K-min arrays, then a per-group merge — the
-    approx_count_distinct shuffle shape); exact_distinct is emitted
-    alongside to exhibit the estimator's error on real data.
+    sketch itself is oracle-verified, not just its error bound. See
+    operators/sketches.py for the mergeable two-level aggregate (the
+    approx_count_distinct shuffle shape, never a per-group window sort).
     """
     ev = load_table(spark, sf_dir, "events")
-    hashed = (ev.groupBy("event_type", "user_id")
-              .agg(F.expr(H.base_hash("CAST(user_id AS STRING)", "spark"))
-                   .alias("hv")))
-    # Mergeable two-level aggregate — approx_count_distinct's shuffle shape,
-    # NOT a per-group window sort (which would pull every distinct hash of
-    # an event_type into one partition). Level 1 folds each physical
-    # partition's hashes into its own K-min array (map-side combine: one
-    # row per (event_type, partition) crosses the wire); level 2 merges
-    # those arrays per group — #partitions × K longs per group, constant
-    # in the number of users.
-    partials = (hashed
-                .groupBy("event_type", F.spark_partition_id().alias("pid"))
-                .agg(F.slice(F.array_sort(F.collect_list("hv")), 1, KMV_K)
-                     .alias("ph"),
-                     F.count(F.lit(1)).alias("pn")))
-    merged = (partials.groupBy("event_type")
-              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("ph"))),
-                           1, KMV_K).alias("kmins"),
-                   F.sum("pn").alias("exact_distinct")))
-    return merged.select(
-        "event_type", "exact_distinct",
-        F.when(F.col("exact_distinct") <= KMV_K,
-               F.col("exact_distinct").cast("double"))
-        .otherwise(F.round((KMV_K - 1) * F.lit(_HASH_SPACE)
-                           / F.element_at("kmins", KMV_K), 4))
-        .alias("kmv_estimate"))
+    return SK.kmv_distinct(ev, ["event_type"], "user_id")
 
 
 def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:

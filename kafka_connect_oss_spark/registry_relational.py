@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_oss_spark.operators import sketches as SK
 from kafka_connect_oss_spark.registry import register
 from kafka_connect_oss_spark.sources.batch import load_table
 
@@ -152,7 +153,12 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the streaming windowed aggregation (window(ts, '1 hour')
     x event_type): identical grouping keys, exactly the rollup a
-    writeStream.groupBy(window(...)) maintains incrementally."""
+    writeStream.groupBy(window(...)) maintains incrementally.
+
+    countDistinct here is exact — right for the oracle and fine while
+    per-group user cardinality fits an aggregate; at 100 TB swap the
+    distinct column for the mergeable KMV sketch, which is exactly
+    `events_hourly_rollup_approx` below."""
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy(F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
                        "event_type")
@@ -160,6 +166,27 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(F.expr(_cents("value"))).cast("double") / 100.0)
                  .alias("sum_value"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "events_hourly_rollup_approx",
+    SK.kmv_oracle_sql(
+        "hour, event_type", "CAST(user_id AS VARCHAR)",
+        "(SELECT strftime(ts, '%Y-%m-%d-%H') AS hour, event_type, user_id "
+        "FROM events)"),
+)
+def events_hourly_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of events_hourly_rollup's countDistinct: per-(hour,
+    event_type) distinct users via the mergeable KMV sketch
+    (operators/sketches.py) instead of an exact distinct — the shuffle
+    carries K-min arrays, not every distinct user, which is the variant
+    you run when user cardinality per group no longer fits a distinct
+    aggregate comfortably. Oracle-checked bit-exactly (portable md5-fold
+    hash), with exact_distinct alongside exhibiting estimator error."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
+        "event_type", "user_id")
+    return SK.kmv_distinct(ev, ["hour", "event_type"], "user_id")
 
 
 @register(
