@@ -86,3 +86,34 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         F.expr(f"md5({norm})").alias("md5_fp"),
         F.expr(H.rolling_hash(norm, "spark")).alias("rolling_fp"),
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram: int = 3) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing ANY
+    word n-gram with the benchmark/eval set — the standard guard against
+    test-set leakage in a pretraining corpus.
+
+    Scale posture: benchmark suites are small by definition (thousands of
+    prompts), so their distinct n-gram hashes are collected once on the
+    driver and inlined as a literal array — the corpus-side plan is then a
+    PURE NARROW FILTER (hash shingles per row, array_intersect against the
+    broadcast literal): zero shuffle over the 100 TB side, parallelism =
+    input splits. If the benchmark ever outgrew a broadcast, the same
+    semantics fall back to an exploded semi-join on the hash.
+
+    Returns the CLEAN docs (id_col plus passthrough columns of `docs`).
+    """
+    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
+    sh = H.word_shingles(tok, ngram, "spark")
+    hh_expr = H.shingle_hashes(sh, "spark")
+
+    bench_hashes = sorted(
+        r.h for r in benchmark
+        .select(F.explode(F.expr(hh_expr)).alias("h")).distinct().collect())
+    lit_bench = F.lit(bench_hashes)
+    return (docs
+            .withColumn("_hh", F.expr(hh_expr))
+            .where(F.size(F.array_intersect("_hh", lit_bench)) == 0)
+            .drop("_hh"))

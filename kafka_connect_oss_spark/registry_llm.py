@@ -91,6 +91,115 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+#: decontamination n-gram width: real pipelines use 8-13-gram exactness;
+#: the synthetic docs are short, so 3 keeps the query's result non-trivial
+#: (the operator takes any width)
+_DECON_NGRAM = 3
+#: doc_id < this bound plays the "benchmark/eval set" role
+_DECON_BENCH_BOUND = 5
+
+
+def _decontaminated_oracle() -> str:
+    sh = H.word_shingles("t", _DECON_NGRAM, "duckdb")
+    hh = H.shingle_hashes(sh, "duckdb")
+    return f"""WITH bt AS (
+      SELECT doc_id, {_DTOK} AS t FROM documents
+      WHERE doc_id < {_DECON_BENCH_BOUND}),
+    bh AS (SELECT DISTINCT unnest({hh}) AS h FROM bt),
+    ct AS (SELECT doc_id, n_chars, {_DTOK} AS t FROM documents
+           WHERE doc_id >= {_DECON_BENCH_BOUND}),
+    ch AS (SELECT doc_id, unnest({hh}) AS h FROM ct),
+    contaminated AS (
+      SELECT DISTINCT ch.doc_id FROM ch JOIN bh USING (h))
+    SELECT doc_id, n_chars FROM ct
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
+@register("corpus_decontaminated", _decontaminated_oracle())
+def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.decontaminate): docs
+    0..4 stand in for the eval suite; every training doc sharing any
+    word n-gram with them is dropped. The corpus side is a zero-shuffle
+    narrow filter against the broadcast benchmark hash set."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < _DECON_BENCH_BOUND)
+    train = docs.where(F.col("doc_id") >= _DECON_BENCH_BOUND)
+    clean = TXT.decontaminate(train, bench, ngram=_DECON_NGRAM)
+    return clean.select("doc_id", "n_chars")
+
+
+#: data-mixture sampling rates per language, in percent (the "upsample
+#: high-quality / downsample bulk" knob of a pretraining mixture)
+_MIX_RATES = {"en": 80, "de": 50, "fr": 50}
+_MIX_DEFAULT = 25
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""WITH keyed AS (
+      SELECT lang, doc_id,
+             {H.base_hash("CAST(doc_id AS VARCHAR)", "duckdb")} % 100 AS slot
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM keyed
+    WHERE slot < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+                 ELSE {_MIX_DEFAULT} END
+    GROUP BY lang""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based mixture sampling: each language keeps a
+    configured percentage of docs, selected by a content-stable hash slot
+    (never rand() — re-runs, retries, and different partitionings must
+    pick the SAME sample, or exactly-once training-data lineage breaks).
+    Pure narrow filter: zero shuffle over the corpus; the only exchange
+    is the per-language audit aggregate emitted here."""
+    docs = load_table(spark, sf_dir, "documents")
+    slot = F.expr(H.base_hash("CAST(doc_id AS STRING)", "spark")) % 100
+    rate = F.lit(_MIX_DEFAULT)
+    for lang, pct in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    sampled = docs.where(slot < rate)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+_PACK_BUDGET = 4096
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_training_sequences",
+    f"""WITH t AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len({_DTOK}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+      FROM t)
+    SELECT doc_id, shard,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           n_tokens,
+           CAST(cum_before - (cum_before // {_PACK_BUDGET})
+                * {_PACK_BUDGET} AS BIGINT) AS offset_in_pack
+    FROM c""",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-split sequence packing
+    (operators/packing.py): token-budget layout slots for the dataloader,
+    one window cumsum per hash-balanced shard."""
+    from kafka_connect_oss_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"),
+                          budget_tokens=_PACK_BUDGET,
+                          n_shards=_PACK_SHARDS)
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------

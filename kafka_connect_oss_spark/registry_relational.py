@@ -169,6 +169,45 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_attribution",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS click_event_id,
+           epoch_us(c.ts) AS click_us,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined to the user's most
+    recent click at-or-before it — the canonical as-of join (an operator
+    Spark lacks natively; operators/asof.py implements it as union-tag +
+    one window, never a per-key range scan). Oracle = DuckDB's native
+    ASOF JOIN, so the semantics are pinned against an independent
+    implementation. Inner behavior via the NOT NULL filter (purchases with
+    no prior click drop, matching ASOF's inner default)."""
+    from kafka_connect_oss_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    c = (ev.where(F.col("event_type") == "click")
+         .select("event_id", "user_id", "ts"))
+    j = asof_join(p, c, on=["user_id"], right_prefix="click_")
+    return (j.where(F.col("click_event_id").isNotNull())
+            .select("event_id", "user_id",
+                    F.unix_micros("ts").alias("purchase_us"),
+                    "click_event_id",
+                    F.unix_micros("click_ts").alias("click_us"),
+                    F.floor((F.unix_micros("ts")
+                             - F.unix_micros("click_ts")) / 1_000_000)
+                    .cast("long").alias("gap_s")))
+
+
+@register(
     "events_hourly_rollup_approx",
     SK.kmv_oracle_sql(
         "hour, event_type", "CAST(user_id AS VARCHAR)",

@@ -1,0 +1,79 @@
+"""Edge-semantics tests for the training-pipeline operators added in round
+2: as-of join (ties, no-match, one-shuffle plan), sequence packing
+(boundary behavior), decontamination (exact n-gram containment)."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators.asof import asof_join
+from kafka_connect_oss_spark.operators.packing import pack_sequences
+from kafka_connect_oss_spark.operators.text import decontaminate
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("t").cast("timestamp")).drop("t")
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    left = _ts(spark, [(1, 100, "L1"), (1, 50, "L0"), (2, 10, "L2")],
+               "k int, t long, lv string")
+    right = _ts(spark, [(1, 100, "R100"), (1, 60, "R60"), (1, 120, "R120"),
+                        (3, 5, "R3")],
+                "k int, t long, rv string")
+    out = {r.lv: (r.r_rv, r.r_ts)
+           for r in asof_join(left, right, ["k"], right_prefix="r_")
+           .collect()}
+    # inclusive tie: left@100 matches right@100, not right@60
+    assert out["L1"][0] == "R100"
+    # left@50 precedes every right row for k=1 -> NULL (left-join semantics)
+    assert out["L0"][0] is None
+    # k=2 has no right rows at all -> NULL
+    assert out["L2"][0] is None
+
+
+def test_asof_plan_is_single_shuffle(spark):
+    left = _ts(spark, [(1, 100, 1.0)], "k int, t long, v double")
+    right = _ts(spark, [(1, 90, 2.0)], "k int, t long, w double")
+    plan = asof_join(left, right, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    # union-tag + window: exactly one exchange, and never a nested-loop /
+    # cartesian range join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_boundaries(spark):
+    # one shard; 3 docs of 3 tokens, budget 4: starts at 0,3,6 -> packs 0,0,1
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (8, "d e f"), (16, "g h i")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           pack_sequences(docs, budget_tokens=4, n_shards=1).collect()}
+    assert (out[0].pack_id, out[0].offset_in_pack) == (0, 0)
+    assert (out[8].pack_id, out[8].offset_in_pack) == (0, 3)
+    assert (out[16].pack_id, out[16].offset_in_pack) == (1, 2)
+    assert all(r.shard == 0 for r in out.values())
+
+
+def test_pack_sequences_sharding_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(40)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(docs).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(7)).collect()))
+    assert a == b                       # layout survives repartitioning
+    shards = {r[1] for r in a}
+    assert shards == set(range(8))      # doc_id mod 8
+
+
+def test_decontaminate_exact_ngram_containment(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "something with the quick brown fox inside"),   # 3-gram hit
+         (11, "quick brown wolf is different text entirely"),  # no 3-gram
+         (12, "the quick wolf brown fox non contiguous")],     # no 3-gram
+        "doc_id long, text string")
+    clean = sorted(r.doc_id for r in
+                   decontaminate(docs, bench, ngram=3).collect())
+    assert clean == [11, 12]
