@@ -1,7 +1,7 @@
-"""As-of (point-in-time) join — an operator the reference and Spark both
-lack natively (driver-mandated extension; DuckDB/kdb/pandas merge_asof
-semantics: for every left row, the single right row with the greatest
-right_ts <= left_ts for the same key).
+"""Temporal joins — as-of and bounded-range — operators the reference and
+Spark both lack natively (driver-mandated extension; DuckDB/kdb/pandas
+merge_asof semantics: for every left row, the single right row with the
+greatest right_ts <= left_ts for the same key).
 
 Spark-first plan: NOT a range theta-join (which Catalyst executes as a
 broadcast-nested-loop / cartesian per key — quadratic per key and a
@@ -63,3 +63,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in on],
         *[F.col(f"_r_{c}").alias(f"{right_prefix}{c}") for c in rpayload])
     return out
+
+
+def range_join(left: DataFrame, right: DataFrame, on: list[str],
+               lower_ms: int, upper_ms: int,
+               left_ts: str = "ts", right_ts: str = "ts",
+               right_prefix: str = "r_") -> DataFrame:
+    """Bounded-interval join: pairs with right_ts - left_ts in
+    [lower_ms, upper_ms] per key (e.g. "errors within 10 minutes after a
+    purchase").
+
+    Spark-first plan: a naive range predicate on a key-only equi-join
+    explodes per key and, keyless, degrades to a broadcast-nested-loop.
+    Here both sides are time-bucketed with bucket width >= the interval
+    span, the right timestamp shifted by -lower: a qualifying pair then
+    lands either in the same bucket or adjacent ones, so the LEFT side is
+    replicated exactly 2x (buckets b, b+1) and the join is a plain
+    equi-join on (key, bucket) + exact filter. Linear, shuffle on
+    (key, bucket) — time-skew (hot hours) spreads across buckets by
+    construction.
+    """
+    span_ms = upper_ms - lower_ms
+    if span_ms <= 0:
+        raise ValueError("upper_ms must exceed lower_ms")
+    width_us = span_ms * 1000
+    lo_us, hi_us = lower_ms * 1000, upper_ms * 1000
+
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    rpayload = [c for c in right.columns if c not in on]
+
+    l_b = (left
+           .withColumn("_us", l_us)
+           .withColumn("_bk", F.explode(F.array(
+               F.floor(F.col("_us") / width_us),
+               F.floor(F.col("_us") / width_us) + 1))))
+    r_b = (right
+           .select(*on, r_us.alias("_r_us"),
+                   *[F.col(c).alias(f"{right_prefix}{c}") for c in rpayload])
+           .withColumn("_bk", F.floor((F.col("_r_us") - lo_us) / width_us)))
+    joined = (l_b.join(r_b, [*on, "_bk"])
+              .where((F.col("_r_us") - F.col("_us") >= lo_us)
+                     & (F.col("_r_us") - F.col("_us") <= hi_us)))
+    # bucket-b/b+1 double-match is impossible (one bucket per right row),
+    # so no distinct needed
+    return joined.drop("_bk", "_us", "_r_us")

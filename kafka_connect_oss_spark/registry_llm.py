@@ -166,6 +166,71 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"))
 
 
+_CURATE_QUALITY_MIN = 0.7
+
+
+def _curated_oracle() -> str:
+    sh = H.word_shingles("t", _DECON_NGRAM, "duckdb")
+    hh = H.shingle_hashes(sh, "duckdb")
+    n_tok = "len(t)"
+    distinct_ratio = f"(len(list_distinct(t)) / CAST({n_tok} AS DOUBLE))"
+    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
+                  f" / CAST({n_tok} AS DOUBLE))")
+    quality = round_sql(
+        f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * "
+        f"{distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} "
+        f"> 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)
+    return f"""WITH tok AS (
+      SELECT doc_id, lang, text, {_DTOK} AS t FROM documents),
+    q AS (SELECT doc_id, {quality} AS quality FROM tok),
+    keepers AS (SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents) WHERE doc_id = keep),
+    bt AS (SELECT doc_id, t FROM tok WHERE doc_id < {_DECON_BENCH_BOUND}),
+    bh AS (SELECT DISTINCT unnest({hh}) AS h FROM bt),
+    ch AS (SELECT doc_id, unnest({hh}) AS h FROM tok
+           WHERE doc_id >= {_DECON_BENCH_BOUND}),
+    contaminated AS (SELECT DISTINCT ch.doc_id FROM ch JOIN bh USING (h)),
+    kept AS (
+      SELECT tok.doc_id, lang, CAST({n_tok} AS BIGINT) AS n_tokens
+      FROM tok JOIN q USING (doc_id) JOIN keepers USING (doc_id)
+      WHERE tok.doc_id >= {_DECON_BENCH_BOUND}
+        AND q.quality >= {_CURATE_QUALITY_MIN}
+        AND tok.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS n_tokens_total
+    FROM kept GROUP BY lang"""
+
+
+@register("corpus_curated", _curated_oracle())
+def corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training run
+    consumes: quality gate (Gopher-style heuristic) AND exact-dedup
+    keepers AND benchmark decontamination, then per-language token
+    accounting. Every stage is the individual operator chained: quality =
+    per-row expressions (narrow), exact dedup = one 16-byte-digest
+    shuffle, decontamination = broadcast hash filter (narrow) — the whole
+    pipeline adds ONE aggregation shuffle on top of the dedup digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TXT.quality_score(docs).select("doc_id", "quality")
+    keepers = (docs.groupBy(F.md5("text").alias("_m"))
+               .agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    bench = docs.where(F.col("doc_id") < _DECON_BENCH_BOUND)
+    train = docs.where(F.col("doc_id") >= _DECON_BENCH_BOUND)
+    clean = TXT.decontaminate(train, bench, ngram=_DECON_NGRAM)
+    tok = X.sql_tokens("text", "spark")
+    kept = (clean
+            .join(keepers, "doc_id", "semi")
+            .join(q, "doc_id")
+            .where(F.col("quality") >= _CURATE_QUALITY_MIN)
+            .select("doc_id", "lang",
+                    F.expr(f"size({tok})").cast("long").alias("n_tokens")))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("n_tokens_total"))
+
+
 _PACK_BUDGET = 4096
 _PACK_SHARDS = 8
 

@@ -208,6 +208,39 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_purchase_errors",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+    e AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error')
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+           (epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS delta_s
+    FROM p JOIN e ON p.user_id = e.user_id
+     AND epoch_us(e.ts) - epoch_us(p.ts) BETWEEN 0 AND 600000000""",
+)
+def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval join (operators/asof.range_join): every error a
+    user raised within 10 minutes AFTER a purchase — time-bucketed
+    equi-join (left side replicated exactly 2x), never a per-key range
+    scan; the oracle is DuckDB's plain inequality join."""
+    from kafka_connect_oss_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    e = (ev.where(F.col("event_type") == "error")
+         .select("event_id", "user_id", "ts"))
+    j = range_join(p, e, on=["user_id"], lower_ms=0, upper_ms=600_000,
+                   right_prefix="err_")
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("err_event_id").alias("error_id"),
+        "user_id",
+        F.floor((F.unix_micros("err_ts") - F.unix_micros("ts"))
+                / 1_000_000).cast("long").alias("delta_s"))
+
+
+@register(
     "events_hourly_rollup_approx",
     SK.kmv_oracle_sql(
         "hour, event_type", "CAST(user_id AS VARCHAR)",

@@ -102,6 +102,30 @@ def main() -> None:
         t0 = time.perf_counter()
         n = build().count()
         print(f"{name}: {time.perf_counter() - t0:6.2f}s  rows={n:,}")
+
+    # commit-rename scaling: phase 2 (thread-pooled metadata renames) must
+    # stay near-flat per file as file count grows 10x — the 100 TB commit
+    # is O(files/pool), not O(files) serialized
+    import shutil
+    import tempfile
+
+    from kafka_connect_oss_spark.config import PipelineConfig
+    from kafka_connect_oss_spark.sinks import commit_batch
+
+    for flush in (1000, 100):
+        workdir = tempfile.mkdtemp(prefix="probe_commit_")
+        try:
+            cfg = PipelineConfig(url=workdir, format="json",
+                                 flush_size=flush)
+            ev.count()                      # materialize input outside timing
+            t0 = time.perf_counter()
+            keys = commit_batch(ev, P.default_partition(F.col("partition")),
+                                cfg)
+            dt = time.perf_counter() - t0
+            print(f"commit_flush{flush}: {dt:6.2f}s  files={len(keys):,}  "
+                  f"({1000 * dt / max(len(keys), 1):.2f} ms/file)")
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
 
 

@@ -137,6 +137,27 @@ def test_avro_type_table_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_avro_streaming_ingest(spark, sf_dir, tmp_path):
+    # the full reference flow with the avro format: file-stream ->
+    # foreachBatch two-phase commit -> avro containers with offset-named
+    # keys -> independent read-back (TestDataWriterAvro end-to-end analog)
+    from kafka_connect_oss_spark.sources.files import events_file_stream
+    from kafka_connect_oss_spark.streaming.pipeline import IngestPipeline
+
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
+                         flush_size=600, avro_codec="deflate",
+                         checkpoint_location=str(tmp_path / "ckpt"))
+    pipe = IngestPipeline(cfg)
+    q = pipe.start(events_file_stream(spark, sf_dir), available_now=True)
+    q.awaitTermination(300)
+    assert pipe.committed and all(k.endswith(".avro") for k in pipe.committed)
+    back = read_committed(spark, cfg.url, cfg)
+    n = sink_records(spark, sf_dir).count()
+    assert back.count() == n
+    assert back.select("offset").distinct().count() * \
+        back.select("partition").distinct().count() >= n
+
+
 def test_avro_container_parses_with_reference_layout(spark, sf_dir, tmp_path):
     # structural check of the public container spec: magic, metadata keys,
     # block framing with trailing sync per block

@@ -43,6 +43,32 @@ def test_asof_plan_is_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_bounds_and_bucket_edges(spark):
+    from kafka_connect_oss_spark.operators.asof import range_join
+
+    # window [0, 10s]; pairs at exactly 0s, 10s included; 10.000001s out;
+    # timestamps chosen to straddle bucket boundaries (width = 10s)
+    left = _ts(spark, [(1, 100, "P")], "k int, t long, lv string")
+    right = _ts(spark, [(1, 100, "E0"), (1, 110, "E10"), (1, 111, "E11"),
+                        (1, 99, "Ebefore"), (2, 105, "Eotherkey")],
+                "k int, t long, rv string")
+    out = sorted(r.r_rv for r in
+                 range_join(left, right, ["k"], 0, 10_000,
+                            right_prefix="r_").collect())
+    assert out == ["E0", "E10"]
+
+
+def test_range_join_no_nested_loop(spark):
+    from kafka_connect_oss_spark.operators.asof import range_join
+
+    left = _ts(spark, [(1, 100, 1.0)], "k int, t long, v double")
+    right = _ts(spark, [(1, 105, 2.0)], "k int, t long, w double")
+    plan = range_join(left, right, ["k"], 0, 60_000)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pack_sequences_boundaries(spark):
     # one shard; 3 docs of 3 tokens, budget 4: starts at 0,3,6 -> packs 0,0,1
     docs = spark.createDataFrame(
