@@ -146,6 +146,97 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
             .where(F.col("rn") == 1).select(id_col, "cid"))
 
 
+PQ_M = 4          # subspaces
+PQ_CODES = 16     # centroids per subspace codebook
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
+                 k_codes: int = PQ_CODES, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: subvectors of the k_codes
+    lowest-id normalized vectors — the seed stand-in for per-subspace
+    KMeans (same swap point as ivf_centroids), keeping the index
+    SQL-expressible for the oracle. Tiny: m*k*(d/m) doubles collected once
+    and inlined as literals (the deploy-time model broadcast)."""
+    rows = (with_normalized(embeddings.where(F.col(id_col) < k_codes),
+                            vec_col)
+            .orderBy(id_col).select("nv").collect())
+    d = len(rows[0].nv)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [[list(r.nv[mi * sub:(mi + 1) * sub]) for r in rows]
+            for mi in range(m)]
+
+
+def _lit_vecs(cb_m: list[list[float]]) -> str:
+    """array<array<double>> literal (repr round-trips doubles exactly)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        for c in cb_m) + ")"
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """PQ build: quantize every vector to one code per subspace
+    (argmin L2 against the literal codebook) — a PURE NARROW pass, no
+    shuffle, no join: at 100 TB the encode is a projection over the scan
+    and the stored (id, code_0..m) index is m bytes/vector.
+
+    The argmin evaluates the 16-distance array ONCE per row:
+    zip_with(dists, 1..k, struct) + array_min picks (min dist, min j)
+    lexicographically — first-occurrence tie-break, matching the oracle's
+    ORDER BY dist, j."""
+    df = with_normalized(embeddings, vec_col)
+    sub = len(codebooks[0][0])
+    k = len(codebooks[0])
+    for mi, cb_m in enumerate(codebooks):
+        sv = f"slice(nv, {mi * sub + 1}, {sub})"
+        dists = (f"transform({_lit_vecs(cb_m)}, c -> aggregate("
+                 f"zip_with({sv}, c, (x, y) -> (x - y) * (x - y)), 0D, "
+                 f"(acc, v) -> acc + v))")
+        df = df.withColumn(
+            f"code_{mi}",
+            F.expr(f"array_min(zip_with({dists}, sequence(1, {k}), "
+                   f"(d, j) -> struct(d, j))).j").cast("int"))
+    return df
+
+
+def ann_pq_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                m: int = PQ_M, k_codes: int = PQ_CODES,
+                rerank_factor: int = 4, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """PQ-ANN top-k with ADC scoring + exact re-rank.
+
+    Asymmetric distance computation: approx_dot(q, v) = sum over
+    subspaces of dot(q_m, codebook[m][code_m(v)]) — for each corpus row
+    that is m table lookups + m short dots, ALL narrow (the classic PQ
+    property: the scan never touches full vectors, only codes). The top
+    rerank_factor*k by approx score are re-ranked by exact cosine —
+    rerank candidates are the only rows whose full vectors are read.
+    """
+    cbs = pq_codebooks(embeddings, m, k_codes, vec_col, id_col)
+    sub = len(cbs[0][0])
+    enc = pq_encode(embeddings, cbs, vec_col, id_col)
+    scored = enc.crossJoin(F.broadcast(query))
+    approx = None
+    for mi, cb_m in enumerate(cbs):
+        qsub = f"slice(qv, {mi * sub + 1}, {sub})"
+        term = F.expr(
+            f"aggregate(zip_with({qsub}, element_at({_lit_vecs(cb_m)}, "
+            f"code_{mi}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        approx = term if approx is None else approx + term
+    cand = (scored.withColumn("_approx", approx)
+            .orderBy(F.col("_approx").desc(), F.col(id_col))
+            .limit(rerank_factor * k))
+    return (cand.select(id_col,
+                        R.fround(F.col("_approx"), 6).alias("approx_score"),
+                        R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                        .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
 def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -453,6 +453,53 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
 
 
+def _pq_oracle(m: int = similarity.PQ_M, k_codes: int = similarity.PQ_CODES,
+               sub: int = 16, rerank: int = 40, k: int = 10) -> str:
+    # diff list written once per join row; l2 = dot(diff, diff) — the same
+    # elementwise-square + left-fold the Spark aggregate computes
+    diff = "list_transform(list_zip(s.sv, c.cv), p -> p[1] - p[2])"
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    ms AS (SELECT unnest(range(1, {m + 1})) AS m),
+    cb AS (SELECT ms.m, vec_id + 1 AS j,
+                  list_slice(nv, (ms.m - 1) * {sub} + 1, ms.m * {sub}) AS cv
+           FROM n, ms WHERE vec_id < {k_codes}),
+    subs AS (SELECT vec_id, ms.m,
+                    list_slice(nv, (ms.m - 1) * {sub} + 1, ms.m * {sub}) AS sv
+             FROM n, ms),
+    dists AS (SELECT s.vec_id, s.m, c.j,
+                     list_dot_product({diff}, {diff}) AS dist
+              FROM subs s JOIN cb c USING (m)),
+    codes AS (SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+               ORDER BY dist, j) AS rn FROM dists) WHERE rn = 1),
+    adc AS (SELECT co.vec_id,
+                   list_sum(list(list_dot_product(
+                       list_slice(q.qv, (co.m - 1) * {sub} + 1,
+                                  co.m * {sub}), cb.cv) ORDER BY co.m))
+                   AS approx_raw
+            FROM codes co JOIN cb ON cb.m = co.m AND cb.j = co.j, q
+            GROUP BY co.vec_id),
+    cand AS (SELECT vec_id, approx_raw FROM (
+        SELECT vec_id, approx_raw, ROW_NUMBER() OVER (
+               ORDER BY approx_raw DESC, vec_id) AS rn FROM adc)
+        WHERE rn <= {rerank})
+    SELECT e.vec_id, {round_sql('cand.approx_raw', 6)} AS approx_score,
+           {round_sql(_QDOT, 6)} AS cosine
+    FROM cand JOIN n e USING (vec_id), q
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}"""
+
+
+@register("sim_ann_pq_topk", _pq_oracle())
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.ann_pq_topk): the
+    memory-bound scale path — the corpus scan reads m-byte codes, ADC
+    scoring is codebook lookups, and only the top rerank candidates'
+    full vectors are touched for the exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.ann_pq_topk(emb, q, k=10)
+
+
 # --------------------------------------------------------------------------
 # corpus statistics + dedup application + multi-query kNN
 # --------------------------------------------------------------------------

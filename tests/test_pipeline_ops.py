@@ -92,6 +92,27 @@ def test_pack_sequences_sharding_is_deterministic(spark):
     assert shards == set(range(8))      # doc_id mod 8
 
 
+def test_pq_encode_codes_and_plan(spark, sf_dir):
+    from kafka_connect_oss_spark.operators import similarity
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    assert len(cbs) == similarity.PQ_M
+    assert all(len(cb) == similarity.PQ_CODES for cb in cbs)
+    enc = similarity.pq_encode(emb, cbs)
+    rows = enc.select("vec_id", *[f"code_{i}" for i in range(4)]).collect()
+    # codes in 1..16; codebook seed vectors quantize to themselves
+    for r in rows:
+        assert all(1 <= r[f"code_{i}"] <= 16 for i in range(4))
+    by_id = {r.vec_id: r for r in rows}
+    for j in range(similarity.PQ_CODES):
+        assert all(by_id[j][f"code_{i}"] == j + 1 for i in range(4))
+    # encode is a pure narrow projection: no exchange in the plan
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_decontaminate_exact_ngram_containment(spark):
     bench = spark.createDataFrame(
         [(0, "the quick brown fox jumps")], "doc_id long, text string")
