@@ -55,6 +55,21 @@ HEADLINE = [
     "multimodal_video_frames",
 ]
 
+#: the r01 suite above is preserved verbatim so `headline_r01_total`
+#: stays directly comparable round-over-round; round-2 operators append
+R01_COUNT = len(HEADLINE)
+HEADLINE += [
+    "r4_scheduled_rotation",
+    "e4_protobuf_decode",
+    "events_hourly_rollup_approx",
+    "asof_purchase_attribution",
+    "range_join_purchase_errors",
+    "corpus_decontaminated",
+    "corpus_curated",
+    "pack_training_sequences",
+    "sim_ann_pq_topk",
+]
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -140,6 +155,11 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "reps": reps,
+        # same-query-set total vs round 1 (the suite grew in round 2, so
+        # `value` alone is not comparable across rounds)
+        "headline_r01_total": round(
+            sum(timings[n] for n in HEADLINE[:R01_COUNT])
+            + timings["streaming_ingest_parquet"], 3),
         "sf": float(sf),
     }
     print(json.dumps(out))

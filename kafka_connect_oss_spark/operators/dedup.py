@@ -170,12 +170,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     signature from ONE fold (minhash_signature_array); verification
     shuffles long arrays, ~3x lighter than the raw shingles.
     """
-    # identity groups shuffle (id, 16-byte digest) only — text never moves
+    # identity groups shuffle (id, 16-byte digest) only — text never moves;
+    # members feeds FOUR branches (intra a/b, rep filter, expansion), so
+    # cache + eager count or each branch re-hashes the corpus
     keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
     groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"),
                                         F.count(F.lit(1)).alias("gn"))
     members = (keyed.join(groups, "_tmd5")
-               .select(id_col, "_tmd5", "rep", "gn"))
+               .select(id_col, "_tmd5", "rep", "gn").cache())
+    members.count()
 
     rep_docs = docs.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "semi")
@@ -264,8 +267,9 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     fp.count()
     groups = fp.groupBy("simhash").agg(F.min(id_col).alias("rep"),
                                        F.count(F.lit(1)).alias("gn"))
-    members = fp.join(groups, "simhash").select(id_col, "simhash", "rep",
-                                                "gn")
+    members = (fp.join(groups, "simhash")
+               .select(id_col, "simhash", "rep", "gn").cache())
+    members.count()
     reps = groups.select(F.col("rep").alias(id_col), "simhash")
 
     chunk_rows = ", ".join(

@@ -158,6 +158,25 @@ def test_avro_streaming_ingest(spark, sf_dir, tmp_path):
         back.select("partition").distinct().count() >= n
 
 
+def test_avro_compaction(spark, sf_dir, tmp_path):
+    # small-file compaction through the avro read+write paths: rewrite to
+    # fewer containers, identical rows, idempotent keys (the parquet
+    # compaction contract, exercised against the pure-Python format)
+    from kafka_connect_oss_spark.sinks import compact_committed
+
+    cfg = PipelineConfig(url=str(tmp_path), format="avro", flush_size=100)
+    rec = sink_records(spark, sf_dir)
+    small = commit_batch(rec, _default_enc(), cfg)
+    assert len(small) >= 8
+    new_keys = compact_committed(spark, str(tmp_path), cfg,
+                                 target_records_per_file=10_000)
+    assert len(new_keys) < len(small)
+    back = read_committed(spark, str(tmp_path), cfg)
+    assert back.count() == rec.count()
+    assert back.agg(F.sum("offset")).first()[0] == \
+        rec.agg(F.sum("offset")).first()[0]
+
+
 def test_avro_container_parses_with_reference_layout(spark, sf_dir, tmp_path):
     # structural check of the public container spec: magic, metadata keys,
     # block framing with trailing sync per block
