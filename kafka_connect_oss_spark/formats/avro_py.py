@@ -37,6 +37,7 @@ import zlib
 from hashlib import md5
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
@@ -580,15 +581,24 @@ def write_staged(df: DataFrame, path: str, codec: str = "null") -> int:
 
 def read_avro(spark: SparkSession, glob: str) -> DataFrame:
     """Distributed container read: binaryFile scan + mapInPandas decode.
-    The driver reads ONE header to learn the schema; record payloads are
-    decoded on executors."""
+
+    The driver reads ONE header — the most recently written file's — to
+    fix the target schema; record payloads are decoded on executors.
+    Schema-evolved layouts (BACKWARD adds fields over time) therefore
+    read like parquet's mergeSchema-lite: every file projects onto the
+    newest schema, older files' missing fields decode as NULL and fields
+    the target dropped are ignored. (A full union-of-all-schemas read
+    would need every header — O(files) driver reads — which the newest-
+    file rule avoids while matching BACKWARD evolution semantics.)
+    """
     import pandas as pd
 
     from kafka_connect_oss_spark.shipping import ensure_package_on_executors
     ensure_package_on_executors(spark)
 
     files = spark.read.format("binaryFile").load(glob)
-    head = files.select("content").limit(1).collect()
+    head = (files.orderBy(F.col("modificationTime").desc(), F.col("path"))
+            .select("content").limit(1).collect())
     if not head:
         raise FileNotFoundError(f"no avro files match {glob}")
     avro_schema, _, _, _ = read_header(bytes(head[0].content))
@@ -599,7 +609,11 @@ def read_avro(spark: SparkSession, glob: str) -> DataFrame:
         for pdf in batches:
             for content in pdf["content"]:
                 _, records = read_container(bytes(content))
-                yield pd.DataFrame(records, columns=names)
+                # reindex onto the target schema: evolution-added fields
+                # absent in old files come back as nulls, dropped fields
+                # are discarded
+                out = pd.DataFrame(records, columns=names)
+                yield out.astype(object).where(out.notna(), None)
 
     return files.select("content").mapInPandas(decode, out_schema)
 

@@ -347,21 +347,26 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     edges.count()
     labels = docs.select(F.col(id_col).alias("node"),
                          F.col(id_col).alias("label"))
+    prev_cached = None
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
+        # carry the previous label through the update so convergence is
+        # read off the SAME materialization — one action and one join per
+        # round instead of two of each
         updated = (labels.join(neighbor_min,
                                labels.node == neighbor_min.src, "left")
-                   .select(F.col("node"),
+                   .select(F.col("node"), F.col("label").alias("_prev"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"), F.col("label")))
                            .alias("label")).cache())
-        updated.count()  # materialize before comparing (and cut lineage)
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-                   .where(F.col("u.label") != F.col("l.label")).count())
-        labels.unpersist()  # no-op on the uncached initial frame
-        labels = updated
+        changed = updated.where(F.col("label") != F.col("_prev")).count()
+        if prev_cached is not None:
+            # blocking: never drop blocks while a next-round job could
+            # still be scheduling against the old frame
+            prev_cached.unpersist(True)
+        prev_cached = updated
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     return labels.select(

@@ -158,6 +158,33 @@ def test_avro_streaming_ingest(spark, sf_dir, tmp_path):
         back.select("partition").distinct().count() >= n
 
 
+def test_avro_schema_evolution_read(spark, tmp_path):
+    # BACKWARD evolution across commits: a later batch adds a field; the
+    # reader targets the newest file's schema and older files' missing
+    # fields decode as NULL (mergeSchema-lite, avro_py.read_avro)
+    import time as _time
+
+    v1 = spark.createDataFrame(
+        [("events", 0, o, f"u{o}") for o in range(20)],
+        "topic string, partition int, offset long, name string")
+    v2 = spark.createDataFrame(
+        [("events", 0, o, f"u{o}", o * 10) for o in range(20, 40)],
+        "topic string, partition int, offset long, name string, score long")
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
+                         flush_size=50)
+    commit_batch(v1, _default_enc(), cfg)
+    _time.sleep(1.1)                     # newest-file rule needs mtime order
+    commit_batch(v2, _default_enc(), cfg)
+    back = read_committed(spark, cfg.url, cfg)
+    assert set(back.columns) >= {"topic", "partition", "offset", "name",
+                                 "score"}
+    assert back.count() == 40
+    old = back.where(F.col("offset") < 20)
+    assert old.where(F.col("score").isNull()).count() == 20
+    new = back.where(F.col("offset") >= 20)
+    assert new.where(F.col("score") == F.col("offset") * 10).count() == 20
+
+
 def test_avro_compaction(spark, sf_dir, tmp_path):
     # small-file compaction through the avro read+write paths: rewrite to
     # fewer containers, identical rows, idempotent keys (the parquet

@@ -64,3 +64,17 @@ def test_ann_lsh_is_subset_of_bruteforce_universe(spark, sf_dir):
     assert exact[0].vec_id == 0 and exact[0].cosine == 1.0  # self is top-1
     assert 0 in {r.vec_id for r in ann}      # query's own bucket contains it
     assert all(-1.0 <= r.cosine <= 1.0 for r in ann)
+
+
+def test_dedup_clusters_repeatable(spark, sf_dir):
+    # guard against nondeterminism in the iterative CC loop (cache/
+    # convergence races): two independent runs must produce the identical
+    # (doc_id, cluster_id, is_representative) set
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    def run():
+        spark.catalog.clearCache()
+        pairs = dedup.lsh_candidate_pairs(docs, jaccard_threshold=0.3)
+        return sorted(map(tuple, dedup.dedup_clusters(docs, pairs).collect()))
+    assert run() == run()
