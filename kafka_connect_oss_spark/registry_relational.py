@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_oss_spark.functions import hashing as H
 from kafka_connect_oss_spark.operators import sketches as SK
 from kafka_connect_oss_spark.registry import register
 from kafka_connect_oss_spark.sources.batch import load_table
@@ -241,6 +242,48 @@ def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_signup_funnel",
+    """WITH s AS (
+      SELECT user_id, MIN(ts) AS ts_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_click
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.ts_signup
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after""",
+)
+def events_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (signup -> later click -> later purchase,
+    earliest qualifying event each step): three groupBy-min aggregations,
+    each joined forward on user_id — the per-step frames shrink
+    monotonically, every shuffle is keyed by user_id, and nothing ever
+    sorts event history per user (no window over the raw stream)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type",
+                                                    "ts")
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("ts_signup")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .where(F.col("ts") > F.col("ts_signup"))
+         .groupBy("user_id").agg(F.min("ts").alias("ts_click")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") > F.col("ts_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("ts_purchase")))
+    return (s.agg(F.count(F.lit(1)).alias("n_signup"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+
+
+@register(
     "events_hourly_rollup_approx",
     SK.kmv_oracle_sql(
         "hour, event_type", "CAST(user_id AS VARCHAR)",
@@ -429,6 +472,41 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = F.expr(_cents("value"))
     return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile(cents, F.lit(q)) / 100.0, 4)
+                   .alias(f"p{int(q * 100)}") for q in (0.5, 0.9, 0.99)]))
+
+
+#: deterministic-sample percentile: keep hash-slot < rate% of rows —
+#: content-stable like corpus_mixture_sample, so re-runs and the oracle
+#: see the identical sample
+_PCT_SAMPLE_RATE = 20
+_PCT_HASH_DUCK = H.base_hash("CAST(event_id AS VARCHAR)", "duckdb")
+_PCT_COLS = ", ".join(
+    f"ROUND(quantile_cont({_cents('value')}, {q}) / 100.0, 4) "
+    f"AS p{int(q * 100)}" for q in (0.5, 0.9, 0.99))
+
+
+@register(
+    "events_value_percentiles_sampled",
+    f"""WITH sampled AS (
+      SELECT event_type, value FROM events
+      WHERE {_PCT_HASH_DUCK} % 100 < {_PCT_SAMPLE_RATE})
+    SELECT event_type, {_PCT_COLS}
+    FROM sampled GROUP BY event_type""",
+)
+def events_value_percentiles_sampled(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The bounded-memory percentile path: exact percentiles over a
+    deterministic hash sample (content-stable slots — identical sample on
+    re-runs and in the oracle, unlike rand() sampling). At 100 TB the
+    sample rate caps per-group sort memory while the estimator stays
+    fully reproducible; the exact form (`events_value_percentiles`) and
+    t-digest approx_percentile are the companions."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = F.expr(H.base_hash("CAST(event_id AS STRING)", "spark")) % 100
+    sampled = ev.where(slot < _PCT_SAMPLE_RATE)
+    cents = F.expr(_cents("value"))
+    return (sampled.groupBy("event_type")
             .agg(*[F.round(F.percentile(cents, F.lit(q)) / 100.0, 4)
                    .alias(f"p{int(q * 100)}") for q in (0.5, 0.9, 0.99)]))
 
