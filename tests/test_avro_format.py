@@ -158,6 +158,42 @@ def test_avro_streaming_ingest(spark, sf_dir, tmp_path):
         back.select("partition").distinct().count() >= n
 
 
+def test_avro_interleaved_field_partitions(spark, sf_dir, tmp_path):
+    # TestDataWriterAvro.java:140-153 mirror through the avro format with
+    # rotation OFF: interleaved field-partitioned records share commit
+    # groups, one container per (group, encodedPartition), rows in offset
+    # order inside each container
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
+                         flush_size=400, partitioner="field",
+                         partition_field_name="event_type")
+    rec = sink_records(spark, sf_dir)
+    from kafka_connect_oss_spark.streaming.pipeline import (
+        encoded_partition_column)
+    keys = commit_batch(rec, encoded_partition_column(cfg), cfg)
+    assert keys and all("/event_type=" in k for k in keys)
+    back = read_committed(spark, cfg.url, cfg)
+    assert back.count() == rec.count()
+    # per-container offset ordering (the reference's FIFO write order)
+    first = tmp_path / "out" / keys[0]
+    _, records = avro_py.read_container(first.read_bytes())
+    offs = [r["offset"] for r in records]
+    assert offs == sorted(offs)
+
+
+def test_avro_corrupt_container_rejected(spark, sf_dir, tmp_path):
+    # bad magic and broken sync must fail loudly, never decode garbage
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
+                         flush_size=1000)
+    rec = sink_records(spark, sf_dir).limit(50)
+    keys = commit_batch(rec, _default_enc(), cfg)
+    data = bytearray((tmp_path / "out" / keys[0]).read_bytes())
+    with pytest.raises(ValueError, match="magic"):
+        avro_py.read_container(b"NOPE" + bytes(data[4:]))
+    data[-1] ^= 0xFF                       # clobber the trailing sync
+    with pytest.raises(ValueError, match="sync"):
+        avro_py.read_container(bytes(data))
+
+
 def test_avro_schema_evolution_read(spark, tmp_path):
     # BACKWARD evolution across commits: a later batch adds a field; the
     # reader targets the newest file's schema and older files' missing
