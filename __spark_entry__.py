@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import kafka_connect_oss_spark.registry_llm  # noqa: E402,F401 (registers entries)
 import kafka_connect_oss_spark.registry_multimodal  # noqa: E402,F401 (registers entries)
 import kafka_connect_oss_spark.registry_relational  # noqa: E402,F401 (registers entries)
+import kafka_connect_oss_spark.registry_tpch  # noqa: E402,F401 (registers entries)
 from kafka_connect_oss_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
