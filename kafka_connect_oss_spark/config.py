@@ -14,8 +14,10 @@ from dataclasses import dataclass, field
 VALID_FORMATS = ("json", "avro", "parquet", "parquet-json", "bytearray")
 #: wrapper compression for json/bytearray (reference: storage/CompressionType.java:38-74, F6)
 VALID_COMPRESSION = ("none", "gzip")
-#: avro container codecs (reference: AvroRecordWriterProvider.java avro.codec, F2)
-VALID_AVRO_CODECS = ("null", "deflate", "snappy", "bzip2")
+#: avro container codecs (reference: AvroRecordWriterProvider.java:72 —
+#: CodecFactory.fromString, which also accepts "xz"; the recommender lists
+#: the first four)
+VALID_AVRO_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
 #: schema compatibility modes (reference: README.md:127-142, E1)
 VALID_COMPATIBILITY = ("NONE", "BACKWARD", "FORWARD", "FULL")
 #: partitioner surface (reference: OSSSinkConnectorConfiguration.java:110-118, P2-P4)

@@ -14,9 +14,11 @@ directly (https://avro.apache.org/docs/current/specification/):
 * the object container layout — ``Obj\\x01`` magic, metadata map carrying
   avro.schema / avro.codec, 16-byte sync marker, record blocks framed as
   (count, byteSize, payload, sync);
-* codecs ``null`` and ``deflate`` (raw RFC-1951 via zlib, wbits=-15);
-  ``snappy``/``bzip2`` raise a clear error (no snappy lib in this
-  container), mirroring CodecFactory's failure on unknown codecs.
+* codecs ``null``, ``deflate`` (raw RFC-1951 via zlib, wbits=-15),
+  ``bzip2`` (stdlib bz2) and ``xz`` (stdlib lzma, FORMAT_XZ) — the four
+  spec codecs expressible without third-party libs; ``snappy`` raises a
+  clear error (no snappy lib in this container), mirroring
+  CodecFactory's failure on unknown codecs.
 
 Scale posture: encoding runs inside ``applyInPandas`` on executors — one
 Arrow batch per committed file, payload bytes never visit the driver — and
@@ -30,8 +32,10 @@ reference's determinism contract (README.md:119-125).
 
 from __future__ import annotations
 
+import bz2
 import io
 import json
+import lzma
 import struct
 import zlib
 from hashlib import md5
@@ -42,7 +46,7 @@ from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
 #: codecs the pure-Python writer supports (CodecFactory analog)
-SUPPORTED_CODECS = ("null", "deflate")
+SUPPORTED_CODECS = ("null", "deflate", "bzip2", "xz")
 _BLOCK_RECORDS = 4096
 
 
@@ -430,7 +434,7 @@ def write_container(rows: list[dict], avro_schema: dict,
     if codec not in SUPPORTED_CODECS:
         raise RuntimeError(
             f"avro codec {codec!r} not available in this environment "
-            f"(no snappy/bzip2 libs); supported: {SUPPORTED_CODECS}")
+            f"(no snappy lib); supported: {SUPPORTED_CODECS}")
     schema_json = json.dumps(avro_schema, sort_keys=True)
     enc = make_encoder(avro_schema)
 
@@ -460,7 +464,7 @@ def write_container(rows: list[dict], avro_schema: dict,
     _write_long(out, 0)                              # end of map
     out += sync
     for count, raw in raw_blocks:
-        payload = raw if codec == "null" else _deflate(raw)
+        payload = _CODEC_ENCODE[codec](raw)
         _write_long(out, count)
         _write_long(out, len(payload))
         out += payload
@@ -471,6 +475,22 @@ def write_container(rows: list[dict], avro_schema: dict,
 def _deflate(raw: bytes) -> bytes:
     c = zlib.compressobj(9, zlib.DEFLATED, -15)      # raw RFC-1951
     return c.compress(raw) + c.flush()
+
+
+# block transforms per the Avro 1.11 container spec (all deterministic:
+# fixed compression parameters, no timestamps in any of these formats)
+_CODEC_ENCODE = {
+    "null": lambda raw: raw,
+    "deflate": _deflate,
+    "bzip2": lambda raw: bz2.compress(raw, 9),
+    "xz": lambda raw: lzma.compress(raw, format=lzma.FORMAT_XZ, preset=6),
+}
+_CODEC_DECODE = {
+    "null": lambda payload: payload,
+    "deflate": lambda payload: zlib.decompress(payload, -15),
+    "bzip2": bz2.decompress,
+    "xz": lzma.decompress,
+}
 
 
 def read_header(data: bytes) -> tuple[dict, str, int, bytes]:
@@ -507,10 +527,9 @@ def read_container(data: bytes) -> tuple[dict, list]:
         payload = r.read_raw(size)
         if bytes(r.read_raw(16)) != sync:
             raise ValueError("sync marker mismatch (corrupt container)")
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        elif codec != "null":
+        if codec not in _CODEC_DECODE:
             raise RuntimeError(f"cannot decode avro codec {codec!r}")
+        payload = _CODEC_DECODE[codec](payload)
         br = _Reader(payload)
         for _ in range(count):
             records.append(dec(br))

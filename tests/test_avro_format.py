@@ -68,6 +68,28 @@ def test_avro_idempotent_reupload_byte_identical(spark, sf_dir, tmp_path):
         assert (tmp_path / "out" / k).read_bytes() == before[k]
 
 
+@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+def test_avro_stdlib_codec_roundtrip(spark, sf_dir, tmp_path, codec):
+    # remaining spec codecs expressible without third-party libs
+    # (TestDataWriterAvro.java:154-167 codec matrix; bzip2 is in the
+    # reference's recommender list, xz in CodecFactory.fromString)
+    cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
+                         flush_size=1500, avro_codec=codec)
+    rec = sink_records(spark, sf_dir)
+    keys = commit_batch(rec, _default_enc(), cfg)
+    back = read_committed(spark, cfg.url, cfg)
+    assert back.count() == rec.count()
+    first = tmp_path / "out" / keys[0]
+    schema, got_codec, _, _ = avro_py.read_header(first.read_bytes())
+    assert got_codec == codec
+    # blocks must really be compressed, not just labeled
+    raw_cfg = PipelineConfig(url=str(tmp_path / "raw"), format="avro",
+                             flush_size=1500, avro_codec="null")
+    raw_keys = commit_batch(rec, _default_enc(), raw_cfg)
+    assert (first.stat().st_size
+            < (tmp_path / "raw" / raw_keys[0]).stat().st_size)
+
+
 def test_avro_snappy_codec_gated(spark, sf_dir, tmp_path):
     # CodecFactory analog: unknown/unavailable codecs fail loudly
     cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
