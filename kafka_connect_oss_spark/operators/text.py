@@ -76,6 +76,54 @@ def language_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule-style repetition signals (public recipe: Rae et al. 2021
+    §A1.1 'repetitious text' filters, word-level):
+
+    * ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word n-grams
+      that are repeats of an earlier n-gram (1 - distinct/total);
+    * ``top_token_frac`` — share of the most frequent token;
+    * ``is_repetitive`` — the composite drop flag.
+
+    The n-gram fractions are narrow per-row expressions (size /
+    array_distinct over a shingle array — no shuffle). The top-token share
+    is the one genuinely aggregate signal: explode -> two-level partial
+    agg keyed by doc_id, which shuffles (doc_id, token-hash) pairs only —
+    at 100 TB that is the standard word-count shape, never a per-doc sort.
+    All ratios exact rationals rounded identically to the oracle."""
+    tok = X.sql_tokens(text_col, "spark")
+    sh2 = H.word_shingles(tok, 2, "spark")
+    sh3 = H.word_shingles(tok, 3, "spark")
+    base = docs.select(
+        id_col,
+        F.expr(f"size({tok})").alias("n_tokens"),
+        F.expr(f"size({sh2})").alias("n2"),
+        F.expr(f"size(array_distinct({sh2}))").alias("d2"),
+        F.expr(f"size({sh3})").alias("n3"),
+        F.expr(f"size(array_distinct({sh3}))").alias("d3"),
+    )
+    top = (docs.select(id_col, F.explode(F.expr(tok)).alias("w"))
+           .groupBy(id_col, "w").count()
+           .groupBy(id_col).agg(F.max("count").alias("top_cnt")))
+    dup2 = R.fround(F.when(F.col("n2") == 0, F.lit(0.0)).otherwise(
+        (F.col("n2") - F.col("d2")) / F.col("n2").cast("double")), 4)
+    dup3 = R.fround(F.when(F.col("n3") == 0, F.lit(0.0)).otherwise(
+        (F.col("n3") - F.col("d3")) / F.col("n3").cast("double")), 4)
+    topf = R.fround(F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("top_cnt"), F.lit(0)) /
+        F.col("n_tokens").cast("double")), 4)
+    return (base.join(top, id_col, "left")
+            .select(id_col, "n_tokens",
+                    dup2.alias("dup_2gram_frac"),
+                    dup3.alias("dup_3gram_frac"),
+                    topf.alias("top_token_frac"))
+            .withColumn("is_repetitive",
+                        F.when((F.col("dup_2gram_frac") > 0.6) |
+                               (F.col("top_token_frac") > 0.2),
+                               F.lit(1)).otherwise(F.lit(0))))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 (content identity) + polynomial rolling
