@@ -33,6 +33,7 @@ reference's determinism contract (README.md:119-125).
 from __future__ import annotations
 
 import bz2
+import datetime
 import io
 import json
 import lzma
@@ -224,10 +225,16 @@ def make_encoder(avro):
     lt = avro.get("logicalType")
     if lt == "timestamp-micros":
         def enc_ts(buf, v):
-            # pd.Timestamp/.value is ns; datetime via .timestamp() loses
-            # precision past micros — prefer the ns attribute when present
+            # pd.Timestamp/.value is ns; plain datetimes go through an
+            # explicit UTC epoch delta — .timestamp() would interpret a
+            # naive datetime in the executor's local timezone and round
+            # through float
             ns = getattr(v, "value", None)
-            us = ns // 1000 if ns is not None else int(v.timestamp() * 1e6)
+            if ns is not None:
+                us = ns // 1000
+            else:
+                epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                us = (v - epoch) // datetime.timedelta(microseconds=1)
             _write_long(buf, us)
         return enc_ts
     if lt == "date":

@@ -32,36 +32,51 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               right_prefix: str = "r_") -> DataFrame:
     """Backward as-of join: left columns + the latest right row's columns
     (prefixed) whose right_ts <= left_ts per `on` key. Left rows with no
-    prior right row keep NULL right columns (left-join semantics)."""
+    prior right row keep NULL right columns (left-join semantics).
+
+    The matched right row is carried as ONE struct (not per-column
+    ``last()`` calls): a right row whose payload columns include legitimate
+    NULLs must still be matched atomically — independent per-column
+    carries would stitch together a composite row that never existed.
+    Ties among equal right timestamps are broken deterministically by a
+    content hash of the right payload (largest wins), so re-runs and
+    retries pick the same row regardless of partitioning.
+    """
     lcols = [c for c in left.columns]
     rpayload = [c for c in right.columns if c not in on]
+
+    r_struct = F.struct(*[F.col(c).alias(c) for c in rpayload])
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
 
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tie"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in on],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in rpayload])
+        F.lit(None).cast(r_struct_type).alias("_r"))
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        F.xxhash64(r_struct).alias("_tie"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols if c not in on],
-        *[F.col(c).alias(f"_r_{c}") for c in rpayload])
+        r_struct.alias("_r"))
 
-    w = (Window.partitionBy(*on).orderBy("_ts", "_side")
+    # _side orders right rows (0) before left rows (1) at equal ts ->
+    # inclusive match; _tie makes the winner among equal-ts right rows
+    # deterministic (last() takes the max-hash row).
+    w = (Window.partitionBy(*on).orderBy("_ts", "_side", "_tie")
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = l_tagged.unionByName(r_tagged).select(
         *on, "_ts", "_side",
         *[F.col(f"_l_{c}") for c in lcols if c not in on],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-          for c in rpayload])
+        F.last("_r", ignorenulls=True).over(w).alias("_r"))
     out = carried.where(F.col("_side") == 1).select(
         *on,
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in on],
-        *[F.col(f"_r_{c}").alias(f"{right_prefix}{c}") for c in rpayload])
+        *[F.col(f"_r.{c}").alias(f"{right_prefix}{c}") for c in rpayload])
     return out
 
 

@@ -47,9 +47,11 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], key_col: str,
               .agg(F.slice(F.array_sort(F.flatten(F.collect_list("ph"))),
                            1, k).alias("kmins"),
                    F.sum("pn").alias("exact_distinct")))
+    # deterministic output order: per-group sketches are few rows, and an
+    # unordered small aggregate's row order is partitioning-dependent
     return merged.select(
         *group_cols, "exact_distinct",
-        kmv_estimate_col(k).alias("kmv_estimate"))
+        kmv_estimate_col(k).alias("kmv_estimate")).orderBy(*group_cols)
 
 
 def kmv_estimate_col(k: int = KMV_K) -> Column:
@@ -81,4 +83,4 @@ def kmv_oracle_sql(group_cols_sql: str, key_sql: str, from_sql: str,
                 ELSE ROUND(({k} - 1) * {HASH_SPACE} / MAX(hv), 4)
            END AS kmv_estimate
     FROM ranked WHERE rnk <= {k}
-    GROUP BY {group_cols_sql}, n_exact"""
+    GROUP BY {group_cols_sql}, n_exact ORDER BY {group_cols_sql}"""

@@ -124,7 +124,9 @@ def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < _DECON_BENCH_BOUND)
     train = docs.where(F.col("doc_id") >= _DECON_BENCH_BOUND)
-    clean = TXT.decontaminate(train, bench, ngram=_DECON_NGRAM)
+    clean = TXT.decontaminate(
+        train, bench, ngram=_DECON_NGRAM,
+        bench_cache_key=(sf_dir, "documents_bench", _DECON_BENCH_BOUND))
     return clean.select("doc_id", "n_chars")
 
 
@@ -145,7 +147,7 @@ _MIX_DEFAULT = 25
     FROM keyed
     WHERE slot < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
                  ELSE {_MIX_DEFAULT} END
-    GROUP BY lang""",
+    GROUP BY lang ORDER BY lang""",
 )
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based mixture sampling: each language keeps a
@@ -160,10 +162,11 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, pct in reversed(_MIX_RATES.items()):
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
     sampled = docs.where(slot < rate)
-    return sampled.groupBy("lang").agg(
+    return (sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"))
+        .orderBy("lang"))
 
 
 _CURATE_QUALITY_MIN = 0.7
@@ -198,8 +201,9 @@ def _curated_oracle() -> str:
       WHERE tok.doc_id >= {_DECON_BENCH_BOUND}
         AND q.quality >= {_CURATE_QUALITY_MIN}
         AND tok.doc_id NOT IN (SELECT doc_id FROM contaminated))
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS n_tokens_total
-    FROM kept GROUP BY lang"""
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM kept GROUP BY lang ORDER BY lang"""
 
 
 @register("corpus_curated", _curated_oracle())
@@ -218,7 +222,9 @@ def corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id"))
     bench = docs.where(F.col("doc_id") < _DECON_BENCH_BOUND)
     train = docs.where(F.col("doc_id") >= _DECON_BENCH_BOUND)
-    clean = TXT.decontaminate(train, bench, ngram=_DECON_NGRAM)
+    clean = TXT.decontaminate(
+        train, bench, ngram=_DECON_NGRAM,
+        bench_cache_key=(sf_dir, "documents_bench", _DECON_BENCH_BOUND))
     tok = X.sql_tokens("text", "spark")
     kept = (clean
             .join(keepers, "doc_id", "semi")
@@ -226,9 +232,13 @@ def corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("quality") >= _CURATE_QUALITY_MIN)
             .select("doc_id", "lang",
                     F.expr(f"size({tok})").cast("long").alias("n_tokens")))
-    return kept.groupBy("lang").agg(
+    # deterministic output order: a 5-row aggregate's row order is
+    # otherwise partitioning-dependent, and the driver's value hash is
+    # order-sensitive (the round-2 red row)
+    return (kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").alias("n_tokens_total"))
+        .orderBy("lang"))
 
 
 _PACK_BUDGET = 4096
@@ -554,7 +564,7 @@ def _cleaned_corpus_oracle() -> str:
     SELECT d.lang, COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS n_kept
     FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
-    GROUP BY d.lang"""
+    GROUP BY d.lang ORDER BY d.lang"""
 
 
 @register("dedup_cleaned_corpus", _cleaned_corpus_oracle())
@@ -578,7 +588,8 @@ def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "doc_id", "left")
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_kept")))
+                 F.count(F.when(F.col("_drop").isNull(), 1)).alias("n_kept"))
+            .orderBy("lang"))
 
 
 def _knn_join_oracle(n_queries: int = 4, k: int = 5) -> str:

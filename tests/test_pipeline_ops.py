@@ -113,6 +113,65 @@ def test_pq_encode_codes_and_plan(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_asof_null_payload_carried_atomically(spark):
+    # a right row with a legitimately NULL payload column must be matched
+    # as a whole row — never stitched with an older row's non-null value
+    left = _ts(spark, [(1, 100, "L")], "k int, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 50, "old", 5), (1, 90, None, 9)],
+        "k int, t long, rv string, rn int").withColumn(
+        "ts", F.col("t").cast("timestamp")).drop("t")
+    row = asof_join(left, right, ["k"], right_prefix="r_").collect()[0]
+    # the matched row IS the ts=90 row: rv NULL, rn 9 — not (old, 9)
+    assert row.r_rv is None
+    assert row.r_rn == 9
+
+
+def test_asof_equal_ts_tie_is_deterministic(spark):
+    # two right rows at the identical timestamp: the winner must be the
+    # same row on every run/partitioning (content-hash tie-break)
+    left = _ts(spark, [(1, 100, "L")], "k int, t long, lv string")
+    right = _ts(spark, [(1, 100, "A"), (1, 100, "B")],
+                "k int, t long, rv string")
+    picks = set()
+    for reparted in (right, right.repartition(5), right.repartition(2)):
+        for _ in range(2):
+            picks.add(asof_join(left, reparted, ["k"], right_prefix="r_")
+                      .collect()[0].r_rv)
+    assert len(picks) == 1
+
+
+def test_benchmark_hashes_python_matches_spark_expression(spark):
+    # the driver-side Python fold must be bit-identical to the generated
+    # Spark expression chain it replaced (md5 -> first-15-hex fold over
+    # word 3-gram shingles)
+    from kafka_connect_oss_spark.functions import hashing as H
+    from kafka_connect_oss_spark.operators.text import benchmark_ngram_hashes
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "  doubled  spaces   and trailing "),
+         (2, "unicode café naïve 中文 tokens here"),
+         (3, "short"), (4, None), (5, "")],
+        "doc_id long, text string")
+    tok = "filter(split(text, ' '), tt -> tt <> '')"
+    sh = H.word_shingles(tok, 3, "spark")
+    spark_hashes = sorted(
+        r.h for r in bench.where(F.col("text").isNotNull())
+        .select(F.explode(F.expr(H.shingle_hashes(sh, "spark")))
+                .alias("h")).distinct().collect())
+    assert benchmark_ngram_hashes(bench, ngram=3) == spark_hashes
+
+
+def test_decontaminate_empty_benchmark_passes_all(spark):
+    docs = spark.createDataFrame(
+        [(10, "some text here ok")], "doc_id long, text string")
+    for bench_rows in ([], [(0, "too short")], [(1, None)]):
+        bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+        out = decontaminate(docs, bench, ngram=3).collect()
+        assert [r.doc_id for r in out] == [10]
+
+
 def test_decontaminate_exact_ngram_containment(spark):
     bench = spark.createDataFrame(
         [(0, "the quick brown fox jumps")], "doc_id long, text string")
