@@ -1,0 +1,86 @@
+"""Driver CORRECTNESS-window discipline.
+
+The driver samples the FIRST 50 queries in queries() dict order. Round 2
+silently evicted 8 previously-green queries by registering new ones ahead
+of them; these invariants make that impossible to repeat:
+
+* the curated DRIVER_WINDOW fills the sample window exactly (every name
+  valid, no duplicates, at most 50);
+* every query that has never had a driver CORRECTNESS row in a previous
+  round IS in the current window;
+* every registered query is attested somewhere: a green row in a past
+  round's CORRECTNESS file, or a seat in the current window.
+"""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER_SAMPLE = 50
+
+
+def _entry():
+    import __spark_entry__ as e
+    return e
+
+
+def _past_rounds() -> dict[str, dict]:
+    rows: dict[str, dict] = {}
+    for n in range(1, 30):
+        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                # later rounds win; a red row overwrites older green
+                rows[name] = row
+    return rows
+
+
+def test_window_names_valid_and_within_sample():
+    e = _entry()
+    qs = e.queries()
+    assert len(e.DRIVER_WINDOW) <= DRIVER_SAMPLE
+    assert len(set(e.DRIVER_WINDOW)) == len(e.DRIVER_WINDOW)
+    missing = [n for n in e.DRIVER_WINDOW if n not in qs]
+    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
+    assert list(qs)[:len(e.DRIVER_WINDOW)] == e.DRIVER_WINDOW
+
+
+def test_every_query_attested_past_or_windowed():
+    e = _entry()
+    qs = e.queries()
+    window = set(list(qs)[:DRIVER_SAMPLE])
+    past = _past_rounds()
+    green = {n for n, r in past.items()
+             if r.get("rows_match") and r.get("schema_match")
+             and r.get("hash_match")}
+    orphans = [n for n in qs if n not in green and n not in window]
+    assert not orphans, (
+        f"queries with no driver row in any round and no seat in the "
+        f"current window: {orphans}")
+
+
+def test_red_rows_are_rechecked():
+    e = _entry()
+    window = set(list(e.queries())[:DRIVER_SAMPLE])
+    past = _past_rounds()
+    red = {n for n, r in past.items()
+           if not (r.get("rows_match") and r.get("schema_match")
+                   and r.get("hash_match"))}
+    unhandled = sorted(red - window)
+    assert not unhandled, f"red CORRECTNESS rows not in window: {unhandled}"
+
+
+def test_oracles_exist_for_window():
+    e = _entry()
+    osql = e.oracle_sql()
+    no_oracle = [n for n in e.DRIVER_WINDOW if n not in osql]
+    assert not no_oracle, f"window queries without oracle: {no_oracle}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
