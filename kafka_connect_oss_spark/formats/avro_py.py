@@ -15,10 +15,10 @@ directly (https://avro.apache.org/docs/current/specification/):
   avro.schema / avro.codec, 16-byte sync marker, record blocks framed as
   (count, byteSize, payload, sync);
 * codecs ``null``, ``deflate`` (raw RFC-1951 via zlib, wbits=-15),
-  ``bzip2`` (stdlib bz2) and ``xz`` (stdlib lzma, FORMAT_XZ) — the four
-  spec codecs expressible without third-party libs; ``snappy`` raises a
-  clear error (no snappy lib in this container), mirroring
-  CodecFactory's failure on unknown codecs.
+  ``snappy`` (pure-Python raw block format, formats/snappy_py.py, with
+  the spec's big-endian CRC32-of-uncompressed suffix — the reference's
+  explicitly tested codec, TestDataWriterAvro.java:154-167), ``bzip2``
+  (stdlib bz2) and ``xz`` (stdlib lzma, FORMAT_XZ).
 
 Scale posture: encoding runs inside ``applyInPandas`` on executors — one
 Arrow batch per committed file, payload bytes never visit the driver — and
@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
 #: codecs the pure-Python writer supports (CodecFactory analog)
-SUPPORTED_CODECS = ("null", "deflate", "bzip2", "xz")
+SUPPORTED_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
 _BLOCK_RECORDS = 4096
 
 
@@ -440,8 +440,8 @@ def write_container(rows: list[dict], avro_schema: dict,
     """
     if codec not in SUPPORTED_CODECS:
         raise RuntimeError(
-            f"avro codec {codec!r} not available in this environment "
-            f"(no snappy lib); supported: {SUPPORTED_CODECS}")
+            f"avro codec {codec!r} not supported; "
+            f"supported: {SUPPORTED_CODECS}")
     schema_json = json.dumps(avro_schema, sort_keys=True)
     enc = make_encoder(avro_schema)
 
@@ -484,17 +484,38 @@ def _deflate(raw: bytes) -> bytes:
     return c.compress(raw) + c.flush()
 
 
+def _snappy_enc(raw: bytes) -> bytes:
+    # Avro spec: snappy blocks carry a 4-byte BIG-ENDIAN CRC32 of the
+    # UNCOMPRESSED data after the compressed bytes
+    from kafka_connect_oss_spark.formats import snappy_py
+    return (snappy_py.compress(raw)
+            + (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _snappy_dec(payload: bytes) -> bytes:
+    from kafka_connect_oss_spark.formats import snappy_py
+    if len(payload) < 4:
+        raise ValueError("snappy block too short for CRC suffix")
+    raw = snappy_py.decompress(payload[:-4])
+    if (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big") != payload[-4:]:
+        raise ValueError("snappy block CRC mismatch (corrupt container)")
+    return raw
+
+
 # block transforms per the Avro 1.11 container spec (all deterministic:
-# fixed compression parameters, no timestamps in any of these formats)
+# fixed compression parameters, no timestamps in any of these formats);
+# snappy is the pure-Python raw-block implementation in snappy_py.py
 _CODEC_ENCODE = {
     "null": lambda raw: raw,
     "deflate": _deflate,
+    "snappy": _snappy_enc,
     "bzip2": lambda raw: bz2.compress(raw, 9),
     "xz": lambda raw: lzma.compress(raw, format=lzma.FORMAT_XZ, preset=6),
 }
 _CODEC_DECODE = {
     "null": lambda payload: payload,
     "deflate": lambda payload: zlib.decompress(payload, -15),
+    "snappy": _snappy_dec,
     "bzip2": bz2.decompress,
     "xz": lzma.decompress,
 }

@@ -68,11 +68,11 @@ def test_avro_idempotent_reupload_byte_identical(spark, sf_dir, tmp_path):
         assert (tmp_path / "out" / k).read_bytes() == before[k]
 
 
-@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["bzip2", "xz", "snappy"])
 def test_avro_stdlib_codec_roundtrip(spark, sf_dir, tmp_path, codec):
-    # remaining spec codecs expressible without third-party libs
-    # (TestDataWriterAvro.java:154-167 codec matrix; bzip2 is in the
-    # reference's recommender list, xz in CodecFactory.fromString)
+    # remaining spec codecs (TestDataWriterAvro.java:154-167 codec matrix;
+    # snappy is the reference's explicitly tested codec, here the
+    # pure-Python raw block format + CRC32 suffix of snappy_py.py)
     cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
                          flush_size=1500, avro_codec=codec)
     rec = sink_records(spark, sf_dir)
@@ -90,13 +90,32 @@ def test_avro_stdlib_codec_roundtrip(spark, sf_dir, tmp_path, codec):
             < (tmp_path / "raw" / raw_keys[0]).stat().st_size)
 
 
-def test_avro_snappy_codec_gated(spark, sf_dir, tmp_path):
+def test_avro_unknown_codec_gated(spark, sf_dir, tmp_path):
     # CodecFactory analog: unknown/unavailable codecs fail loudly
-    cfg = PipelineConfig(url=str(tmp_path / "out"), format="avro",
-                         flush_size=5000, avro_codec="snappy")
-    rec = sink_records(spark, sf_dir).limit(100)
-    with pytest.raises(Exception, match="snappy"):
-        commit_batch(rec, _default_enc(), cfg)
+    # (zstandard is in the Avro spec but not implemented here); the typed
+    # config rejects it at construction, like ConfigDef validators
+    with pytest.raises(Exception, match="zstandard"):
+        PipelineConfig(url=str(tmp_path / "out"), format="avro",
+                       flush_size=5000, avro_codec="zstandard")
+    with pytest.raises(Exception, match="zstandard"):
+        avro_py.write_container([{"a": 1}], {
+            "type": "record", "name": "r",
+            "fields": [{"name": "a", "type": "long"}]}, codec="zstandard")
+
+
+def test_avro_snappy_block_crc_rejected(spark):
+    # Avro spec: snappy blocks end with a big-endian CRC32 of the
+    # uncompressed data; a flipped payload byte must fail the read
+    rows = [{"a": i} for i in range(50)]
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+    data = bytearray(avro_py.write_container(rows, schema, codec="snappy"))
+    # corrupt one byte inside the block payload (past the header; the
+    # container layout puts blocks after the 16-byte sync at header end)
+    _, _, body_off, _ = avro_py.read_header(bytes(data))
+    data[body_off + 4] ^= 0xFF
+    with pytest.raises(Exception, match="snappy|corrupt|sync"):
+        avro_py.read_container(bytes(data))
 
 
 def test_avro_type_table_roundtrip(spark, tmp_path):
