@@ -145,6 +145,56 @@ def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
                     payload_col))
 
 
+def _lsh_rep_stage(docs: DataFrame, text_col: str, id_col: str, ngram: int,
+                   jaccard_threshold: float, materialize_members: bool = True
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared guarded-LSH stages: identity-group collapse + rep-level
+    verified pairs. Returns (members, sig, rep_pairs); sig is cached AND
+    eagerly materialized (multi-branch consumers race past an unpopulated
+    cache and each recomputes the hash fold — measured 4x swings on the
+    bench). members is likewise materialized when the caller fans it into
+    several branches (lsh_candidate_pairs: intra a/b + expansion x2);
+    single-consumer callers pass materialize_members=False to skip that
+    job — the md5 keying is a cheap narrow scan either way.
+    """
+    # identity groups shuffle (id, 16-byte digest) only — text never moves
+    keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
+    groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"),
+                                        F.count(F.lit(1)).alias("gn"))
+    members = (keyed.join(groups, "_tmd5")
+               .select(id_col, "_tmd5", "rep", "gn"))
+    if materialize_members:
+        members = members.cache()
+        members.count()
+
+    rep_docs = docs.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "semi")
+    sig = (with_shingle_hashes(rep_docs, text_col, ngram)
+           .select(id_col, "hh",
+                   F.expr(H.minhash_signature_array("hh")).alias("msig"))
+           .cache())
+    sig.count()
+    bands = minhash_band_keys(sig, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("hh").alias("h_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("hh").alias("h_b"))
+    rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("inter",
+                             F.expr("size(array_intersect(h_a, h_b))"))
+                 .withColumn("jaccard", R.fround(
+                     F.col("inter") /
+                     (F.expr("size(h_a)") + F.expr("size(h_b)")
+                      - F.col("inter")), 4))
+                 .where(F.col("jaccard") >= jaccard_threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    return members, sig, rep_pairs
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
                         jaccard_threshold: float = 0.3) -> DataFrame:
@@ -170,45 +220,8 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     signature from ONE fold (minhash_signature_array); verification
     shuffles long arrays, ~3x lighter than the raw shingles.
     """
-    # identity groups shuffle (id, 16-byte digest) only — text never moves;
-    # members feeds FOUR branches (intra a/b, rep filter, expansion), so
-    # cache + eager count or each branch re-hashes the corpus
-    keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
-    groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"),
-                                        F.count(F.lit(1)).alias("gn"))
-    members = (keyed.join(groups, "_tmd5")
-               .select(id_col, "_tmd5", "rep", "gn").cache())
-    members.count()
-
-    rep_docs = docs.join(
-        groups.select(F.col("rep").alias(id_col)), id_col, "semi")
-    sig = (with_shingle_hashes(rep_docs, text_col, ngram)
-           .select(id_col, "hh",
-                   F.expr(H.minhash_signature_array("hh")).alias("msig"))
-           .cache())
-    # eager materialization: four plan branches (two band sides, two verify
-    # sides) read sig; if the first action schedules them concurrently they
-    # race past the unpopulated cache and EACH recomputes the md5 signature
-    # (measured 4x swings on the bench). One count() = one compute.
-    sig.count()
-    bands = minhash_band_keys(sig, id_col)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, ["band", "band_key"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("hh").alias("h_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("hh").alias("h_b"))
-    rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("inter",
-                             F.expr("size(array_intersect(h_a, h_b))"))
-                 .withColumn("jaccard", R.fround(
-                     F.col("inter") /
-                     (F.expr("size(h_a)") + F.expr("size(h_b)")
-                      - F.col("inter")), 4))
-                 .where(F.col("jaccard") >= jaccard_threshold)
-                 .select("id_a", "id_b", "jaccard"))
+    members, sig, rep_pairs = _lsh_rep_stage(
+        docs, text_col, id_col, ngram, jaccard_threshold)
     cross = _expand_rep_pairs(rep_pairs, members, id_col, "jaccard")
 
     # intra-group pairs: identical shingle sets => jaccard exactly 1.0;
@@ -223,6 +236,47 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
              .where(F.col("_nsh") > 0)
              .select("id_a", "id_b", F.lit(1.0).alias("jaccard")))
     return cross.unionByName(intra)
+
+
+def connectivity_edges(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ngram: int = 3,
+                       jaccard_threshold: float = 0.3) -> DataFrame:
+    """Connectivity-EQUIVALENT (not pair-equivalent) edge set of the LSH
+    near-dup graph, for consumers that only need connected components.
+
+    ``lsh_candidate_pairs`` owes its callers every near-dup pair, so it
+    must expand identity groups back out: a group of k identical pages
+    contributes C(k,2) intra pairs plus k x m cross pairs — output-bound
+    work that connected components never looks at individually. This
+    variant keeps the graph in its collapsed form:
+
+      * verified representative pairs (one edge per near-dup group pair),
+      * star edges rep -> member for every identity group (a tree has the
+        same components as the clique it replaces).
+
+    Empty-shingle identity groups emit NO star edges, mirroring the full
+    pipeline where their 0/0 jaccard is NULL and threshold-dropped — two
+    identical empty documents are NOT near-dups there either.
+
+    Edge count is O(docs + near-dup groups) instead of O(pairs): on a
+    clone-dense 100 TB corpus that is the difference between shuffling a
+    quadratic pair explosion into the CC loop and shuffling the corpus
+    once. ``dedup_clusters`` over these edges yields bit-identical labels
+    to running it over the full pair set (pinned by
+    test_dedup.test_connectivity_edges_same_components).
+    Returns (id_a, id_b) with id_a < id_b (rep = group min, so star edges
+    are already ordered).
+    """
+    members, sig, rep_pairs = _lsh_rep_stage(
+        docs, text_col, id_col, ngram, jaccard_threshold,
+        materialize_members=False)
+    rep_sizes = sig.select(F.col(id_col).alias("rep"),
+                           F.expr("size(hh)").alias("_nsh"))
+    star = (members.where(F.col(id_col) != F.col("rep"))
+            .join(rep_sizes, "rep")
+            .where(F.col("_nsh") > 0)
+            .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b")))
+    return rep_pairs.select("id_a", "id_b").unionByName(star)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",

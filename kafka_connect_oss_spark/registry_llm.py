@@ -576,7 +576,13 @@ def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    near_drops = (dedup.lsh_candidate_pairs(docs, jaccard_threshold=JACCARD_DEMO)
+    # drop set = docs having SOME smaller near-dup neighbor = distinct id_b.
+    # The collapsed connectivity_edges graph has the identical id_b set
+    # (non-rep members carry their rep as a smaller neighbor; a rep with a
+    # smaller pair-neighbor y has rep(y) <= y smaller, so the rep pair
+    # covers it — pinned by test_connectivity_edges_same_drop_set), so the
+    # quadratic pair expansion never runs here either.
+    near_drops = (dedup.connectivity_edges(docs, jaccard_threshold=JACCARD_DEMO)
                   .select(F.col("id_b").alias("doc_id")).distinct())
     w = Window.partitionBy(F.md5("text"))
     exact_drops = (docs
@@ -663,9 +669,13 @@ def _clusters_oracle() -> str:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup clustering: connected components over the
     verified LSH pair graph (operators/dedup.dedup_clusters — iterative
-    min-label propagation, the Pregel CC shape)."""
+    min-label propagation, the Pregel CC shape). The edge input is the
+    connectivity-equivalent collapsed graph (rep pairs + identity-group
+    star edges), NOT the expanded pair set — components and labels are
+    identical, but the CC loop never shuffles the quadratic intra-group
+    pair explosion (operators/dedup.connectivity_edges)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, jaccard_threshold=JACCARD_DEMO)
+    pairs = dedup.connectivity_edges(docs, jaccard_threshold=JACCARD_DEMO)
     return dedup.dedup_clusters(docs, pairs)
 
 

@@ -66,6 +66,54 @@ def test_ann_lsh_is_subset_of_bruteforce_universe(spark, sf_dir):
     assert all(-1.0 <= r.cosine <= 1.0 for r in ann)
 
 
+def test_connectivity_edges_same_components(spark, sf_dir):
+    # the collapsed graph (rep pairs + identity-group star edges) must
+    # produce bit-identical CC labels to the full expanded pair set —
+    # both on the real corpus and on a constructed clone cluster
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = dedup.dedup_clusters(
+        docs, dedup.lsh_candidate_pairs(docs, jaccard_threshold=0.3))
+    collapsed = dedup.dedup_clusters(
+        docs, dedup.connectivity_edges(docs, jaccard_threshold=0.3))
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, collapsed.collect()))
+
+
+def test_connectivity_edges_same_components_clone_cluster(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    rows = ([(i, base) for i in range(6)]            # 6 identical clones
+            + [(10, near), (11, near)]               # near-dup clone pair
+            + [(20, "unrelated totally different tokens entirely"),
+               (21, ""), (22, "")])                  # empty docs: no edges
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.dedup_clusters(
+        docs, dedup.lsh_candidate_pairs(docs, jaccard_threshold=0.3))
+    collapsed = dedup.dedup_clusters(
+        docs, dedup.connectivity_edges(docs, jaccard_threshold=0.3))
+    got = sorted(map(tuple, collapsed.collect()))
+    assert got == sorted(map(tuple, full.collect()))
+    labels = {doc_id: cid for doc_id, cid, _ in got}
+    assert labels[0] == labels[5] == labels[10] == labels[11] == 0
+    assert labels[20] == 20
+    assert labels[21] == 21 and labels[22] == 22     # empties stay apart
+
+
+def test_connectivity_edges_same_drop_set(spark, sf_dir):
+    # cleaned-corpus drop semantics: distinct id_b (docs with a smaller
+    # near-dup neighbor) must be identical between pair set and edge set
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_b = {r.id_b for r in dedup.lsh_candidate_pairs(
+        docs, jaccard_threshold=0.3).select("id_b").distinct().collect()}
+    edges_b = {r.id_b for r in dedup.connectivity_edges(
+        docs, jaccard_threshold=0.3).select("id_b").distinct().collect()}
+    assert pairs_b == edges_b
+
+
 def test_dedup_clusters_repeatable(spark, sf_dir):
     # guard against nondeterminism in the iterative CC loop (cache/
     # convergence races): two independent runs must produce the identical
