@@ -75,7 +75,12 @@ def spark_to_avro_schema(schema: T.StructType,
             return "string"
         if isinstance(dt, T.BinaryType):
             return "bytes"
-        if isinstance(dt, T.TimestampType):
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # Reference timestamps are timezone-less epoch millis
+            # (TopicPartitionWriter.java:186-191); both Spark flavors carry
+            # naive-UTC wall values here (session TZ pinned UTC), and the
+            # encoder's explicit UTC-epoch delta produces identical micros
+            # for either, so one Avro logical type covers both.
             return {"type": "long", "logicalType": "timestamp-micros"}
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}

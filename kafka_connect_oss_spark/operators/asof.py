@@ -104,8 +104,10 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     width_us = span_ms * 1000
     lo_us, hi_us = lower_ms * 1000, upper_ms * 1000
 
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    # cast: unix_micros rejects TIMESTAMP_NTZ inputs; under the engine's
+    # pinned-UTC session the cast is value-preserving (sources/batch.py)
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
     rpayload = [c for c in right.columns if c not in on]
 
     l_b = (left

@@ -201,7 +201,10 @@ def scheduled_rotation_files(records: DataFrame,
     start_offset, end_offset, record_count).
     """
     day_ms = 86_400_000
-    ms = F.unix_millis(clock if clock is not None else F.col(clock_col))
+    clock_expr = clock if clock is not None else F.col(clock_col)
+    # cast: unix_millis rejects TIMESTAMP_NTZ; value-preserving under the
+    # pinned-UTC session (sources/batch.py normalize_timestamps)
+    ms = F.unix_millis(clock_expr.cast("timestamp"))
     day_start = F.floor(ms / day_ms) * day_ms
     slot = F.floor((ms - day_start) / rotate_schedule_interval_ms)
     bucket = (day_start + slot * rotate_schedule_interval_ms).cast("long")

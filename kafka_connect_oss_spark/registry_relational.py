@@ -31,6 +31,14 @@ def _cents(col: str) -> str:
     return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
 
+def _us(col) -> F.Column:
+    """epoch micros, tolerant of TIMESTAMP_NTZ inputs: unix_micros requires
+    TIMESTAMP, and the NTZ->TS cast is value-preserving under the engine's
+    pinned-UTC session (sources/batch.py normalize_timestamps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 Q1_CUTOFF = "1998-09-02 00:00:00"
 
 
@@ -200,11 +208,10 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = asof_join(p, c, on=["user_id"], right_prefix="click_")
     return (j.where(F.col("click_event_id").isNotNull())
             .select("event_id", "user_id",
-                    F.unix_micros("ts").alias("purchase_us"),
+                    _us("ts").alias("purchase_us"),
                     "click_event_id",
-                    F.unix_micros("click_ts").alias("click_us"),
-                    F.floor((F.unix_micros("ts")
-                             - F.unix_micros("click_ts")) / 1_000_000)
+                    _us("click_ts").alias("click_us"),
+                    F.floor((_us("ts") - _us("click_ts")) / 1_000_000)
                     .cast("long").alias("gap_s")))
 
 
@@ -237,7 +244,7 @@ def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("err_event_id").alias("error_id"),
         "user_id",
-        F.floor((F.unix_micros("err_ts") - F.unix_micros("ts"))
+        F.floor((_us("err_ts") - _us("ts"))
                 / 1_000_000).cast("long").alias("delta_s"))
 
 
@@ -372,13 +379,13 @@ def sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     brk = (ev.withColumn("prev", F.lag("ts").over(w))
            .withColumn("is_break", (
                F.col("prev").isNull()
-               | (F.unix_micros("ts") - F.unix_micros("prev")
+               | (_us("ts") - _us("prev")
                   > SESSION_GAP_MS * 1000)).cast("int")))
     sid = brk.withColumn("session_id", F.sum("is_break").over(
         w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
     return (sid.groupBy("user_id", "session_id")
-            .agg(F.unix_micros(F.min("ts")).alias("session_start_us"),
-                 F.unix_micros(F.max("ts")).alias("session_end_us"),
+            .agg(_us(F.min("ts")).alias("session_start_us"),
+                 _us(F.max("ts")).alias("session_end_us"),
                  F.count(F.lit(1)).alias("n_events")))
 
 

@@ -28,21 +28,44 @@ N_KAFKA_PARTITIONS = 8
 _NANO_TS_COLUMNS = {"ts", "o_orderdate", "l_shipdate"}
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every top-level ``TIMESTAMP_NTZ`` column to ``TIMESTAMP``.
+
+    The engine's data model is the reference's: timezone-less epoch millis
+    (TopicPartitionWriter.java:186-191), carried as Spark ``TimestampType``
+    with the session timezone pinned to UTC — under UTC the NTZ->TZ cast is
+    value-preserving. PySpark 4.x reads parquet ``timestamp[us]``
+    (isAdjustedToUTC=false) as ``TimestampNTZType``, which ``unix_micros``,
+    ``unix_millis``, and ``withWatermark`` all reject; normalizing once at
+    the source boundary keeps every downstream operator on one type.
+    """
+    ntz = [f_.name for f_ in df.schema.fields
+           if f_.dataType.simpleString() == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; column pruning/pushdown happen in Catalyst.
 
-    The testdata stamps are parquet TIMESTAMP(NANOS), which Spark only reads
-    via the nanosAsLong legacy conf (as raw int64 nanos). We convert to
-    microsecond timestamps with integer division — `ns div 1000` — which
-    truncates exactly like DuckDB's nanos->micros read, so both engines see
-    bit-identical timestamps.
+    Two historical physical encodings of the timestamp columns are handled:
+    parquet TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy conf,
+    as raw int64 nanos — converted with `ns div 1000`, truncating exactly
+    like DuckDB's nanos->micros read) and parquet timestamp[us] without
+    timezone (read by Spark 4.x as TIMESTAMP_NTZ — normalized to TIMESTAMP
+    by ``normalize_timestamps``; session TZ is pinned UTC so values are
+    unchanged).
     """
+    # cast semantics below assume naive-UTC; pin before any plan is built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name in _NANO_TS_COLUMNS and f_.dataType.simpleString() == "bigint":
             df = df.withColumn(f_.name, F.expr(f"timestamp_micros({f_.name} div 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def sink_records(spark: SparkSession, sf_dir: str, topic: str = "events") -> DataFrame:

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_connect_oss_spark.sources.batch import N_KAFKA_PARTITIONS
+from kafka_connect_oss_spark.sources.batch import (N_KAFKA_PARTITIONS,
+                                                   normalize_timestamps)
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str,
@@ -33,6 +34,12 @@ def events_file_stream(spark: SparkSession, sf_dir: str,
     ev = reader.parquet(sf_dir)
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Spark 4.x reads timestamp[us]-no-tz parquet as TIMESTAMP_NTZ, which
+    # withWatermark / applyInPandasWithState reject as event time; the
+    # envelope guarantees TIMESTAMP (naive-UTC semantics, session TZ pinned
+    # UTC by the pipeline) just like the batch envelope.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = normalize_timestamps(ev)
     return ev.select(
         F.lit(topic).alias("topic"),
         (F.col("event_id") % N_KAFKA_PARTITIONS).cast("int").alias("partition"),
