@@ -143,20 +143,33 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
 _BENCH_HASH_CACHE: dict[tuple, list[int]] = {}
 
 
+#: above this many distinct benchmark hashes the broadcast-literal plan
+#: stops making sense (a ~8 MB+ literal array in every task closure) and
+#: decontaminate() switches to the exploded semi-join
+MAX_BROADCAST_BENCH_HASHES = 1_000_000
+
+
 def benchmark_ngram_hashes(benchmark: DataFrame, text_col: str = "text",
                            ngram: int = 3,
-                           cache_key: tuple | None = None) -> list[int]:
+                           cache_key: tuple | None = None,
+                           max_hashes: int | None = MAX_BROADCAST_BENCH_HASHES,
+                           ) -> list[int] | None:
     """Distinct word n-gram hashes of the benchmark/eval set, computed
-    DRIVER-SIDE in pure Python.
+    DRIVER-SIDE in pure Python — or ``None`` if the set exceeds
+    ``max_hashes`` (caller falls back to the distributed semi-join).
 
     Benchmarks are small by definition (thousands of prompts), so the text
-    is collected and hashed here rather than through a generated Spark
-    expression: the deep HOF md5-fold expression tree cost a measured
-    ~4 s of Catalyst analysis/codegen for a 5-row job — pure fixed
-    overhead. The Python fold below is bit-identical to
-    functions/hashing.base_hash (md5 -> first-15-hex-chars -> BIGINT) over
-    the same tokenization (split on ' ', drop empties), verified by
-    test_pipeline_ops.
+    is hashed here rather than through a generated Spark expression: the
+    deep HOF md5-fold expression tree cost a measured ~4 s of Catalyst
+    analysis/codegen for a 5-row job — pure fixed overhead. The Python
+    fold below is bit-identical to functions/hashing.base_hash (md5 ->
+    first-15-hex-chars -> BIGINT) over the same tokenization (split on
+    ' ', drop empties), verified by test_pipeline_ops.
+
+    Rows stream through ``toLocalIterator`` so an unexpectedly large
+    benchmark is abandoned as soon as the bound is crossed — the driver
+    never materializes more than ``max_hashes`` hashes (+ one row),
+    instead of OOMing inside a blind ``collect()``.
 
     `cache_key` (e.g. ``(sf_dir, "docs<5", ngram)``) memoizes the result
     for the session — callers that rebuild the same benchmark frame reuse
@@ -168,7 +181,7 @@ def benchmark_ngram_hashes(benchmark: DataFrame, text_col: str = "text",
     if key is not None and key in _BENCH_HASH_CACHE:
         return _BENCH_HASH_CACHE[key]
     out: set[int] = set()
-    for row in benchmark.select(text_col).collect():
+    for row in benchmark.select(text_col).toLocalIterator():
         text = row[0]
         if text is None:
             continue
@@ -177,6 +190,8 @@ def benchmark_ngram_hashes(benchmark: DataFrame, text_col: str = "text",
             shingle = " ".join(toks[i:i + ngram])
             digest = hashlib.md5(shingle.encode("utf-8")).hexdigest()
             out.add(int(digest[:15], 16))
+        if max_hashes is not None and len(out) > max_hashes:
+            return None
     hashes = sorted(out)
     if key is not None:
         _BENCH_HASH_CACHE[key] = hashes
@@ -186,19 +201,35 @@ def benchmark_ngram_hashes(benchmark: DataFrame, text_col: str = "text",
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   ngram: int = 3,
-                  bench_cache_key: tuple | None = None) -> DataFrame:
+                  bench_cache_key: tuple | None = None,
+                  max_broadcast_hashes: int | None = MAX_BROADCAST_BENCH_HASHES,
+                  ) -> DataFrame:
     """Benchmark decontamination: drop every training document sharing ANY
     word n-gram with the benchmark/eval set — the standard guard against
     test-set leakage in a pretraining corpus.
 
-    Scale posture: benchmark suites are small by definition (thousands of
-    prompts), so their distinct n-gram hashes are computed once on the
-    driver (`benchmark_ngram_hashes`) and inlined as a literal array — the
-    corpus-side plan is then a PURE NARROW FILTER (hash shingles per row,
-    array_intersect against the broadcast literal): zero shuffle over the
-    100 TB side, parallelism = input splits (fanned out when a tiny local
-    scan arrives as one split). If the benchmark ever outgrew a broadcast,
-    the same semantics fall back to an exploded semi-join on the hash.
+    Scale posture, two regimes behind one semantics:
+
+    * benchmark fits ``max_broadcast_hashes`` (the normal case — eval
+      suites are thousands of prompts): distinct n-gram hashes are
+      computed once on the driver (`benchmark_ngram_hashes`) and inlined
+      as a literal array — the corpus-side plan is then a PURE NARROW
+      FILTER (hash shingles per row, array_intersect against the
+      broadcast literal): zero shuffle over the 100 TB side, parallelism
+      = input splits (fanned out when a tiny local scan arrives as one
+      split).
+    * benchmark exceeds the bound: exploded semi-join — the benchmark's
+      hashes stay distributed (explode -> distinct), document shingles
+      explode to (id, hash) rows, an inner join on the hash (AQE
+      broadcasts the benchmark side when it still fits a broadcast
+      threshold) yields contaminated ids, and a left-anti join removes
+      them. Linear in corpus shingles, shuffles bounded by the hash join
+      + the id anti-join; never collects anything to the driver.
+
+    Both paths use the same tokenization and the same md5-prefix hash
+    (functions/hashing, Spark dialect is bit-identical to the Python
+    fold), so the clean set is identical — pinned by
+    test_decontaminate_semi_join_fallback_matches_broadcast.
 
     Returns the CLEAN docs (id_col plus passthrough columns of `docs`).
     """
@@ -209,7 +240,21 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     hh_expr = H.shingle_hashes(sh, "spark")
 
     bench_hashes = benchmark_ngram_hashes(
-        benchmark, text_col, ngram, cache_key=bench_cache_key)
+        benchmark, text_col, ngram, cache_key=bench_cache_key,
+        max_hashes=max_broadcast_hashes)
+    if bench_hashes is None:
+        # fallback: benchmark too large for a literal — distributed
+        # semi-join on the shingle hash, same tokenization/hash pipeline
+        bench_tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
+        bench_hh = H.shingle_hashes(
+            H.word_shingles(bench_tok, ngram, "spark"), "spark")
+        bench_h = (benchmark
+                   .select(F.explode(F.expr(bench_hh)).alias("_h"))
+                   .distinct())
+        doc_h = (_fan_out(docs)
+                 .select(id_col, F.explode(F.expr(hh_expr)).alias("_h")))
+        contaminated = doc_h.join(bench_h, "_h").select(id_col).distinct()
+        return docs.join(contaminated, id_col, "left_anti")
     if not bench_hashes:
         # nothing to scrub — and an empty literal array would be void-typed,
         # failing array_intersect analysis against array<bigint>

@@ -6,7 +6,8 @@ from pyspark.sql import functions as F
 
 from kafka_connect_oss_spark.operators.asof import asof_join
 from kafka_connect_oss_spark.operators.packing import pack_sequences
-from kafka_connect_oss_spark.operators.text import decontaminate
+from kafka_connect_oss_spark.operators.text import (benchmark_ngram_hashes,
+                                                    decontaminate)
 
 
 def _ts(spark, rows, schema):
@@ -183,3 +184,36 @@ def test_decontaminate_exact_ngram_containment(spark):
     clean = sorted(r.doc_id for r in
                    decontaminate(docs, bench, ngram=3).collect())
     assert clean == [11, 12]
+
+
+def test_decontaminate_semi_join_fallback_matches_broadcast(spark, sf_dir):
+    # golden round-trip discipline (TestOSSSinkConnectorBase.java:128-153):
+    # the exploded semi-join (benchmark too big to broadcast) must produce
+    # the exact clean set of the broadcast-literal path on the same inputs
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 11 == 0).limit(40)
+    broadcast_ids = sorted(
+        r.doc_id for r in
+        decontaminate(docs, bench, ngram=3,
+                      max_broadcast_hashes=None).select("doc_id").collect())
+    # max_broadcast_hashes=0: any non-empty benchmark exceeds the bound,
+    # forcing the distributed fallback
+    fallback_ids = sorted(
+        r.doc_id for r in
+        decontaminate(docs, bench, ngram=3,
+                      max_broadcast_hashes=0).select("doc_id").collect())
+    assert broadcast_ids == fallback_ids
+    assert 0 < len(broadcast_ids) < docs.count()
+
+
+def test_benchmark_ngram_hashes_bails_past_bound(spark):
+    bench = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(50)],
+        "doc_id long, text string")
+    assert benchmark_ngram_hashes(bench, ngram=3, max_hashes=10) is None
+    # trigram starting at token j arises from rows i=j and i=j-1, i in
+    # [0,49] -> j in [0,50]: 51 distinct trigrams
+    full = benchmark_ngram_hashes(bench, ngram=3, max_hashes=None)
+    assert full is not None and len(full) == 51
