@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
-              right_prefix: str = "r_") -> DataFrame:
+              right_prefix: str = "r_",
+              skew_bucket_ms: int | None = None) -> DataFrame:
     """Backward as-of join: left columns + the latest right row's columns
     (prefixed) whose right_ts <= left_ts per `on` key. Left rows with no
     prior right row keep NULL right columns (left-join semantics).
@@ -41,6 +42,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     Ties among equal right timestamps are broken deterministically by a
     content hash of the right payload (largest wins), so re-runs and
     retries pick the same row regardless of partitioning.
+
+    ``skew_bucket_ms``: skew hardening for hot keys. The plain plan's
+    window is partitioned by the join key alone, so one mega-key's entire
+    history serializes through a single task (window functions get no AQE
+    skew split). With a bucket width set, the window partitions by
+    (key, time-bucket) — a hot key's timeline spreads across buckets —
+    and the cross-bucket carry is reconstructed from per-bucket "last
+    right payload" summaries (one row per key x bucket, orders of
+    magnitude smaller than the raw history) via a second, tiny window.
+    Same semantics, pinned by test_asof_skew_bucketed_matches_plain;
+    equal timestamps always share a bucket, so tie behavior is identical.
     """
     lcols = [c for c in left.columns]
     rpayload = [c for c in right.columns if c not in on]
@@ -64,20 +76,52 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
           for c in lcols if c not in on],
         r_struct.alias("_r"))
 
-    # _side orders right rows (0) before left rows (1) at equal ts ->
-    # inclusive match; _tie makes the winner among equal-ts right rows
-    # deterministic (last() takes the max-hash row).
-    w = (Window.partitionBy(*on).orderBy("_ts", "_side", "_tie")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    carried = l_tagged.unionByName(r_tagged).select(
-        *on, "_ts", "_side",
-        *[F.col(f"_l_{c}") for c in lcols if c not in on],
-        F.last("_r", ignorenulls=True).over(w).alias("_r"))
-    out = carried.where(F.col("_side") == 1).select(
+    union = l_tagged.unionByName(r_tagged)
+    l_pass = [F.col(f"_l_{c}") for c in lcols if c not in on]
+    out_cols = [
         *on,
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in on],
-        *[F.col(f"_r.{c}").alias(f"{right_prefix}{c}") for c in rpayload])
-    return out
+        *[F.col(f"_r.{c}").alias(f"{right_prefix}{c}") for c in rpayload]]
+
+    if skew_bucket_ms is None:
+        # _side orders right rows (0) before left rows (1) at equal ts ->
+        # inclusive match; _tie makes the winner among equal-ts right rows
+        # deterministic (last() takes the max-hash row).
+        w = (Window.partitionBy(*on).orderBy("_ts", "_side", "_tie")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        carried = union.select(
+            *on, "_ts", "_side", *l_pass,
+            F.last("_r", ignorenulls=True).over(w).alias("_r"))
+        return carried.where(F.col("_side") == 1).select(*out_cols)
+
+    # ---- skew-hardened plan: window over (key, coarse time bucket) ----
+    bk = F.floor(F.unix_millis(F.col("_ts").cast("timestamp"))
+                 / F.lit(skew_bucket_ms))
+    u = union.withColumn("_bk", bk)
+    w_in = (Window.partitionBy(*on, "_bk").orderBy("_ts", "_side", "_tie")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    in_bucket = u.select(
+        *on, "_bk", "_ts", "_side", *l_pass,
+        F.last("_r", ignorenulls=True).over(w_in).alias("_r_in"))
+
+    # per-(key, bucket) last right payload; buckets that hold only left
+    # rows still need a summary row so the carry survives right-row gaps
+    r_last = (u.where(F.col("_side") == 0)
+              .groupBy(*on, "_bk")
+              .agg(F.max_by("_r", F.struct("_ts", "_tie"))
+                   .alias("_bk_last_r")))
+    all_bk = u.select(*on, "_bk").distinct()
+    w_carry = (Window.partitionBy(*on).orderBy("_bk")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (all_bk.join(r_last, [*on, "_bk"], "left")
+             .select(*on, "_bk",
+                     F.last("_bk_last_r", ignorenulls=True).over(w_carry)
+                     .alias("_carry_r")))
+
+    joined = (in_bucket.where(F.col("_side") == 1)
+              .join(carry, [*on, "_bk"])
+              .withColumn("_r", F.coalesce("_r_in", "_carry_r")))
+    return joined.select(*out_cols)
 
 
 def range_join(left: DataFrame, right: DataFrame, on: list[str],

@@ -205,7 +205,10 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("event_id", "user_id", "ts"))
     c = (ev.where(F.col("event_type") == "click")
          .select("event_id", "user_id", "ts"))
-    j = asof_join(p, c, on=["user_id"], right_prefix="click_")
+    # 1-day skew buckets: a hot user's history spreads across (user, day)
+    # window partitions instead of serializing through one task
+    j = asof_join(p, c, on=["user_id"], right_prefix="click_",
+                  skew_bucket_ms=86_400_000)
     return (j.where(F.col("click_event_id").isNotNull())
             .select("event_id", "user_id",
                     _us("ts").alias("purchase_us"),

@@ -217,3 +217,42 @@ def test_benchmark_ngram_hashes_bails_past_bound(spark):
     # [0,49] -> j in [0,50]: 51 distinct trigrams
     full = benchmark_ngram_hashes(bench, ngram=3, max_hashes=None)
     assert full is not None and len(full) == 51
+
+
+def test_asof_skew_bucketed_matches_plain(spark):
+    # one hot key spanning many buckets, right-row gaps included: the
+    # (key, bucket) plan must reproduce the plain single-window result
+    left_rows, right_rows = [], []
+    for h in range(0, 48, 2):            # left rows every 2h over 2 days
+        left_rows.append((1, h * 3_600, f"L{h}"))
+    for h in (1, 3, 30, 31):             # right rows only in a few buckets
+        right_rows.append((1, h * 3_600, f"R{h}"))
+    right_rows.append((1, 3 * 3_600, f"R3b"))          # equal-ts tie
+    left = _ts(spark, left_rows, "k int, t long, lv string")
+    right = _ts(spark, right_rows, "k int, t long, rv string")
+
+    def run(**kw):
+        return sorted(
+            (r.lv, r.r_rv, r.r_ts)
+            for r in asof_join(left, right, ["k"], right_prefix="r_",
+                               **kw).collect())
+
+    plain = run()
+    bucketed = run(skew_bucket_ms=3_600_000)           # 1h buckets
+    assert plain == bucketed
+    # sanity: carries cross empty buckets (left@8h matches right@3h)
+    by_lv = dict((lv, rv) for lv, rv, _ in bucketed)
+    assert by_lv["L8"] in ("R3", "R3b")
+    assert by_lv["L0"] is None                          # before any right
+
+
+def test_asof_skew_plan_partitions_by_key_and_bucket(spark):
+    left = _ts(spark, [(1, 10, "a")], "k int, t long, lv string")
+    right = _ts(spark, [(1, 5, "b")], "k int, t long, rv string")
+    out = asof_join(left, right, ["k"], right_prefix="r_",
+                    skew_bucket_ms=60_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the in-bucket window must partition by (key, bucket), not key alone
+    assert "_bk" in plan
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("_bk" in ln and "k#" in ln for ln in windows), windows
