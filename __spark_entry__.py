@@ -50,7 +50,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs", "dedup_embedding_cosine_pairs",
     "sim_topk_bruteforce", "sim_ann_lsh_topk", "sim_ann_lsh_multiprobe_topk",
-    "sim_ann_ivf_topk", "sim_ann_pq_topk", "sim_knn_join",
+    "sim_ann_ivf_topk", "sim_ann_ivf_kmeans_topk", "sim_ann_pq_topk",
+    "sim_knn_join",
     "text_ngram_topk", "multimodal_catalog", "multimodal_image_resize",
     "multimodal_video_frames", "multimodal_embed",
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
@@ -60,7 +61,7 @@ DRIVER_WINDOW: list[str] = [
     # (3) r03-green, implementation touched this round
     "corpus_curated", "corpus_decontaminated", "corpus_mixture_sample",
     "dedup_cleaned_corpus", "dedup_clusters", "dedup_multi_signal",
-    "sketch_distinct_users_kmv", "events_signup_funnel",
+    "sketch_distinct_users_kmv",
     "p4_hourly_partitioner", "p4_duration_bucket", "p5_timestamp_extract",
     "r1_size_rotation_files", "r2_interval_rotation_files",
     "r2_anchored_rotation_files", "r3_partition_change_rotation",

@@ -126,6 +126,80 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
             .select(F.col(id_col).alias("cid"), "cv"))
 
 
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                     n_iters: int = 5, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Fitted IVF centroids: distributed spherical k-means (Lloyd's), the
+    deploy-time replacement for ``ivf_centroids``'s seed stand-in.
+
+    Spark-first shape per iteration (the same skeleton MLlib's KMeans
+    runs, expressed directly in DataFrame ops):
+
+      * ASSIGN — centroids inlined as a k x d literal (k*d doubles, the
+        "model broadcast"); nearest centroid per row is one narrow
+        argmax-by-dot expression inside codegen: no join, no shuffle, no
+        Python. Ties break to the lowest cid (max over (dot, -cid)).
+      * UPDATE — per-dimension means via posexplode -> partial map-side
+        aggregation: the shuffle carries at most k * d * partitions
+        partial sums, never vectors. k*d means (~1k doubles) collect to
+        the driver, are re-normalized to unit length (spherical k-means —
+        scoring is cosine), and become the next literal.
+
+    Empty clusters keep their previous centroid. Means are rounded to 9
+    decimals before normalizing so run-to-run float-summation jitter
+    cannot leak into the returned model's magnitude. Deterministic init
+    (the k lowest-id vectors) — no Date.now/rand anywhere.
+
+    Not SQL-oracle-expressible (iterative); correctness is pinned by
+    recall-floor and invariant tests (test_similarity_kmeans.py) instead
+    of a DuckDB mirror — the driver records the registry entry as a
+    rows-only check by design.
+    """
+    spark = embeddings.sparkSession
+    e = with_normalized(embeddings, vec_col).select(id_col, "nv")
+    seed_rows = e.orderBy(id_col).limit(n_centroids).collect()
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} vectors, got {len(seed_rows)}")
+    cents = [list(r.nv) for r in seed_rows]
+    d = len(cents[0])
+
+    for _ in range(n_iters):
+        lit = _lit_vecs(cents)
+        dots = (f"transform({lit}, c -> aggregate(zip_with(nv, c, "
+                f"(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
+        nearest = (f"-array_max(zip_with({dots}, "
+                   f"sequence(1, {len(cents)}), "
+                   f"(dd, j) -> named_struct('dd', dd, 'nj', -j))).nj")
+        assigned = e.withColumn("cid", F.expr(nearest).cast("int"))
+        stats = (assigned
+                 .select("cid", F.posexplode("nv").alias("pos", "val"))
+                 .groupBy("cid", "pos")
+                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                 .collect())
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r.cid, [0.0] * d)[r.pos] = r.s
+            counts[r.cid] = r.n
+        new_cents = []
+        for ci in range(1, n_centroids + 1):
+            if ci not in sums or counts[ci] == 0:
+                new_cents.append(cents[ci - 1])     # empty cluster: keep
+                continue
+            mean = [round(x / counts[ci], 9) for x in sums[ci]]
+            norm = sum(x * x for x in mean) ** 0.5
+            if norm == 0.0:
+                new_cents.append(cents[ci - 1])
+                continue
+            new_cents.append([x / norm for x in mean])
+        cents = new_cents
+
+    return spark.createDataFrame(
+        [(ci + 1, cents[ci]) for ci in range(n_centroids)],
+        "cid int, cv array<double>")
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF build: nearest centroid per vector (broadcast K centroids, one
@@ -239,12 +313,18 @@ def ann_pq_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
 
 def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF probe: rank centroids against the query, exact-search only the
     vectors assigned to the best `nprobe` centroids (~nprobe/n_centroids of
     the corpus; with cid-partitioned layout the scan prunes to those files).
+
+    ``centroids``: pass a fitted (cid, cv) frame — e.g.
+    ``kmeans_centroids`` — to probe a trained index; default stays the
+    SQL-expressible seed stand-in so the oracle-checked query is exact.
     """
-    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    cents = (centroids if centroids is not None
+             else ivf_centroids(embeddings, n_centroids, vec_col, id_col))
     assigned = ivf_assign(embeddings, cents, vec_col, id_col)
     probe = (query.crossJoin(F.broadcast(cents))
              .select(F.col("cid"),

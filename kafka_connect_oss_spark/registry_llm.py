@@ -463,6 +463,21 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
 
 
+@register("sim_ann_ivf_kmeans_topk")  # no oracle: iterative fit, not
+def sim_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with FITTED centroids (operators/similarity.kmeans_centroids):
+    distributed spherical Lloyd's — broadcast-literal assign (narrow,
+    codegen) + per-dimension partial-agg update — replacing the seed
+    stand-in the oracle-checked sim_ann_ivf_topk uses. Iterative float
+    fitting is not SQL-expressible, so the driver records a rows-only
+    check; recall-vs-bruteforce and model invariants are pinned by
+    tests/test_similarity_kmeans.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iters=5)
+    return similarity.ann_ivf_topk(emb, q, k=10, nprobe=4, centroids=cents)
+
+
 def _pq_oracle(m: int = similarity.PQ_M, k_codes: int = similarity.PQ_CODES,
                sub: int = 16, rerank: int = 40, k: int = 10) -> str:
     # diff list written once per join row; l2 = dot(diff, diff) — the same

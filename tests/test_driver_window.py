@@ -75,10 +75,17 @@ def test_red_rows_are_rechecked():
     assert not unhandled, f"red CORRECTNESS rows not in window: {unhandled}"
 
 
+#: window entries deliberately registered WITHOUT an oracle (iterative /
+#: non-SQL-expressible ops — the driver records a rows-only check, and a
+#: dedicated pytest module carries the correctness burden instead)
+NO_ORACLE_BY_DESIGN = {"sim_ann_ivf_kmeans_topk"}
+
+
 def test_oracles_exist_for_window():
     e = _entry()
     osql = e.oracle_sql()
-    no_oracle = [n for n in e.DRIVER_WINDOW if n not in osql]
+    no_oracle = [n for n in e.DRIVER_WINDOW
+                 if n not in osql and n not in NO_ORACLE_BY_DESIGN]
     assert not no_oracle, f"window queries without oracle: {no_oracle}"
 
 
