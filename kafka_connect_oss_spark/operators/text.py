@@ -136,6 +136,59 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: PII patterns (applied in order). Written in the regex subset Java
+#: (Spark) and RE2 (DuckDB) execute identically — no backrefs, no
+#: lookaround — so the oracle reproduces every replacement bit-for-bit.
+#: Email first: an address also contains digit runs a later pattern
+#: could half-eat.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrub for a pretraining corpus: emails, IPv4 addresses, and
+    phone-like digit runs replaced by typed placeholder tokens, with a
+    per-type match count.
+
+    A pure narrow pass — chained regexp_replace/regexp_count inside
+    whole-stage codegen, no shuffle, no Python: at 100 TB the scrub is a
+    projection over the scan, exactly the posture of the other text
+    operators. Counts are computed on the ORIGINAL text (before any
+    replacement) so one pattern's placeholder can never inflate another
+    pattern's count.
+
+    Returns (id_col, redacted_text, n_email, n_ipv4, n_phone).
+    """
+    out = docs.select(
+        id_col, F.col(text_col),
+        *[F.regexp_count(F.col(text_col), F.lit(pat))
+          .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS])
+    redacted = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return out.select(
+        id_col, redacted.alias("redacted_text"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS])
+
+
+def redact_pii_oracle_sql(table_expr: str, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB rendering of redact_pii (RE2; 'g' flag because DuckDB's
+    regexp_replace is first-match-only by default, unlike Spark's)."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    red = text_col
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (f"SELECT {id_col}, {red} AS redacted_text, {counts} "
+            f"FROM {table_expr}")
+
+
 #: driver-side cache of collected benchmark hash sets — the same eval
 #: suite is decontaminated against by several queries per session (plain
 #: decontamination, the curated pipeline, and their test mirrors), and

@@ -91,6 +91,33 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+#: the synthetic docs carry no real PII, so the query plants a
+#: deterministic email/IP/phone per doc (same concat in both engines) —
+#: the redaction itself is then non-trivially exercised and hash-checked
+_PII_SALTED_SQL = (
+    "(SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||"
+    " '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||"
+    " '.7 or +1 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text"
+    " FROM documents)")
+
+
+@register("text_pii_redacted",
+          TXT.redact_pii_oracle_sql(_PII_SALTED_SQL))
+def text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact_pii): emails / IPv4 / phone-like
+    runs -> typed placeholders + per-type counts, as one narrow
+    codegen'd projection — the standard corpus-curation scrub step."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 or +1 555-01"),
+                 (F.col("doc_id") % 90 + 10).cast("string")).alias("text"))
+    return TXT.redact_pii(docs)
+
+
 #: decontamination n-gram width: real pipelines use 8-13-gram exactness;
 #: the synthetic docs are short, so 3 keeps the query's result non-trivial
 #: (the operator takes any width)

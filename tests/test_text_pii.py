@@ -1,0 +1,44 @@
+"""redact_pii: placement semantics, count correctness, and cross-engine
+parity of the regex subset (Java on Spark, RE2 on DuckDB) on adversarial
+strings — the guarantee behind the text_pii_redacted oracle."""
+
+import duckdb
+
+from kafka_connect_oss_spark.operators.text import (redact_pii,
+                                                    redact_pii_oracle_sql)
+
+CASES = [
+    (0, "mail me at jane.doe+spam@sub.example.co.uk today"),
+    (1, "server 192.168.0.1 and 10.0.255.7 rebooted"),
+    (2, "call +1 555-867-5309 or 020 7946 0958 now"),
+    (3, "no pii here at all"),
+    (4, "a@b.io x 1.2.3.4 y +44 123456789 z"),
+    (5, "trailing dot host 1.2.3.4."),
+    (6, ""),
+    (7, "double@@at.com is not an@address sort.of@ok.org"),
+]
+
+
+def test_redact_pii_semantics(spark):
+    docs = spark.createDataFrame(CASES, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].redacted_text == "mail me at <EMAIL> today"
+    assert out[0].n_email == 1 and out[0].n_ipv4 == 0
+    assert out[1].redacted_text == "server <IP> and <IP> rebooted"
+    assert out[1].n_ipv4 == 2
+    assert out[2].n_phone == 2
+    assert "<PHONE>" in out[2].redacted_text
+    assert out[3].redacted_text == CASES[3][1]
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    assert out[6].redacted_text == ""
+
+
+def test_redact_pii_matches_duckdb_on_adversarial_strings(spark):
+    docs = spark.createDataFrame(CASES, "doc_id long, text string")
+    srows = sorted(map(tuple, redact_pii(docs).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", CASES)
+    drows = sorted(map(tuple,
+                       con.execute(redact_pii_oracle_sql("t")).fetchall()))
+    assert srows == drows
