@@ -46,7 +46,7 @@ DRIVER_WINDOW: list[str] = [
     "r4_scheduled_rotation",
     # (2) rotated out of the r03 window — re-attest on post-NTZ-fix code
     "sessions_per_user", "text_language_id", "text_fingerprints",
-    "text_pii_redacted",
+    "text_pii_redacted", "text_prune_frequent_tokens",
     "pack_training_sequences", "dedup_exact", "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs", "dedup_embedding_cosine_pairs",
@@ -66,7 +66,6 @@ DRIVER_WINDOW: list[str] = [
     "p4_duration_bucket", "p5_timestamp_extract",
     "r1_size_rotation_files", "r2_interval_rotation_files",
     "r2_anchored_rotation_files", "r3_partition_change_rotation",
-    "c2_offsets_to_commit",
 ]
 
 

@@ -189,6 +189,71 @@ def redact_pii_oracle_sql(table_expr: str, text_col: str = "text",
             f"FROM {table_expr}")
 
 
+def prune_frequent_tokens(docs: DataFrame, df_frac: float = 0.5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency token pruning: drop every token whose DOCUMENT
+    frequency exceeds ``df_frac`` of the corpus — the classic boilerplate/
+    stop-vocabulary filter of web-corpus curation (C4-style "remove terms
+    on most pages"), token-level because the synthetic docs are one line.
+
+    Spark-first shape, fully distributed end to end:
+
+      * DF counts: per-doc DISTINCT tokens explode -> groupBy(token) —
+        the only shuffle, carrying (token, partial count) pairs with
+        map-side combine; vocabulary-sized, not corpus-sized.
+      * the frequent set folds into ONE row (collect_list over tokens
+        with DF > df_frac * n_docs — by construction at most 1/df_frac
+        tokens can exceed the bound... per doc-slot, i.e. Zipf-bounded
+        small) and cross-joins back BROADCAST: the corpus side stays a
+        pure narrow ``filter(tokens, NOT array_contains(...))`` pass —
+        order- and duplicate-preserving (array_except would dedup), zero
+        driver collect, zero corpus shuffle.
+
+    Returns (id_col, pruned_text, n_tokens, n_removed).
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    per_doc = docs.select(id_col,
+                          F.expr(f"array_distinct({tok})").alias("_dt"))
+    n = docs.select(F.count(F.lit(1)).alias("_n_docs"))
+    freq = (per_doc.select(F.explode("_dt").alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n))
+            .where(F.col("_df") > F.lit(df_frac) * F.col("_n_docs")))
+    freq_arr = freq.agg(
+        F.sort_array(F.collect_list("token")).alias("_freq_toks"))
+    kept = f"filter({tok}, t -> NOT array_contains(_freq_toks, t))"
+    return (docs.crossJoin(F.broadcast(freq_arr))
+            .select(id_col,
+                    F.expr(f"concat_ws(' ', {kept})").alias("pruned_text"),
+                    F.expr(f"size({tok})").alias("n_tokens"),
+                    F.expr(f"size({tok}) - size({kept})").alias("n_removed")))
+
+
+def prune_frequent_tokens_oracle_sql(table_expr: str, df_frac: float = 0.5,
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id") -> str:
+    """DuckDB rendering of prune_frequent_tokens (COALESCE because an
+    empty frequent set aggregates to NULL in DuckDB but to [] in Spark)."""
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH tokd AS (
+      SELECT {id_col}, {dtok} AS t FROM {table_expr}),
+    dfc AS (SELECT token, COUNT(*) AS df FROM (
+        SELECT {id_col}, UNNEST(list_distinct(t)) AS token FROM tokd)
+        GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM tokd),
+    freq AS (SELECT COALESCE(list(token ORDER BY token), []) AS ft
+             FROM dfc, n WHERE df > {df_frac} * n_docs)
+    SELECT {id_col},
+           COALESCE(array_to_string(
+               list_filter(t, x -> NOT list_contains(ft, x)), ' '), '')
+             AS pruned_text,
+           len(t) AS n_tokens,
+           len(t) - len(list_filter(t, x -> NOT list_contains(ft, x)))
+             AS n_removed
+    FROM tokd, freq"""
+
+
 #: driver-side cache of collected benchmark hash sets — the same eval
 #: suite is decontaminated against by several queries per session (plain
 #: decontamination, the curated pipeline, and their test mirrors), and

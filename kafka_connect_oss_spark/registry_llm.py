@@ -91,6 +91,18 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register("text_prune_frequent_tokens",
+          TXT.prune_frequent_tokens_oracle_sql("documents", 0.4))
+def text_prune_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-vocabulary pruning (operators/text.
+    prune_frequent_tokens): tokens on > 40% of documents stripped from
+    every doc — DF aggregation is the only shuffle (vocabulary-sized),
+    the frequent set broadcasts as one row, the corpus side is a narrow
+    order-preserving filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TXT.prune_frequent_tokens(docs, df_frac=0.4)
+
+
 #: the synthetic docs carry no real PII, so the query plants a
 #: deterministic email/IP/phone per doc (same concat in both engines) —
 #: the redaction itself is then non-trivially exercised and hash-checked

@@ -42,3 +42,46 @@ def test_redact_pii_matches_duckdb_on_adversarial_strings(spark):
     drows = sorted(map(tuple,
                        con.execute(redact_pii_oracle_sql("t")).fetchall()))
     assert srows == drows
+
+
+def test_prune_frequent_tokens_semantics(spark):
+    from kafka_connect_oss_spark.operators.text import prune_frequent_tokens
+
+    # 'common' in 3/4 docs (75%), 'rare' in 1; threshold 0.5 prunes only
+    # 'common'; duplicates and order of surviving tokens preserved
+    docs = spark.createDataFrame(
+        [(0, "common rare common x"), (1, "common y"), (2, "common z"),
+         (3, "w w rare")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           prune_frequent_tokens(docs, df_frac=0.5).collect()}
+    assert out[0].pruned_text == "rare x"
+    assert (out[0].n_tokens, out[0].n_removed) == (4, 2)
+    assert out[3].pruned_text == "w w rare"
+    assert out[3].n_removed == 0
+
+
+def test_prune_frequent_tokens_empty_frequent_set(spark):
+    from kafka_connect_oss_spark.operators.text import prune_frequent_tokens
+
+    # no token crosses a 0.99 threshold -> everything survives verbatim
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d")], "doc_id long, text string")
+    out = {r.doc_id: r.pruned_text
+           for r in prune_frequent_tokens(docs, df_frac=0.99).collect()}
+    assert out == {0: "a b", 1: "c d"}
+
+
+def test_prune_frequent_tokens_matches_duckdb(spark):
+    from kafka_connect_oss_spark.operators.text import (
+        prune_frequent_tokens, prune_frequent_tokens_oracle_sql)
+
+    rows = [(0, "common rare common x"), (1, "common y"), (2, "common z"),
+            (3, "w w rare"), (4, ""), (5, "  spaced   out  common ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    srows = sorted(map(tuple, prune_frequent_tokens(docs, 0.5).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    drows = sorted(map(tuple, con.execute(
+        prune_frequent_tokens_oracle_sql("t", 0.5)).fetchall()))
+    assert srows == drows
