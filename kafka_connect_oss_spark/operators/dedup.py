@@ -389,6 +389,14 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     tiny (diameter 2-3), so 2-4 rounds in practice. The driver loop only
     reads ONE aggregate (changed-count) per round; labels stay distributed.
 
+    The loop runs ONLY over edge-incident nodes: a document with no
+    near-dup pair is its own cluster by construction and never enters a
+    propagation round. On a real corpus the dup graph touches a small
+    fraction of documents, so every round's join/agg works on the edge
+    subgraph (|edge nodes|), not the corpus (|docs|) — the isolated
+    majority is appended once at the end with label = self via a narrow
+    anti-join.
+
     Returns (doc_id, cluster_id, is_representative).
     """
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -399,31 +407,36 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     # banding, verification) re-executes per iteration
     edges = edges.cache()
     edges.count()
-    labels = docs.select(F.col(id_col).alias("node"),
-                         F.col(id_col).alias("label"))
-    prev_cached = None
+    # src covers both directions after the symmetric union above
+    edge_nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    edge_nodes.count()
+    labels = edge_nodes.withColumn("label", F.col("node"))
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
         # carry the previous label through the update so convergence is
         # read off the SAME materialization — one action and one join per
-        # round instead of two of each
+        # round instead of two of each. localCheckpoint (not cache):
+        # caching short-circuits EXECUTION but Catalyst still re-analyzes
+        # the whole accumulated lineage every round, so round time grows
+        # with iteration count; the eager checkpoint truncates the plan
+        # to the materialized blocks — per-round cost stays flat at any
+        # iteration depth (the standard iterative-algorithm discipline,
+        # same reason GraphFrames CC checkpoints).
         updated = (labels.join(neighbor_min,
                                labels.node == neighbor_min.src, "left")
                    .select(F.col("node"), F.col("label").alias("_prev"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"), F.col("label")))
-                           .alias("label")).cache())
+                           .alias("label")).localCheckpoint(eager=True))
         changed = updated.where(F.col("label") != F.col("_prev")).count()
-        if prev_cached is not None:
-            # blocking: never drop blocks while a next-round job could
-            # still be scheduling against the old frame
-            prev_cached.unpersist(True)
-        prev_cached = updated
         labels = updated.select("node", "label")
         if changed == 0:
             break
-    return labels.select(
+    isolated = (docs.select(F.col(id_col).alias("node"))
+                .join(edge_nodes, "node", "left_anti")
+                .select("node", F.col("node").alias("label")))
+    return labels.unionByName(isolated).select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_representative"))
