@@ -68,6 +68,10 @@ HEADLINE += [
     "corpus_curated",
     "pack_training_sequences",
     "sim_ann_pq_topk",
+    # round-4 operators
+    "sim_ann_ivf_kmeans_topk",
+    "text_pii_redacted",
+    "text_prune_frequent_tokens",
 ]
 
 

@@ -78,7 +78,28 @@ def main() -> None:
             w.rowsBetween(Window.unboundedPreceding, 0)))
         return sid.groupBy("user_id", "sid").count()
 
+    from kafka_connect_oss_spark.operators.asof import asof_join, range_join
+
+    def asof_probe(**kw):
+        p = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        c = ev.where(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        return asof_join(p, c, on=["user_id"], right_prefix="c_", **kw)
+
+    def range_probe():
+        p = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        e = ev.where(F.col("event_type") == "error") \
+            .select("event_id", "user_id", "ts")
+        return range_join(p, e, on=["user_id"], lower_ms=0,
+                          upper_ms=600_000, right_prefix="e_")
+
     probes = {
+        "asof_join": lambda: asof_probe(),
+        "asof_join_skew_bucketed": lambda: asof_probe(
+            skew_bucket_ms=86_400_000),
+        "range_join": range_probe,
         "r1_committed_files": lambda: rotation.committed_files(
             ev, P.default_partition(F.col("partition")), flush_size=100,
             extension=".parquet"),

@@ -141,3 +141,74 @@ def test_object_key_roundtrip():
     assert key == "topics/events/2019-06-12-16/events+3+0000154000.parquet"
     m = re.match(r"topics/(\w+)/.+/(\w+)\+(\d+)\+(\d{10})\.parquet$", key)
     assert m and m.group(3) == "3" and int(m.group(4)) == 154000
+
+
+# ---------------------------------------------------------------------------
+# as-of / range join vs an independent pure-Python reference model
+# ---------------------------------------------------------------------------
+
+_pair = st.tuples(st.integers(1, 3),            # join key
+                  st.integers(0, 50))           # epoch seconds
+
+_left_rows = st.lists(_pair, min_size=1, max_size=12)
+_right_rows = st.lists(_pair, min_size=0, max_size=12, unique=True)
+
+
+def _py_asof(left, right):
+    """Reference: per left row, the right row with max ts <= left ts for
+    the key (right unique on (k, ts), so no tie ambiguity)."""
+    out = []
+    for k, lt in left:
+        cands = [rt for rk, rt in right if rk == k and rt <= lt]
+        out.append((k, lt, max(cands) if cands else None))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_matches_python_model(spark, left, right):
+    from kafka_connect_oss_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame([(k, t) for k, t in left], "k int, t long") \
+        .withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    rdf = spark.createDataFrame([(k, t, t) for k, t in right],
+                                "k int, t long, rv long") \
+        .withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    expect = _py_asof(left, right)
+    for kw in ({}, {"skew_bucket_ms": 10_000}):
+        got = sorted(
+            (r.k, int(r.ts.timestamp()),
+             None if r.r_rv is None else int(r.r_rv))
+            for r in asof_join(ldf, rdf, ["k"], right_prefix="r_",
+                               **kw).collect())
+        assert got == expect, kw
+
+
+def _py_range(left, right, lo_s, hi_s):
+    out = []
+    for k, lt in left:
+        for rk, rt in right:
+            if rk == k and lo_s <= rt - lt <= hi_s:
+                out.append((k, lt, rt))
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=st.lists(_pair, min_size=1, max_size=10, unique=True),
+       right=_right_rows, bounds=st.tuples(st.integers(0, 5),
+                                           st.integers(6, 20)))
+def test_range_join_matches_python_model(spark, left, right, bounds):
+    from kafka_connect_oss_spark.operators.asof import range_join
+
+    lo_s, hi_s = bounds
+    ldf = spark.createDataFrame([(k, t) for k, t in left], "k int, t long") \
+        .withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    rdf = spark.createDataFrame([(k, t) for k, t in right], "k int, t long") \
+        .withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    got = sorted(
+        (r.k, int(r.ts.timestamp()), int(r.e_ts.timestamp()))
+        for r in range_join(ldf, rdf, ["k"], lo_s * 1000, hi_s * 1000,
+                            right_prefix="e_").collect())
+    assert got == _py_range(left, right, lo_s, hi_s)
