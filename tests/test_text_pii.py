@@ -85,3 +85,24 @@ def test_prune_frequent_tokens_matches_duckdb(spark):
     drows = sorted(map(tuple, con.execute(
         prune_frequent_tokens_oracle_sql("t", 0.5)).fetchall()))
     assert srows == drows
+
+
+def test_redact_pii_plan_is_narrow(spark):
+    # the scrub must be a pure projection: no exchange anywhere
+    docs = spark.createDataFrame([(0, "a@b.co")], "doc_id long, text string")
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_prune_frequent_tokens_plan_broadcasts_frequent_set(spark):
+    from kafka_connect_oss_spark.operators.text import prune_frequent_tokens
+
+    docs = spark.createDataFrame([(0, "a b"), (1, "a c")],
+                                 "doc_id long, text string")
+    plan = prune_frequent_tokens(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # corpus side joins the 1-row frequent set via broadcast, never a
+    # shuffled join of the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only hash shuffle is the vocabulary DF aggregation
+    assert plan.count("Exchange hashpartitioning") <= 2
