@@ -70,6 +70,46 @@ def streaming_exact_dedup(records: DataFrame, key_cols: Iterable[str] = ("key",)
             .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
+def streaming_range_join(left: DataFrame, right: DataFrame, on: list[str],
+                         lower_ms: int, upper_ms: int,
+                         watermark: str = "2 hours",
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         right_prefix: str = "r_") -> DataFrame:
+    """Streaming form of operators/asof.range_join: pairs with
+    right_ts - left_ts in [lower_ms, upper_ms] per key, as a native
+    stream-stream inner join with an event-time range constraint.
+
+    Spark-first: both sides carry watermarks and the join condition bounds
+    the event-time distance, so the state store holds only rows inside
+    the watermark + interval horizon — the documented requirement for
+    state cleanup in stream-stream joins. No custom state code: the
+    built-in join IS the operator; at 100 TB state is partitioned by the
+    join key shuffle like any stateful op.
+
+    Emits the same columns as the batch operator (left columns + prefixed
+    right payload), so the two forms golden-check against each other
+    (test_streaming_analytics.test_streaming_range_join_matches_batch).
+    """
+    from functools import reduce
+
+    l_w = left.withWatermark(left_ts, watermark).alias("l")
+    rpayload = [c for c in right.columns if c not in on]
+    r_w = (right.select(*on, *[F.col(c).alias(f"{right_prefix}{c}")
+                               for c in rpayload])
+           .withWatermark(f"{right_prefix}{right_ts}", watermark)
+           .alias("r"))
+    key_eq = reduce(lambda a, b: a & b,
+                    [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on])
+    rts, lts = F.col(f"r.{right_prefix}{right_ts}"), F.col(f"l.{left_ts}")
+    cond = (key_eq
+            & (rts >= lts + F.expr(f"INTERVAL {lower_ms} MILLISECOND"))
+            & (rts <= lts + F.expr(f"INTERVAL {upper_ms} MILLISECOND")))
+    joined = l_w.join(r_w, cond)
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{right_prefix}{c}") for c in rpayload])
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

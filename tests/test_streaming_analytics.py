@@ -84,3 +84,31 @@ def test_sessionize_matches_batch_sessionization(spark, sf_dir, tmp_path):
     # at most one open session per user can be withheld
     users_missing = {m[0] for m in missing}
     assert len(missing) == len(users_missing)
+
+
+def test_streaming_range_join_matches_batch(spark, sf_dir, tmp_path):
+    # the built-in stream-stream join with an event-time range constraint
+    # must reproduce the batch range_join exactly on the same data
+    from kafka_connect_oss_spark.operators.asof import range_join
+
+    stream = events_file_stream(spark, sf_dir)
+    p_s = (stream.where(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("event_id").alias("purchase_id")))
+    e_s = (stream.where(F.col("event_type") == "error")
+           .select("user_id", "ts", F.col("event_id").alias("error_id")))
+    _run_to_memory(A.streaming_range_join(
+        p_s, e_s, on=["user_id"], lower_ms=0, upper_ms=6 * 3600_000,
+        right_prefix="e_"), "rj", tmp_path)
+    got = sorted((r.user_id, r.purchase_id, r.e_error_id)
+                 for r in spark.sql("SELECT * FROM rj").collect())
+
+    rec = sink_records(spark, sf_dir)
+    p_b = (rec.where(F.col("event_type") == "purchase")
+           .select("user_id", "ts", F.col("event_id").alias("purchase_id")))
+    e_b = (rec.where(F.col("event_type") == "error")
+           .select("user_id", "ts", F.col("event_id").alias("error_id")))
+    expect = sorted((r.user_id, r.purchase_id, r.e_error_id)
+                    for r in range_join(p_b, e_b, on=["user_id"],
+                                        lower_ms=0, upper_ms=6 * 3600_000,
+                                        right_prefix="e_").collect())
+    assert got == expect and len(got) > 0
