@@ -110,6 +110,145 @@ def streaming_range_join(left: DataFrame, right: DataFrame, on: list[str],
         *[F.col(f"r.{right_prefix}{c}") for c in rpayload])
 
 
+ASOF_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("l_ts", TimestampType()),
+    StructField("l_id", LongType()),
+    StructField("r_ts", TimestampType()),
+    StructField("r_id", LongType()),
+])
+
+_ASOF_STATE = StructType([
+    StructField("l_ts_us", StringType()),   # csv-packed pending left rows
+    StructField("l_id", StringType()),
+    StructField("r_ts_us", StringType()),   # csv-packed buffered right rows
+    StructField("r_id", StringType()),
+])
+
+
+def _pack(xs: list[int]) -> str:
+    return ",".join(map(str, xs))
+
+
+def _unpack(s: str) -> list[int]:
+    return [int(x) for x in s.split(",")] if s else []
+
+
+def _asof_func():
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            lts, lid, rts, rid = (list(_unpack(v)) for v in state.get)
+        else:
+            lts, lid, rts, rid = [], [], [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+                         // 1000)
+                for t, side, i in zip(ts_us, pdf["side"], pdf["id"]):
+                    if side == 1:
+                        lts.append(int(t)); lid.append(int(i))
+                    else:
+                        rts.append(int(t)); rid.append(int(i))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # emit every pending left row the watermark has passed: all right
+        # rows at or before it have arrived by the watermark contract
+        out, keep_l, keep_lid = [], [], []
+        rpairs = sorted(zip(rts, rid))
+        for t, i in sorted(zip(lts, lid)):
+            if t <= wm_us:
+                match = None
+                for rt, ri in rpairs:
+                    if rt <= t:
+                        match = (rt, ri)
+                    else:
+                        break
+                out.append((k, t, i, match))
+            else:
+                keep_l.append(t); keep_lid.append(i)
+
+        # prune right rows: matches for future left rows (> wm) only need
+        # the newest right row <= wm (the carry) plus everything after wm
+        carry = None
+        for rt, ri in rpairs:
+            if rt <= wm_us:
+                carry = (rt, ri)
+        kept_r = ([carry] if carry else []) + \
+            [(rt, ri) for rt, ri in rpairs if rt > wm_us]
+        if keep_l or kept_r:
+            state.update((_pack(keep_l), _pack(keep_lid),
+                          _pack([rt for rt, _ in kept_r]),
+                          _pack([ri for _, ri in kept_r])))
+            if keep_l:
+                # wake as soon as the watermark passes the oldest pending
+                # left row (must be strictly beyond the current watermark)
+                state.setTimeoutTimestamp(
+                    max(min(keep_l) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame({
+                "key": [r[0] for r in out],
+                "l_ts": [pd.Timestamp(r[1], unit="us") for r in out],
+                "l_id": [r[2] for r in out],
+                "r_ts": [None if r[3] is None
+                         else pd.Timestamp(r[3][0], unit="us")
+                         for r in out],
+                "r_id": [None if r[3] is None else r[3][1] for r in out],
+            })
+
+    return fn
+
+
+def streaming_asof_join(left: DataFrame, right: DataFrame,
+                        key_col: str, id_col: str = "event_id",
+                        ts_col: str = "ts",
+                        watermark: str = "30 seconds") -> DataFrame:
+    """Streaming backward as-of join as a custom stateful operator — the
+    temporal op Structured Streaming lacks natively (stream-stream joins
+    support range conditions but not "latest right row at or before").
+
+    Same union-tag trick as the batch operator (operators/asof.asof_join):
+    both sides merge into ONE tagged stream (applyInPandasWithState takes
+    a single input), grouped by key. Per key the state buffers pending
+    rows; a left row is emitted only once the EVENT-TIME WATERMARK passes
+    its timestamp — at that point every right row at or before it has
+    arrived (the watermark contract), so the match is exact, not
+    processing-order-dependent. Pruning keeps just the newest right row
+    at or below the watermark (the carry) plus unexpired right rows, so
+    state per key is O(in-flight horizon), never the full history.
+
+    Rows carry (key, ts, id); enrich with full payloads by joining the
+    emitted (l_id, r_id) pairs back to their tables — ids are the join
+    currency so the state store never holds wide payloads. Left rows
+    still ahead of the final watermark stay buffered (append-mode
+    semantics, same caveat as sessionize). Equal-timestamp right rows:
+    the largest id wins (deterministic; pre-dedup right on (key, ts) if
+    the batch hash tie-break must be mirrored exactly).
+
+    Returns (key, l_ts, l_id, r_ts, r_id) with r_* NULL when no right
+    row precedes the left row.
+    """
+    tagged = (left.select(F.col(key_col).alias("key"),
+                          F.col(ts_col).alias("ts"),
+                          F.lit(1).alias("side"),
+                          F.col(id_col).alias("id"))
+              .unionByName(
+                  right.select(F.col(key_col).alias("key"),
+                               F.col(ts_col).alias("ts"),
+                               F.lit(0).alias("side"),
+                               F.col(id_col).alias("id"))))
+    return (tagged
+            .withWatermark("ts", watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                _asof_func(), ASOF_SCHEMA, _ASOF_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", TimestampType()),

@@ -112,3 +112,58 @@ def test_streaming_range_join_matches_batch(spark, sf_dir, tmp_path):
                                         lower_ms=0, upper_ms=6 * 3600_000,
                                         right_prefix="e_").collect())
     assert got == expect and len(got) > 0
+
+
+def test_streaming_asof_join_matches_batch(spark, sf_dir, tmp_path):
+    # multi-batch replay: events split into 4 time-ordered files streamed
+    # one per micro-batch, so the watermark advances and emits as-of
+    # matches incrementally; every emitted row must equal the batch
+    # asof_join result, with substantial coverage by end of stream
+    import os
+    import shutil
+
+    from kafka_connect_oss_spark.operators.asof import asof_join
+    from pyspark.sql import Window
+
+    ensure_package_on_executors(spark)
+    rec = sink_records(spark, sf_dir)
+    p = (rec.where(F.col("event_type") == "purchase")
+         .select("user_id", "ts", "event_id"))
+    # pre-dedup right on (user, ts): removes tie ambiguity between the
+    # batch hash tie-break and the streaming max-id tie-break
+    c = (rec.where(F.col("event_type") == "click")
+         .groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id")))
+    base = (p.withColumn("side", F.lit(1))
+            .unionByName(c.withColumn("side", F.lit(0))))
+    chunked = base.withColumn("q", F.ntile(4).over(Window.orderBy("ts")))
+
+    stream_dir = tmp_path / "asof_stream"
+    stream_dir.mkdir()
+    for i in range(1, 5):
+        part_dir = tmp_path / f"part_{i}"
+        chunked.where(F.col("q") == i).drop("q") \
+            .coalesce(1).write.parquet(str(part_dir))
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = stream_dir / f"chunk{i}.parquet"
+        shutil.copy(part_dir / src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    l_s = sdf.where(F.col("side") == 1)
+    r_s = sdf.where(F.col("side") == 0)
+    _run_to_memory(A.streaming_asof_join(l_s, r_s, key_col="user_id",
+                                         watermark="1 second"),
+                   "asof_s", tmp_path)
+    got = {(r.key, r.l_id): r.r_id
+           for r in spark.sql("SELECT * FROM asof_s").collect()}
+
+    expect = {(r.user_id, r.event_id): r.c_event_id
+              for r in asof_join(p, c, on=["user_id"],
+                                 right_prefix="c_").collect()}
+    assert got, "stream emitted nothing — watermark never advanced"
+    for k, v in got.items():
+        assert k in expect and expect[k] == v, (k, v, expect.get(k))
+    # everything the final watermark passed must have been emitted
+    assert len(got) >= len(expect) // 2, (len(got), len(expect))
