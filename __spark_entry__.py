@@ -54,7 +54,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_ivf_topk", "sim_ann_ivf_kmeans_topk", "sim_ann_pq_topk",
     "sim_knn_join",
     "text_ngram_topk", "multimodal_catalog", "multimodal_image_resize",
-    "multimodal_video_frames", "multimodal_embed",
+    "multimodal_video_frames", "multimodal_embed", "multimodal_near_dup",
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
     "events_hourly_rollup", "events_top_users_per_type",
     "events_user_running_value", "events_day_over_day_retention",
@@ -63,7 +63,7 @@ DRIVER_WINDOW: list[str] = [
     "corpus_curated", "corpus_decontaminated", "corpus_mixture_sample",
     "dedup_cleaned_corpus", "dedup_clusters", "dedup_multi_signal",
     "sketch_distinct_users_kmv",
-    "p4_duration_bucket", "p5_timestamp_extract",
+    "p4_duration_bucket",
     "r1_size_rotation_files", "r2_interval_rotation_files",
     "r2_anchored_rotation_files", "r3_partition_change_rotation",
 ]

@@ -117,3 +117,55 @@ _EMBED_COLS = ", ".join(
 def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary -> fixed-dim feature vector (encoder stubbed, plumbing real)."""
     return MM.binary_embed(_mm(spark, sf_dir))
+
+
+#: embedding components as a DuckDB list literal (same formula as
+#: _EMBED_COLS, unaliased) for the near-dup oracle
+_EMBED_LIST = "[" + ", ".join(
+    _hex_int(f"md5(text || '{j}')", 1, 8) + " / 4294967296.0"
+    for j in range(MM.EMBED_DIMS)) + "]"
+
+#: cosine threshold for multimodal near-dup. With a real encoder,
+#: near-identical media embed nearby and the threshold sits close to 1;
+#: the deterministic md5 stand-in embeds every distinct payload
+#: uniformly, so 0.99 selects the top tail of the pair distribution —
+#: a non-trivial, stable result that exercises the identical plan
+#: (identical payloads would still embed identically and score 1.0)
+_MM_COSINE = 0.99
+
+
+def _mm_near_dup_oracle() -> str:
+    from kafka_connect_oss_spark.functions import vectors as V
+    from kafka_connect_oss_spark.functions.rounding import round_sql
+
+    ndot = "list_dot_product(a.nv, b.nv)"
+    return f"""{_MM_BASE},
+    e AS (SELECT doc_id, modality, {_EMBED_LIST} AS v FROM mm),
+    n AS (SELECT doc_id, modality, {V.normalized_sql('v', 'duckdb')} AS nv
+          FROM e)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {round_sql(ndot, 4)} AS cosine
+    FROM n a JOIN n b ON a.modality = b.modality AND a.doc_id < b.doc_id
+    WHERE {round_sql(ndot, 4)} >= {_MM_COSINE}"""
+
+
+@register("multimodal_near_dup", _mm_near_dup_oracle())
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: binary payload -> (stubbed) encoder embedding
+    -> blocked cosine pairs — the media-dedup composition (same-content
+    assets across the catalog), exercising mapInPandas feature extraction
+    feeding the blocked pairwise operator end-to-end."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.operators import dedup
+
+    mm = _mm(spark, sf_dir)
+    emb = MM.binary_embed(mm)
+    arr = emb.select(
+        "doc_id",
+        F.array(*[F.col(f"v{j}") for j in range(MM.EMBED_DIMS)])
+        .alias("embedding"))
+    joined = arr.join(mm.select("doc_id", "modality"), "doc_id")
+    return dedup.embedding_near_dup(joined, threshold=_MM_COSINE,
+                                    vec_col="embedding", id_col="doc_id",
+                                    block_col="modality")
