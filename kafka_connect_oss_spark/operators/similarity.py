@@ -128,9 +128,16 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
 
 def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                      n_iters: int = 5, vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
-    """Fitted IVF centroids: distributed spherical k-means (Lloyd's), the
-    deploy-time replacement for ``ivf_centroids``'s seed stand-in.
+                     id_col: str = "vec_id",
+                     metric: str = "cosine") -> DataFrame:
+    """Fitted centroids: distributed k-means (Lloyd's), the deploy-time
+    replacement for the seed stand-ins.
+
+    ``metric="cosine"`` (IVF over unit vectors): inputs are normalized
+    once, assignment is argmax-dot, means re-normalize each round
+    (spherical k-means). ``metric="l2"`` (PQ subspace codebooks):
+    inputs are taken as-is, assignment is argmin squared distance with
+    first-index tie-break (mirroring pq_encode), means stay raw.
 
     Spark-first shape per iteration (the same skeleton MLlib's KMeans
     runs, expressed directly in DataFrame ops):
@@ -155,12 +162,18 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     of a DuckDB mirror — the driver records the registry entry as a
     rows-only check by design.
     """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     spark = embeddings.sparkSession
-    # one normalization pass, materialized: every Lloyd's iteration scans
+    # one preparation pass, materialized: every Lloyd's iteration scans
     # this frame — without the cache each round re-reads the source and
     # re-runs the normalize fold (measured ~40% of fit time at sf0.1)
-    e = (with_normalized(embeddings, vec_col).select(id_col, "nv")
-         .cache())
+    if metric == "cosine":
+        e = with_normalized(embeddings, vec_col).select(id_col, "nv")
+    else:
+        e = embeddings.select(
+            id_col, F.expr(f"cast({vec_col} as array<double>)").alias("nv"))
+    e = e.cache()
     seed_rows = e.orderBy(id_col).limit(n_centroids).collect()
     if len(seed_rows) < n_centroids:
         raise ValueError(
@@ -170,11 +183,19 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
 
     for _ in range(n_iters):
         lit = _lit_vecs(cents)
-        dots = (f"transform({lit}, c -> aggregate(zip_with(nv, c, "
-                f"(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
-        nearest = (f"-array_max(zip_with({dots}, "
-                   f"sequence(1, {len(cents)}), "
-                   f"(dd, j) -> named_struct('dd', dd, 'nj', -j))).nj")
+        if metric == "cosine":
+            dots = (f"transform({lit}, c -> aggregate(zip_with(nv, c, "
+                    f"(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
+            nearest = (f"-array_max(zip_with({dots}, "
+                       f"sequence(1, {len(cents)}), "
+                       f"(dd, j) -> named_struct('dd', dd, 'nj', -j))).nj")
+        else:
+            dists = (f"transform({lit}, c -> aggregate(zip_with(nv, c, "
+                     f"(x, y) -> (x - y) * (x - y)), 0D, "
+                     f"(acc, v) -> acc + v))")
+            nearest = (f"array_min(zip_with({dists}, "
+                       f"sequence(1, {len(cents)}), "
+                       f"(dd, j) -> named_struct('dd', dd, 'j', j))).j")
         assigned = e.withColumn("cid", F.expr(nearest).cast("int"))
         stats = (assigned
                  .select("cid", F.posexplode("nv").alias("pos", "val"))
@@ -192,6 +213,9 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                 new_cents.append(cents[ci - 1])     # empty cluster: keep
                 continue
             mean = [round(x / counts[ci], 9) for x in sums[ci]]
+            if metric == "l2":
+                new_cents.append(mean)
+                continue
             norm = sum(x * x for x in mean) ** 0.5
             if norm == 0.0:
                 new_cents.append(cents[ci - 1])
@@ -248,6 +272,33 @@ def pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
             for mi in range(m)]
 
 
+def pq_codebooks_kmeans(embeddings: DataFrame, m: int = PQ_M,
+                        k_codes: int = PQ_CODES, n_iters: int = 3,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Fitted PQ codebooks: per-subspace Euclidean k-means over slices of
+    the normalized vectors — the deploy-time replacement for
+    ``pq_codebooks``'s seed stand-in. Each subspace fit reuses
+    ``kmeans_centroids(metric="l2")`` (argmin squared distance with the
+    same first-index tie-break ``pq_encode`` applies), so the fitted
+    codebooks drop into the identical encode/ADC/re-rank plan."""
+    df = with_normalized(embeddings, vec_col)
+    d = len(df.select("nv").first().nv)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    cbs = []
+    for mi in range(m):
+        sv = df.select(id_col,
+                       F.expr(f"slice(nv, {mi * sub + 1}, {sub})")
+                       .alias("sv"))
+        cents = kmeans_centroids(sv, n_centroids=k_codes, n_iters=n_iters,
+                                 vec_col="sv", id_col=id_col, metric="l2")
+        rows = sorted(cents.collect(), key=lambda r: r.cid)
+        cbs.append([list(r.cv) for r in rows])
+    return cbs
+
+
 def _lit_vecs(cb_m: list[list[float]]) -> str:
     """array<array<double>> literal (repr round-trips doubles exactly)."""
     return "array(" + ", ".join(
@@ -285,7 +336,8 @@ def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]],
 def ann_pq_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
                 m: int = PQ_M, k_codes: int = PQ_CODES,
                 rerank_factor: int = 4, vec_col: str = "embedding",
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                codebooks: list[list[list[float]]] | None = None) -> DataFrame:
     """PQ-ANN top-k with ADC scoring + exact re-rank.
 
     Asymmetric distance computation: approx_dot(q, v) = sum over
@@ -295,7 +347,8 @@ def ann_pq_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     rerank_factor*k by approx score are re-ranked by exact cosine —
     rerank candidates are the only rows whose full vectors are read.
     """
-    cbs = pq_codebooks(embeddings, m, k_codes, vec_col, id_col)
+    cbs = (codebooks if codebooks is not None
+           else pq_codebooks(embeddings, m, k_codes, vec_col, id_col))
     sub = len(cbs[0][0])
     enc = pq_encode(embeddings, cbs, vec_col, id_col)
     scored = enc.crossJoin(F.broadcast(query))

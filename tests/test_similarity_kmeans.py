@@ -68,3 +68,30 @@ def test_kmeans_iterations_do_not_degenerate(spark, emb):
     o1 = objective(similarity.kmeans_centroids(emb, 16, n_iters=1))
     o5 = objective(similarity.kmeans_centroids(emb, 16, n_iters=5))
     assert o5 >= o1 - 1e-9
+
+
+def test_pq_codebooks_kmeans_fit_and_recall(spark, emb):
+    # Euclidean per-subspace fit: shape, and ADC recall must not regress
+    # vs the seed codebooks on the same query
+    cbs = similarity.pq_codebooks_kmeans(emb, n_iters=3)
+    assert len(cbs) == similarity.PQ_M
+    assert all(len(cb) == similarity.PQ_CODES for cb in cbs)
+    assert all(len(c) == 64 // similarity.PQ_M for cb in cbs for c in cb)
+
+    q = similarity.query_vector(spark, emb, 0)
+    exact = {r.vec_id for r in similarity.topk_cosine(emb, q, k=10).collect()}
+    seed = {r.vec_id for r in similarity.ann_pq_topk(emb, q, k=10).collect()}
+    fit = {r.vec_id for r in
+           similarity.ann_pq_topk(emb, q, k=10, codebooks=cbs).collect()}
+    assert len(fit & exact) >= len(seed & exact)
+
+
+def test_kmeans_l2_assignment_is_argmin_distance(spark):
+    # 1-d sanity: points cluster around 0 and 10; fitted centers separate
+    rows = [(i, [float(i % 5)]) for i in range(10)] + \
+           [(i, [10.0 + float(i % 5)]) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(df, n_centroids=2, n_iters=5,
+                                        metric="l2")
+    vals = sorted(r.cv[0] for r in cents.collect())
+    assert abs(vals[0] - 2.0) < 1.0 and abs(vals[1] - 12.0) < 1.0
