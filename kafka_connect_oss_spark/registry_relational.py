@@ -561,3 +561,53 @@ def orders_without_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFra
                         "left_anti")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "events_daily_anomaly_zscore",
+    """WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.cnt,
+           ROUND((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 4)
+             AS zscore
+    FROM daily d JOIN stats USING (event_type)
+    WHERE abs((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) >= 2.0""",
+)
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly detection: days whose event count sits >= 2
+    sample standard deviations from the type's mean — the pipeline
+    monitoring query a 100 TB ingest runs per partition/day.
+
+    Float-parity by construction: (n, sum, sum-of-squares) stay exact
+    BIGINTs through the aggregation (daily counts are integers), and the
+    z-score is spelled as one explicit double expression evaluated
+    identically by both engines — never a builtin STDDEV whose
+    accumulation order could differ. Two narrow shuffles (day rollup,
+    per-type stats); the stats side is vocabulary-sized and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("cnt").cast("long").alias("s"),
+                  F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq")))
+    d, s, n, sq = (F.col("cnt").cast("double"), F.col("s").cast("double"),
+                   F.col("n").cast("double"), F.col("sq").cast("double"))
+    z = (d - s / n) / F.sqrt((sq - s * s / n) / (F.col("n") - 1).cast("double"))
+    return (daily.join(F.broadcast(stats), "event_type")
+            .where(F.abs(z) >= 2.0)
+            .select("event_type", F.col("day").cast("string").alias("day"),
+                    "cnt", F.round(z, 4).alias("zscore")))
