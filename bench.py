@@ -72,6 +72,8 @@ HEADLINE += [
     "sim_ann_ivf_kmeans_topk",
     "text_pii_redacted",
     "text_prune_frequent_tokens",
+    "multimodal_near_dup",
+    "events_daily_anomaly_zscore",
 ]
 
 
