@@ -59,13 +59,13 @@ DRIVER_WINDOW: list[str] = [
     "events_hourly_rollup", "events_top_users_per_type",
     "events_user_running_value", "events_day_over_day_retention",
     "events_daily_pivot", "events_value_percentiles",
-    "events_daily_anomaly_zscore",
+    "events_daily_anomaly_zscore", "corpus_split_assign",
     # (3) r03-green, implementation touched this round
     "corpus_curated", "corpus_decontaminated", "corpus_mixture_sample",
     "dedup_cleaned_corpus", "dedup_clusters", "dedup_multi_signal",
     "sketch_distinct_users_kmv",
     "r1_size_rotation_files", "r2_interval_rotation_files",
-    "r2_anchored_rotation_files", "r3_partition_change_rotation",
+    "r2_anchored_rotation_files",
 ]
 
 

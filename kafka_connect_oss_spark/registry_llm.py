@@ -857,3 +857,40 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "id_a", "id_b", "cosine", "jaccard",
         (F.col("jaccard") >= JACCARD_DEMO).alias("lexical_agree"))
+
+
+#: cumulative percentage bounds of the train/val/test split (98/1/1);
+#: a doc's hash slot in [0,98) -> train, [98,99) -> val, [99,100) -> test
+_SPLIT_BOUNDS = (("train", 98), ("val", 99), ("test", 100))
+
+
+@register(
+    "corpus_split_assign",
+    f"""WITH keyed AS (
+      SELECT doc_id, lang,
+             {H.base_hash("'split:' || CAST(doc_id AS VARCHAR)", "duckdb")}
+               % 100 AS slot
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN slot < 98 THEN 'train'
+                WHEN slot < 99 THEN 'val' ELSE 'test' END AS split
+    FROM keyed""",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1): the split is a
+    pure function of the document id through the portable content-stable
+    hash — never rand() — so re-runs, retries, and incremental appends
+    land every doc in the same split forever (the leakage-safety
+    contract). The 'split:' salt decorrelates this hash from the mixture
+    sampler's, so split membership is independent of sampling. A narrow
+    projection: zero shuffle at any corpus size; write-time
+    ``partitionBy("split")`` makes each split its own prunable prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    slot = F.expr(H.base_hash("concat('split:', CAST(doc_id AS STRING))",
+                              "spark")) % 100
+    split = F.lit(None).cast("string")
+    expr = None
+    for name, bound in reversed(_SPLIT_BOUNDS):
+        expr = (F.lit(name) if expr is None
+                else F.when(slot < bound, name).otherwise(expr))
+    return docs.select("doc_id", expr.alias("split"))
