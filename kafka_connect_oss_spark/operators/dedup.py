@@ -444,7 +444,8 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       block_col: str = "label") -> DataFrame:
+                       block_col: str = "label",
+                       cap: int = HOT_GROUP_CAP) -> DataFrame:
     """Cosine near-dup pairs within a blocking key (label here; sign-LSH
     bucket in the unblocked case — see similarity.ann_lsh).
 
@@ -452,15 +453,32 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     materialized by the join exchange), so each candidate pair costs a
     single dot product — at any block size that is the difference between
     O(pairs x d) and O(pairs x 3d) interpreted lambda steps, measured ~5x
-    on the bench (the norm folds dominated)."""
+    on the bench (the norm folds dominated).
+
+    Salt-grid parallelism (same guard as _salted_intra_pairs): a plain
+    self-join on the block key runs each block's quadratic dot work in
+    the ONE task owning that key — with few large blocks the cluster
+    idles (measured 10x wall blowup for 4x pairs at the 20x probe). The
+    b-side buckets by hash(id) % s (s = ceil(block/cap)) and the a-side
+    replicates s ways, so every block spreads over ~block/cap tasks;
+    each pair is still produced exactly once (the b bucket is a function
+    of id_b). Result set identical to the unsalted join."""
     nv = V.normalized_sql(f"cast({vec_col} as array<double>)", "spark")
     df = _fan_out(embeddings).select(
         id_col, block_col, F.expr(nv).alias("nv"))
-    a, b = df.alias("a"), df.alias("b")
-    return (a.join(b, block_col)
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("gn"))
+    df = df.join(F.broadcast(sizes), block_col)
+    s = F.greatest(F.lit(1), F.ceil(F.col("gn") / cap)).cast("int")
+    a = (df.withColumn("_gb", F.explode(F.sequence(F.lit(0), s - 1)))
+         .select(block_col, "_gb", F.col(id_col).alias("id_a"),
+                 F.col("nv").alias("nv_a")))
+    b = (df.withColumn("_gb", F.pmod(F.xxhash64(F.col(id_col)), s)
+                       .cast("int"))
+         .select(block_col, "_gb", F.col(id_col).alias("id_b"),
+                 F.col("nv").alias("nv_b")))
+    return (a.join(b, [block_col, "_gb"])
+            .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", R.fround(
-                V.dot(F.col("a.nv"), F.col("b.nv")), 4))
+                V.dot(F.col("nv_a"), F.col("nv_b")), 4))
             .where(F.col("cosine") >= threshold)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"), "cosine"))
+            .select("id_a", "id_b", "cosine"))
