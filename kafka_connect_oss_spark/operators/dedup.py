@@ -375,6 +375,22 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                     F.col(f"b.{id_col}").alias("id_b"), "jaccard"))
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a ``localCheckpoint``-ed frame's backing RDD.
+
+    ``Dataset.localCheckpoint`` materializes ``queryExecution.toRdd`` and
+    wraps it in a ``LogicalRDD``; the blocks otherwise stay pinned for the
+    whole session, so iterative loops must release round N-1 once round N is
+    materialized. Reaches through py4j internals (``LogicalRDD.rdd``) —
+    guarded so an internals change degrades to keep-until-session-end, never
+    to an error.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
@@ -397,8 +413,18 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     majority is appended once at the end with label = self via a narrow
     anti-join.
 
+    Pairs referencing ids absent from ``docs`` (stale pair tables, pairs
+    computed before a filter) are dropped up front — two id-only semi-joins
+    — so the output row-set is exactly ``docs`` and every cluster label is a
+    doc id. Connectivity THROUGH a dropped non-doc node is not transitive
+    (A~X, X~B with X filtered out does not merge A and B); callers that need
+    that must re-derive pairs from the filtered docs.
+
     Returns (doc_id, cluster_id, is_representative).
     """
+    doc_ids = docs.select(F.col(id_col).alias("id_a"))
+    pairs = (pairs.join(doc_ids, "id_a", "semi")
+             .join(doc_ids.withColumnRenamed("id_a", "id_b"), "id_b", "semi"))
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
@@ -411,6 +437,7 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     edge_nodes = edges.select(F.col("src").alias("node")).distinct().cache()
     edge_nodes.count()
     labels = edge_nodes.withColumn("label", F.col("node"))
+    prev_ckpt = None
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nmin")))
@@ -430,6 +457,13 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                                    F.coalesce(F.col("nmin"), F.col("label")))
                            .alias("label")).localCheckpoint(eager=True))
         changed = updated.where(F.col("label") != F.col("_prev")).count()
+        # the new round is materialized (count above) — release the previous
+        # round's checkpoint blocks, or executor storage grows linearly with
+        # iteration count on large dup graphs. The final round's blocks stay
+        # pinned: the returned frame reads them.
+        if prev_ckpt is not None:
+            _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
         labels = updated.select("node", "label")
         if changed == 0:
             break
@@ -444,10 +478,17 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       block_col: str = "label",
+                       block_col: str | list[str] = "label",
                        cap: int = HOT_GROUP_CAP) -> DataFrame:
     """Cosine near-dup pairs within a blocking key (label here; sign-LSH
     bucket in the unblocked case — see similarity.ann_lsh).
+
+    ``block_col`` accepts a composite key (list of columns) so callers can
+    intersect a semantic block with an LSH bucket — e.g. (modality,
+    sign-LSH bucket): a few-valued semantic key alone makes each block
+    O(corpus) and the candidate count quadratic; the bucket factor divides
+    every block by ~2^n_planes at a bounded recall cost (pairs whose
+    endpoints hash to different buckets are not compared).
 
     Vectors are unit-normalized BEFORE the pairwise join (one narrow pass,
     materialized by the join exchange), so each candidate pair costs a
@@ -462,21 +503,26 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     b-side buckets by hash(id) % s (s = ceil(block/cap)) and the a-side
     replicates s ways, so every block spreads over ~block/cap tasks;
     each pair is still produced exactly once (the b bucket is a function
-    of id_b). Result set identical to the unsalted join."""
+    of id_b). Result set identical to the unsalted join. The broadcast
+    ``sizes`` side is one row per distinct block key — bounded by the block
+    vocabulary (labels, modality x LSH buckets), not by the corpus; a
+    corpus-cardinality block key would make every gn ~ 1 and the salt grid
+    a no-op, at which point drop the sizes join entirely."""
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col)
     nv = V.normalized_sql(f"cast({vec_col} as array<double>)", "spark")
     df = _fan_out(embeddings).select(
-        id_col, block_col, F.expr(nv).alias("nv"))
-    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("gn"))
-    df = df.join(F.broadcast(sizes), block_col)
+        id_col, *blocks, F.expr(nv).alias("nv"))
+    sizes = df.groupBy(*blocks).agg(F.count(F.lit(1)).alias("gn"))
+    df = df.join(F.broadcast(sizes), blocks)
     s = F.greatest(F.lit(1), F.ceil(F.col("gn") / cap)).cast("int")
     a = (df.withColumn("_gb", F.explode(F.sequence(F.lit(0), s - 1)))
-         .select(block_col, "_gb", F.col(id_col).alias("id_a"),
+         .select(*blocks, "_gb", F.col(id_col).alias("id_a"),
                  F.col("nv").alias("nv_a")))
     b = (df.withColumn("_gb", F.pmod(F.xxhash64(F.col(id_col)), s)
                        .cast("int"))
-         .select(block_col, "_gb", F.col(id_col).alias("id_b"),
+         .select(*blocks, "_gb", F.col(id_col).alias("id_b"),
                  F.col("nv").alias("nv_b")))
-    return (a.join(b, [block_col, "_gb"])
+    return (a.join(b, blocks + ["_gb"])
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", R.fround(
                 V.dot(F.col("nv_a"), F.col("nv_b")), 4))

@@ -625,8 +625,15 @@ def _cleaned_corpus_oracle() -> str:
 def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the dedup verdicts: drop exact dups (keep min id per content
     hash) and near-dups (keep the smaller id of each verified pair), report
-    per-language survival. The drop list is tiny relative to the corpus, so
-    the anti-join broadcasts at any scale."""
+    per-language survival.
+
+    The drop list is NOT bounded: it is (exact dups UNION near-dups), and
+    real pretraining corpora are commonly 30-50%+ duplicates, so the drop
+    side is O(corpus). The join therefore carries no broadcast hint — it
+    shuffles on the 8-byte doc_id key (cheap at any scale), and AQE still
+    broadcasts at runtime when the drop side happens to be small. A forced
+    F.broadcast here OOMs every executor on a clone-dense corpus (pinned by
+    test_dedup.test_cleaned_corpus_no_forced_broadcast)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -644,7 +651,7 @@ def dedup_cleaned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .where(F.col("doc_id") != F.col("keep"))
                    .select("doc_id"))
     drops = near_drops.union(exact_drops).distinct()
-    return (docs.join(F.broadcast(drops.withColumn("_drop", F.lit(1))),
+    return (docs.join(drops.withColumn("_drop", F.lit(1)),
                       "doc_id", "left")
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -134,18 +134,28 @@ _EMBED_LIST = "[" + ", ".join(
 _MM_COSINE = 0.99
 
 
+#: sign-LSH planes for the near-dup block key. Bucket signs are computed on
+#: the RAW embedding (scale-invariant, identical to the normalized-vector
+#: bucket — similarity.with_lsh_bucket docstring), so the oracle mirrors
+#: the exact dot-sign arithmetic on the same doubles.
+_MM_PLANES = 4
+
+
 def _mm_near_dup_oracle() -> str:
     from kafka_connect_oss_spark.functions import vectors as V
     from kafka_connect_oss_spark.functions.rounding import round_sql
 
     ndot = "list_dot_product(a.nv, b.nv)"
+    bucket = V.lsh_bucket_sql("v", _MM_PLANES, "duckdb")
     return f"""{_MM_BASE},
     e AS (SELECT doc_id, modality, {_EMBED_LIST} AS v FROM mm),
-    n AS (SELECT doc_id, modality, {V.normalized_sql('v', 'duckdb')} AS nv
+    n AS (SELECT doc_id, modality, {bucket} AS bucket,
+                 {V.normalized_sql('v', 'duckdb')} AS nv
           FROM e)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            {round_sql(ndot, 4)} AS cosine
-    FROM n a JOIN n b ON a.modality = b.modality AND a.doc_id < b.doc_id
+    FROM n a JOIN n b ON a.modality = b.modality AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
     WHERE {round_sql(ndot, 4)} >= {_MM_COSINE}"""
 
 
@@ -154,9 +164,19 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: binary payload -> (stubbed) encoder embedding
     -> blocked cosine pairs — the media-dedup composition (same-content
     assets across the catalog), exercising mapInPandas feature extraction
-    feeding the blocked pairwise operator end-to-end."""
+    feeding the blocked pairwise operator end-to-end.
+
+    Block key is (modality, sign-LSH bucket), NOT modality alone: modality
+    has ~3 values, so blocking on it alone makes every block O(catalog) and
+    the dot-product count quadratic in catalog size — the bucket factor
+    divides each modality block by ~2^4 = 16, keeping candidates
+    sub-quadratic at any scale. LSH recall semantics: a pair is reported
+    only if both sides hash to the same bucket (~83% per-pair at cosine
+    0.99 with 4 planes); identical payloads embed identically and always
+    share a bucket. The oracle mirrors the bucket computation exactly."""
     from pyspark.sql import functions as F
 
+    from kafka_connect_oss_spark.functions import vectors as V
     from kafka_connect_oss_spark.operators import dedup
 
     mm = _mm(spark, sf_dir)
@@ -165,7 +185,10 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array(*[F.col(f"v{j}") for j in range(MM.EMBED_DIMS)])
         .alias("embedding"))
-    joined = arr.join(mm.select("doc_id", "modality"), "doc_id")
+    bucket = V.lsh_bucket_sql(
+        "cast(embedding as array<double>)", _MM_PLANES, "spark")
+    joined = (arr.join(mm.select("doc_id", "modality"), "doc_id")
+              .withColumn("bucket", F.expr(bucket)))
     return dedup.embedding_near_dup(joined, threshold=_MM_COSINE,
                                     vec_col="embedding", id_col="doc_id",
-                                    block_col="modality")
+                                    block_col=["modality", "bucket"])

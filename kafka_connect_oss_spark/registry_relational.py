@@ -581,7 +581,8 @@ def orders_without_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFra
                          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 4)
              AS zscore
     FROM daily d JOIN stats USING (event_type)
-    WHERE abs((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+    WHERE n > 1
+      AND abs((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
               / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                       / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) >= 2.0""",
 )
@@ -607,7 +608,10 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, s, n, sq = (F.col("cnt").cast("double"), F.col("s").cast("double"),
                    F.col("n").cast("double"), F.col("sq").cast("double"))
     z = (d - s / n) / F.sqrt((sq - s * s / n) / (F.col("n") - 1).cast("double"))
+    # n == 1 gives a 0/0 z-score; Spark orders NaN above any threshold, so a
+    # type observed on a single day would emit a spurious NaN anomaly row and
+    # parity would ride on engine NaN semantics — filter before the z test
     return (daily.join(F.broadcast(stats), "event_type")
-            .where(F.abs(z) >= 2.0)
+            .where((F.col("n") > 1) & (F.abs(z) >= 2.0))
             .select("event_type", F.col("day").cast("string").alias("day"),
                     "cnt", F.round(z, 4).alias("zscore")))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -28,8 +29,25 @@ N_KAFKA_PARTITIONS = 8
 _NANO_TS_COLUMNS = {"ts", "o_orderdate", "l_shipdate"}
 
 
+def _strip_ntz(dt: T.DataType) -> T.DataType:
+    """Recursively rewrite ``TIMESTAMP_NTZ`` to ``TIMESTAMP`` in a type."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f_.name, _strip_ntz(f_.dataType), f_.nullable,
+                          f_.metadata) for f_ in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_ntz(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_strip_ntz(dt.keyType), _strip_ntz(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
 def normalize_timestamps(df: DataFrame) -> DataFrame:
-    """Cast every top-level ``TIMESTAMP_NTZ`` column to ``TIMESTAMP``.
+    """Cast every ``TIMESTAMP_NTZ`` column — top-level or nested inside
+    struct/array/map — to ``TIMESTAMP``.
 
     The engine's data model is the reference's: timezone-less epoch millis
     (TopicPartitionWriter.java:186-191), carried as Spark ``TimestampType``
@@ -37,13 +55,15 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     value-preserving. PySpark 4.x reads parquet ``timestamp[us]``
     (isAdjustedToUTC=false) as ``TimestampNTZType``, which ``unix_micros``,
     ``unix_millis``, and ``withWatermark`` all reject; normalizing once at
-    the source boundary keeps every downstream operator on one type.
+    the source boundary keeps every downstream operator on one type. Nested
+    NTZ (a timestamp inside an envelope struct) is rewritten by casting the
+    container to its NTZ-stripped type — the cast recurses field-by-field.
     """
-    ntz = [f_.name for f_ in df.schema.fields
-           if f_.dataType.simpleString() == "timestamp_ntz"]
-    if ntz:
+    rewritten = {f_.name: _strip_ntz(f_.dataType) for f_ in df.schema.fields
+                 if _strip_ntz(f_.dataType) != f_.dataType}
+    if rewritten:
         df = df.withColumns(
-            {c: F.col(c).cast("timestamp") for c in ntz})
+            {c: F.col(c).cast(dt) for c, dt in rewritten.items()})
     return df
 
 

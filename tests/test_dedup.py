@@ -126,3 +126,43 @@ def test_dedup_clusters_repeatable(spark, sf_dir):
         pairs = dedup.lsh_candidate_pairs(docs, jaccard_threshold=0.3)
         return sorted(map(tuple, dedup.dedup_clusters(docs, pairs).collect()))
     assert run() == run()
+
+
+def test_cleaned_corpus_no_forced_broadcast(spark, sf_dir):
+    # the drop list scales with the corpus dup-rate (clone-dense corpora are
+    # 30-50%+ duplicates), so dedup_cleaned_corpus must never carry a
+    # broadcast HINT on it — AQE may still choose broadcast at runtime when
+    # the side is genuinely small, which is exactly the desired behavior
+    from kafka_connect_oss_spark.registry_llm import dedup_cleaned_corpus
+
+    df = dedup_cleaned_corpus(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_dedup_clusters_ignores_non_doc_pair_ids(spark):
+    # stale pair tables can reference filtered-out docs: the output row-set
+    # must stay exactly `docs` and labels must be doc ids (ADVICE r04)
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99), (98, 99)], "id_a long, id_b long")
+    got = sorted(map(tuple, dedup.dedup_clusters(docs, pairs).collect()))
+    assert got == [(1, 1, True), (2, 1, False), (3, 3, True)]
+
+
+def test_dedup_clusters_releases_previous_checkpoints(spark):
+    # the propagation loop must not pin one checkpoint per iteration for the
+    # session lifetime (executor storage would grow with iteration depth);
+    # only O(1) checkpointed RDDs may remain after the run
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # a path graph has diameter 7 -> several propagation rounds
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long")
+    out = dedup.dedup_clusters(docs, pairs, max_iterations=20)
+    assert {r.cluster_id for r in out.collect()} == {0}
+    after = jsc.getPersistentRDDs().size()
+    # edges + edge_nodes caches + the final round's checkpoint survive;
+    # intermediate rounds must have been released
+    assert after - before <= 3
