@@ -27,6 +27,11 @@ from kafka_connect_oss_spark.sources.batch import (SINK_RECORDS_SQL, load_table,
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+#: oracles whose SQL depends on a model fitted from the data (e.g. k-means
+#: centroids inlined as literals): name -> fn(sf_dir) -> SQL. Resolved by
+#: __spark_entry__.oracle_sql() at the driver's correctness SF and by
+#: tests/test_oracle_parity.py at the test SF.
+LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
 
 #: DuckDB CTE mirroring sources.batch.sink_records
 _REC = f"WITH rec AS ({SINK_RECORDS_SQL})"

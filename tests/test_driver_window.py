@@ -77,8 +77,10 @@ def test_red_rows_are_rechecked():
 
 #: window entries deliberately registered WITHOUT an oracle (iterative /
 #: non-SQL-expressible ops — the driver records a rows-only check, and a
-#: dedicated pytest module carries the correctness burden instead)
-NO_ORACLE_BY_DESIGN = {"sim_ann_ivf_kmeans_topk"}
+#: dedicated pytest module carries the correctness burden instead).
+#: Empty since r05: sim_ann_ivf_kmeans_topk gained a lazy fitted-centroid
+#: oracle (registry_llm._kmeans_ivf_oracle).
+NO_ORACLE_BY_DESIGN: set[str] = set()
 
 
 def test_oracles_exist_for_window():

@@ -7,7 +7,7 @@ import kafka_connect_oss_spark.registry_llm  # noqa: F401 (registers entries)
 import kafka_connect_oss_spark.registry_multimodal  # noqa: F401 (registers entries)
 import kafka_connect_oss_spark.registry_relational  # noqa: F401 (registers entries)
 import kafka_connect_oss_spark.registry_tpch  # noqa: F401 (registers entries)
-from kafka_connect_oss_spark.registry import ORACLES, QUERIES
+from kafka_connect_oss_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
 from tests.parity import compare, duck_connection
 
 
@@ -24,7 +24,16 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     compare(df, duck, ORACLES[name], name)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(LAZY_ORACLES))
+def test_lazy_oracle_parity(name, spark, sf_dir, duck):
+    # data-fitted oracles (model literals) resolve at the test SF; the
+    # query's own fit and the oracle's fit must agree bit-for-bit
+    df = QUERIES[name](spark, sf_dir)
+    compare(df, duck, LAZY_ORACLES[name](sf_dir), name)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(ORACLES) - set(LAZY_ORACLES)))
 def test_rows_only(name, spark, sf_dir):
     # non-SQL-expressible ops: the driver records a rows-only check
     df = QUERIES[name](spark, sf_dir)
