@@ -33,40 +33,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked
-#: queries). Round-4 priority: (1) the three r03 reds — all healed by the
-#: TIMESTAMP_NTZ source normalization — must re-attest; (2) the 31
-#: queries rotated out of the r03 window (r1/r2-green LLM / similarity /
-#: multimodal / windowed-analytics block plus q1/q3/q5), so every
-#: registered query is green on r03-or-r04 code; (3) r03-greens whose
-#: implementation this round touches (rotation, decontamination, corpus
-#: composition, timestamp extraction). tests/test_driver_window.py pins
-#: the invariants.
+#: queries). Round-5 priority: (1) never-attested / red rows — the new
+#: q21_waiting_suppliers and sim_ann_ivf_kmeans_topk (rows-only in r04,
+#: now carrying the fitted-centroid lazy oracle); (2) queries whose
+#: implementation this round touches (unforced drop-list join, composite
+#: near-dup blocking, dedup_clusters pairs guard + checkpoint release,
+#: anomaly z-score n>1 filter); (3) the 37 queries last attested in r03,
+#: rotated back in so every registered query is green on code <= 2 rounds
+#: old (reference envelope/partitioning block, relational/TPC-H block).
+#: tests/test_driver_window.py pins the invariants.
 DRIVER_WINDOW: list[str] = [
-    # (1) red in CORRECTNESS_r03 — NTZ-healed, re-attest first
-    "asof_purchase_attribution", "range_join_purchase_errors",
-    "r4_scheduled_rotation",
-    # (2) rotated out of the r03 window — re-attest on post-NTZ-fix code
-    "sessions_per_user", "text_language_id", "text_fingerprints",
-    "text_pii_redacted", "text_prune_frequent_tokens",
-    "pack_training_sequences", "dedup_exact", "dedup_minhash_signature",
-    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_pairs", "dedup_embedding_cosine_pairs",
-    "sim_topk_bruteforce", "sim_ann_lsh_topk", "sim_ann_lsh_multiprobe_topk",
-    "sim_ann_ivf_topk", "sim_ann_ivf_kmeans_topk", "sim_ann_pq_topk",
-    "sim_knn_join",
-    "text_ngram_topk", "multimodal_catalog", "multimodal_image_resize",
-    "multimodal_video_frames", "multimodal_embed", "multimodal_near_dup",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "events_hourly_rollup", "events_top_users_per_type",
-    "events_user_running_value", "events_day_over_day_retention",
-    "events_daily_pivot", "events_value_percentiles",
-    "events_daily_anomaly_zscore", "corpus_split_assign",
-    # (3) r03-green, implementation touched this round
-    "corpus_curated", "corpus_decontaminated", "corpus_mixture_sample",
-    "dedup_cleaned_corpus", "dedup_clusters", "dedup_multi_signal",
-    "sketch_distinct_users_kmv",
-    "r1_size_rotation_files", "r2_interval_rotation_files",
-    "r2_anchored_rotation_files",
+    # (1) never-attested (new) or red (rows-only) in r04
+    "q21_waiting_suppliers", "sim_ann_ivf_kmeans_topk",
+    # (2) implementation touched this round
+    "dedup_cleaned_corpus", "multimodal_near_dup", "dedup_clusters",
+    "events_daily_anomaly_zscore", "dedup_embedding_cosine_pairs",
+    "dedup_multi_signal",
+    # (3) last attested in r03 — re-attest on r05 code
+    "p1_route_topicpartition", "c2_offsets_to_commit",
+    "p2_default_partitioner", "p3_field_partitioner",
+    "p4_hourly_partitioner", "p4_duration_bucket", "p5_timestamp_extract",
+    "r1_interleaved_commit_files", "r3_partition_change_rotation",
+    "e2_schema_projection", "e3_json_decode", "e3_json_envelope_decode",
+    "e4_protobuf_decode", "e6_json_encode",
+    "text_stats", "text_quality_score",
+    "events_signup_funnel", "events_hourly_rollup_approx",
+    "events_value_percentiles_sampled", "events_rollup_day_type",
+    "orders_without_recent_lineitems",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier_relationship", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q20_dominant_suppliers", "q22_dormant_customers",
 ]
 
 

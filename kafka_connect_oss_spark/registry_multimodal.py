@@ -128,17 +128,27 @@ _EMBED_LIST = "[" + ", ".join(
 #: cosine threshold for multimodal near-dup. With a real encoder,
 #: near-identical media embed nearby and the threshold sits close to 1;
 #: the deterministic md5 stand-in embeds every distinct payload
-#: uniformly, so 0.99 selects the top tail of the pair distribution —
-#: a non-trivial, stable result that exercises the identical plan
-#: (identical payloads would still embed identically and score 1.0)
-_MM_COSINE = 0.99
+#: uniformly, so the threshold selects the top tail of the IN-BLOCK pair
+#: distribution — a non-trivial, stable result that exercises the
+#: identical plan (identical payloads still embed identically, score 1.0,
+#: and always share a bucket). 0.97 keeps ~30-45 pairs per SF under the
+#: (modality, centered-LSH-bucket) blocking; uniform random pairs above
+#: 0.99 are almost never bucket-coherent, which is correct LSH behavior,
+#: not missed recall — they are not near-dups.
+_MM_COSINE = 0.97
 
 
 #: sign-LSH planes for the near-dup block key. Bucket signs are computed on
-#: the RAW embedding (scale-invariant, identical to the normalized-vector
-#: bucket — similarity.with_lsh_bucket docstring), so the oracle mirrors
-#: the exact dot-sign arithmetic on the same doubles.
+#: the CENTERED raw embedding (x - 0.5 per component): the md5 stand-in
+#: encoder emits components uniform in [0,1), and an all-positive vector
+#: family makes hyperplane dot signs heavily biased (measured: one bucket
+#: holds 63% of the catalog, only x2.3 candidate reduction); centering
+#: restores sign balance (max bucket share 15%, x10.5 reduction with 4
+#: planes). The oracle mirrors the identical centered arithmetic on the
+#: same doubles, so buckets agree bit-for-bit.
 _MM_PLANES = 4
+_MM_CENTER_SPARK = "transform(cast(embedding as array<double>), x -> x - 0.5d)"
+_MM_CENTER_DUCK = "list_transform(v, x -> x - 0.5)"
 
 
 def _mm_near_dup_oracle() -> str:
@@ -146,7 +156,7 @@ def _mm_near_dup_oracle() -> str:
     from kafka_connect_oss_spark.functions.rounding import round_sql
 
     ndot = "list_dot_product(a.nv, b.nv)"
-    bucket = V.lsh_bucket_sql("v", _MM_PLANES, "duckdb")
+    bucket = V.lsh_bucket_sql(_MM_CENTER_DUCK, _MM_PLANES, "duckdb")
     return f"""{_MM_BASE},
     e AS (SELECT doc_id, modality, {_EMBED_LIST} AS v FROM mm),
     n AS (SELECT doc_id, modality, {bucket} AS bucket,
@@ -168,12 +178,13 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Block key is (modality, sign-LSH bucket), NOT modality alone: modality
     has ~3 values, so blocking on it alone makes every block O(catalog) and
-    the dot-product count quadratic in catalog size — the bucket factor
-    divides each modality block by ~2^4 = 16, keeping candidates
-    sub-quadratic at any scale. LSH recall semantics: a pair is reported
-    only if both sides hash to the same bucket (~83% per-pair at cosine
-    0.99 with 4 planes); identical payloads embed identically and always
-    share a bucket. The oracle mirrors the bucket computation exactly."""
+    the dot-product count quadratic in catalog size — the centered-plane
+    bucket factor divides the candidate count by a measured ~10.5x with 4
+    planes (scripts/probe_r05.py). LSH recall semantics: a pair is
+    reported only if both sides hash to the same bucket; identical
+    payloads embed identically and always share a bucket, and near-dup
+    recall rises with payload similarity. The oracle mirrors the bucket
+    computation exactly."""
     from pyspark.sql import functions as F
 
     from kafka_connect_oss_spark.functions import vectors as V
@@ -185,8 +196,7 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array(*[F.col(f"v{j}") for j in range(MM.EMBED_DIMS)])
         .alias("embedding"))
-    bucket = V.lsh_bucket_sql(
-        "cast(embedding as array<double>)", _MM_PLANES, "spark")
+    bucket = V.lsh_bucket_sql(_MM_CENTER_SPARK, _MM_PLANES, "spark")
     joined = (arr.join(mm.select("doc_id", "modality"), "doc_id")
               .withColumn("bucket", F.expr(bucket)))
     return dedup.embedding_near_dup(joined, threshold=_MM_COSINE,

@@ -6,8 +6,9 @@ engine's batch-analytics surface. These are the classic TPC-H query shapes
 (exists/anti-join, star joins, ratio-of-sums, group-top-k, correlated
 averages, dominant-key windows) re-fitted to the driver's schema: there is no
 partsupp table and no commitdate/receiptdate/shipmode/container/phone
-columns, so Q2/Q11 are unexpressible and Q4/Q12/Q16/Q17/Q19/Q20/Q22 use
-documented stand-in predicates that preserve the query's plan shape.
+columns, so Q2/Q11 are unexpressible and Q4/Q12/Q16/Q17/Q19/Q20/Q21/Q22
+use documented stand-in predicates that preserve the query's plan shape
+(Q21's lateness = Q12's ship-lag>60d stand-in).
 
 Scale discipline (the part that must survive 100 TB):
 * true dims (nation, region) and *filtered* dims (brand/type-restricted
@@ -617,6 +618,81 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(sup), pq.l_suppkey == sup.s_suppkey)
             .select("s_suppkey", "s_name", "n_name")
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who kept waiting orders — the EXISTS/NOT-EXISTS anti-join
+# --------------------------------------------------------------------------
+
+@register(
+    "q21_waiting_suppliers",
+    """SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — waiting suppliers: late lines (stand-in: shipped
+    >60 days after order date, same lateness predicate as Q12; schema has
+    no commit/receipt dates) in finalized multi-supplier orders where this
+    supplier was the ONLY late one; region-filtered supplier dim (single
+    nation is too sparse in the synthetic data — Q7's region adaptation).
+
+    Spark-first rewrite: the classic plan self-joins lineitem three times
+    (l1 x EXISTS l2 x NOT EXISTS l3). Here the EXISTS / NOT-EXISTS pair
+    collapses into ONE per-order aggregate over a single lineitem scan —
+    n_supp > 1 <=> EXISTS other-supplier line; n_late_supp = 1 <=> NOT
+    EXISTS other late supplier (and the waiting supplier is that one late
+    supplier) — so lineitem is scanned once and shuffled once on the
+    8-byte orderkey instead of three scans + two joins. numwait counts
+    l1 rows (the supplier's late lines in qualifying orders), exactly the
+    classic semantics. The region-filtered supplier dim is broadcast
+    (bounded fraction of a dim); top-k is TakeOrderedAndProject with
+    s_name as the unique group key/tiebreak."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select("l_orderkey", "l_suppkey",
+                     (F.col("l_shipdate") >
+                      F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                     .alias("late")))
+    per_order = (lined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines")))
+    waiting = per_order.where((F.col("n_supp") > 1) &
+                              (F.col("n_late_supp") == 1))
+    nat = load_table(spark, sf_dir, "nation")
+    reg = (load_table(spark, sf_dir, "region")
+           .where(F.col("r_name") == "ASIA"))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+           .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+           .select("s_suppkey", "s_name"))
+    return (waiting.join(F.broadcast(sup),
+                         waiting.late_supp == sup.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("n_late_lines").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(100))
 
 
 # --------------------------------------------------------------------------
