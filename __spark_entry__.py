@@ -24,10 +24,37 @@ from kafka_connect_oss_spark.registry import (LAZY_ORACLES, ORACLES,  # noqa: E4
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the full ingest plan — SinkRecord envelope -> hourly
-    time-partitioning -> rotation -> deterministic offset-named object keys
-    (the reference's whole dataflow as one DataFrame query)."""
-    return QUERIES["r2_interval_rotation_files"](spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's WHOLE dataflow executed end-to-end —
+    events -> SinkRecord envelope -> daily time-partitioning -> two-phase
+    object commit (stage -> pooled rename, sinks.commit_batch) -> read-back.
+    The returned frame is the committed object inventory (object_key,
+    n_records) re-read from the sink it just wrote, so the smoke check
+    covers source, partitioner, sink commit AND the written bytes. Keys are
+    derived from (topic, partition, startOffset), so repeated runs
+    overwrite the same objects deterministically (the C2 exactly-once
+    story); the sink lives under a fresh tmpdir per call."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.config import PipelineConfig
+    from kafka_connect_oss_spark.sources.batch import sink_records
+    from kafka_connect_oss_spark.streaming.pipeline import IngestPipeline
+
+    workdir = tempfile.mkdtemp(prefix="kafka_connect_oss_spark_flagship_")
+    cfg = PipelineConfig(url=workdir, format="parquet", partitioner="daily",
+                         flush_size=1000)
+    rec = sink_records(spark, "/root/testdata/sf0.001")
+    IngestPipeline(cfg).run_batch(rec)
+    committed = (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(f"{workdir}/{cfg.topics_dir}"))
+    rel_key = F.concat(
+        F.lit(cfg.topics_dir + "/"),
+        F.substring_index(F.input_file_name(),
+                          "/" + cfg.topics_dir + "/", -1))
+    return (committed.groupBy(rel_key.alias("object_key"))
+            .agg(F.count(F.lit(1)).alias("n_records"))
+            .orderBy("object_key"))
 
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in

@@ -74,6 +74,8 @@ HEADLINE += [
     "text_prune_frequent_tokens",
     "multimodal_near_dup",
     "events_daily_anomaly_zscore",
+    # round-5 operators
+    "q21_waiting_suppliers",
 ]
 
 

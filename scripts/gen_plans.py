@@ -74,6 +74,21 @@ SHOWCASE = {
         "three shrinking groupBy-min frames joined forward on user_id — "
         "no per-user event-history sort/window; counts are single-row "
         "broadcast crossJoins"),
+    "q21_waiting_suppliers": (
+        "EXISTS/NOT-EXISTS collapsed to ONE per-order aggregate: lineitem "
+        "scanned once, one exchange on orderkey (plus the expand for the "
+        "two distinct counts); region-filtered supplier dim broadcast; "
+        "TakeOrderedAndProject top-k — no lineitem self-joins"),
+    "dedup_cleaned_corpus": (
+        "NO broadcast hint on the drop-list join (drop side is O(corpus) "
+        "on dup-dense data): plain equi-join on doc_id that AQE resolves "
+        "by size at runtime; drops built from collapsed connectivity "
+        "edges, never the quadratic pair expansion"),
+    "multimodal_near_dup": (
+        "MapInPandas embed (Arrow-batched, no payload shuffle) -> "
+        "(modality, centered sign-LSH bucket) block key -> salt-grid "
+        "self-join: candidate dots divided ~10x by the bucket factor and "
+        "spread over block/cap tasks, never one task per modality"),
 }
 
 KEEP = re.compile(
