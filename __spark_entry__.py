@@ -72,6 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # (1) never-attested (new) or red (rows-only) in r04
     "q21_waiting_suppliers", "sim_ann_ivf_kmeans_topk",
+    "text_repetition_signals", "corpus_source_cap",
+    "corpus_decontam_overlap",
     # (2) implementation touched this round
     "dedup_cleaned_corpus", "multimodal_near_dup", "dedup_clusters",
     "events_daily_anomaly_zscore", "dedup_embedding_cosine_pairs",

@@ -76,6 +76,9 @@ HEADLINE += [
     "events_daily_anomaly_zscore",
     # round-5 operators
     "q21_waiting_suppliers",
+    "text_repetition_signals",
+    "corpus_source_cap",
+    "corpus_decontam_overlap",
 ]
 
 

@@ -32,17 +32,20 @@ def text_stats(docs: DataFrame, text_col: str = "text",
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Composite quality heuristic (Gopher-rule-style, public recipe):
     length in range + type/token ratio + stopword presence. Integer/
-    rational arithmetic -> oracle-exact."""
+    rational arithmetic -> oracle-exact. ``keep_cols`` ride along
+    untouched (e.g. the source column for per-source quota sampling) —
+    the op stays a pure projection either way."""
     tok = X.sql_tokens(text_col, "spark")
     n_tok = f"size({tok})"
     distinct_ratio = f"(size(array_distinct({tok})) / CAST({n_tok} AS DOUBLE))"
     stop_ratio = (f"({X.sql_count_matching(tok, X.QUALITY_STOPWORDS, 'spark')}"
                   f" / CAST({n_tok} AS DOUBLE))")
     return docs.select(
-        id_col,
+        id_col, *keep_cols,
         F.expr(f"CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 1 ELSE 0 END")
         .alias("len_ok"),
         R.fround(F.expr(distinct_ratio), 4).alias("distinct_ratio"),
@@ -382,3 +385,62 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
             .withColumn("_hh", F.expr(hh_expr))
             .where(F.size(F.array_intersect("_hh", lit_bench)) == 0)
             .drop("_hh"))
+
+
+def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          ngram: int = 3,
+                          bench_cache_key: tuple | None = None,
+                          max_broadcast_hashes: int | None =
+                          MAX_BROADCAST_BENCH_HASHES) -> DataFrame:
+    """Per-document contamination SCORE: the fraction of a doc's distinct
+    word n-grams that appear anywhere in the benchmark/eval set.
+
+    `decontaminate` is the binary guard (any hit -> drop); real curation
+    pipelines also want the graded signal — rank docs by overlap, audit
+    near-threshold cases, set per-dataset budgets. Same two regimes as
+    `decontaminate` (broadcast-literal narrow filter when the benchmark
+    hash set fits the driver bound, exploded hash join otherwise), same
+    tokenization/hash family, so the score is engine-exact.
+
+    Returns (id_col, n_shingles, n_hits, overlap_frac) — overlap_frac
+    rounded to 4, 0.0 for shingle-less docs.
+    """
+    from kafka_connect_oss_spark.functions import rounding as R
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
+    hh_expr = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
+
+    bench_hashes = benchmark_ngram_hashes(
+        benchmark, text_col, ngram, cache_key=bench_cache_key,
+        max_hashes=max_broadcast_hashes)
+    base = (_fan_out(docs)
+            .withColumn("_dh", F.expr(f"array_distinct({hh_expr})"))
+            .withColumn("n_shingles", F.size("_dh")))
+    if bench_hashes is None:
+        # distributed regime: benchmark hashes stay a frame; doc hashes
+        # explode to (id, hash) and the hit count is one hash join + agg
+        bench_h = (benchmark
+                   .select(F.explode(F.expr(H.shingle_hashes(
+                       H.word_shingles(tok, ngram, "spark"), "spark")))
+                   .alias("_h")).distinct())
+        doc_h = base.select(id_col, F.explode("_dh").alias("_h"))
+        hits = (doc_h.join(bench_h, "_h")
+                .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+        scored = (base.select(id_col, "n_shingles")
+                  .join(hits, id_col, "left")
+                  .withColumn("n_hits", F.coalesce("n_hits", F.lit(0))))
+    else:
+        # an empty python list would build a void-typed literal (same
+        # pitfall as decontaminate) — cast an empty SQL array instead
+        lit_bench = (F.lit(bench_hashes).cast("array<bigint>")
+                     if bench_hashes
+                     else F.expr("cast(array() as array<bigint>)"))
+        scored = base.select(
+            id_col, "n_shingles",
+            F.size(F.array_intersect("_dh", lit_bench)).alias("n_hits"))
+    frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hits") / F.col("n_shingles").cast("double"))
+    return scored.select(id_col, "n_shingles", "n_hits",
+                         R.fround(frac, 4).alias("overlap_frac"))

@@ -169,6 +169,143 @@ def corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "n_chars")
 
 
+def _decontam_overlap_oracle() -> str:
+    sh = H.word_shingles("t", _DECON_NGRAM, "duckdb")
+    hh = H.shingle_hashes(sh, "duckdb")
+    frac = ("CASE WHEN len(dh) = 0 THEN CAST(0.0 AS DOUBLE) "
+            "ELSE COALESCE(c, 0) / CAST(len(dh) AS DOUBLE) END")
+    return f"""WITH bt AS (
+      SELECT doc_id, {_DTOK} AS t FROM documents
+      WHERE doc_id < {_DECON_BENCH_BOUND}),
+    bh AS (SELECT DISTINCT unnest({hh}) AS h FROM bt),
+    ct AS (SELECT doc_id, {_DTOK} AS t FROM documents
+           WHERE doc_id >= {_DECON_BENCH_BOUND}),
+    tot AS (SELECT doc_id, list_distinct({hh}) AS dh FROM ct),
+    ch AS (SELECT doc_id, unnest(dh) AS h FROM tot),
+    hits AS (SELECT doc_id, COUNT(*) AS c FROM ch JOIN bh USING (h)
+             GROUP BY doc_id)
+    SELECT t.doc_id, len(dh) AS n_shingles, COALESCE(c, 0) AS n_hits,
+           {round_sql(frac, 4)} AS overlap_frac
+    FROM tot t LEFT JOIN hits USING (doc_id)"""
+
+
+@register("corpus_decontam_overlap", _decontam_overlap_oracle())
+def corpus_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination signal (operators/text.contamination_overlap):
+    per-doc fraction of distinct word n-grams hitting the benchmark set —
+    the audit/budget companion to the binary corpus_decontaminated drop.
+    Same broadcast-literal narrow plan (zero corpus shuffle) with the
+    same distributed semi-join fallback for oversized benchmarks."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < _DECON_BENCH_BOUND)
+    train = docs.where(F.col("doc_id") >= _DECON_BENCH_BOUND)
+    return TXT.contamination_overlap(
+        train, bench, ngram=_DECON_NGRAM,
+        bench_cache_key=(sf_dir, "documents_bench", _DECON_BENCH_BOUND))
+
+
+def _repetition_oracle() -> str:
+    sh2 = H.word_shingles("t", 2, "duckdb")
+    sh3 = H.word_shingles("t", 3, "duckdb")
+    d2 = ("CASE WHEN n2 = 0 THEN CAST(0.0 AS DOUBLE) "
+          "ELSE (n2 - d2) / CAST(n2 AS DOUBLE) END")
+    d3 = ("CASE WHEN n3 = 0 THEN CAST(0.0 AS DOUBLE) "
+          "ELSE (n3 - d3) / CAST(n3 AS DOUBLE) END")
+    tf = ("CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+          "ELSE COALESCE(top_cnt, 0) / CAST(n_tokens AS DOUBLE) END")
+    return f"""WITH tok AS (SELECT doc_id, {_DTOK} AS t FROM documents),
+    sh AS (SELECT doc_id, len(t) AS n_tokens,
+                  len({sh2}) AS n2, len(list_distinct({sh2})) AS d2,
+                  len({sh3}) AS n3, len(list_distinct({sh3})) AS d3
+           FROM tok),
+    top AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+              SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+              GROUP BY doc_id, w) GROUP BY doc_id),
+    rounded AS (
+      SELECT s.doc_id, n_tokens,
+             {round_sql(d2, 4)} AS dup_2gram_frac,
+             {round_sql(d3, 4)} AS dup_3gram_frac,
+             {round_sql(tf, 4)} AS top_token_frac
+      FROM sh s LEFT JOIN top ON top.doc_id = s.doc_id)
+    SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+           top_token_frac,
+           CASE WHEN dup_2gram_frac > 0.6 OR top_token_frac > 0.2
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM rounded"""
+
+
+@register("text_repetition_signals", _repetition_oracle())
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition filters (operators/text.repetition_signals):
+    duplicate 2/3-gram fractions are narrow per-row expressions; the
+    top-token share is the word-count aggregate shape — the shuffle
+    carries (doc_id, token) partial counts only."""
+    return TXT.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+#: per-source quota (docs kept per source, by quality then doc_id)
+_SOURCE_CAP = 10
+#: salt width for the two-phase per-source top-k
+_CAP_SALT = 8
+
+
+def _source_cap_oracle() -> str:
+    n_tok = "len(t)"
+    distinct_ratio = f"(len(list_distinct(t)) / CAST({n_tok} AS DOUBLE))"
+    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
+                  f" / CAST({n_tok} AS DOUBLE))")
+    quality = (f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 "
+               f"THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) + "
+               f"CAST(0.3 AS DOUBLE) * {distinct_ratio} + "
+               f"CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} > 0 "
+               f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+    return f"""WITH tok AS (
+      SELECT source, doc_id, {_DTOK} AS t FROM documents),
+    q AS (SELECT source, doc_id, {round_sql(quality, 4)} AS quality
+          FROM tok),
+    ranked AS (
+      SELECT source, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM q)
+    SELECT source, doc_id, quality, rk
+    FROM ranked WHERE rk <= {_SOURCE_CAP}"""
+
+
+@register("corpus_source_cap", _source_cap_oracle())
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep the top _SOURCE_CAP docs per source
+    by quality (doc_id tiebreak) — the de-biasing step that stops one
+    crawl from dominating a mixture.
+
+    Two-phase salted top-k, NOT a single window: a plain row_number over
+    source would sort every doc of a hot source in the one task owning
+    that source key (a common-crawl-sized source is most of the corpus).
+    Phase 1 ranks within (source, hash-salt bucket) and keeps each
+    bucket's top cap; phase 2 ranks the surviving salt x cap rows per
+    source — the global top-cap is a subset of every bucket's top-cap, so
+    the result is identical to the unsalted window while the per-task
+    sort is bounded by ~|source|/salt. The oracle is the plain
+    ROW_NUMBER form."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (TXT.quality_score(docs, keep_cols=("source",))
+         .select("source", "doc_id", "quality"))
+    w1 = (Window.partitionBy("source", "_s")
+          .orderBy(F.col("quality").desc(), "doc_id"))
+    part = (q.withColumn("_s", F.pmod(F.xxhash64("doc_id"),
+                                      F.lit(_CAP_SALT)).cast("int"))
+            .withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= _SOURCE_CAP))
+    w2 = Window.partitionBy("source").orderBy(F.col("quality").desc(),
+                                              "doc_id")
+    return (part.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= _SOURCE_CAP)
+            .select("source", "doc_id", "quality", "rk"))
+
+
 #: data-mixture sampling rates per language, in percent (the "upsample
 #: high-quality / downsample bulk" knob of a pretraining mixture)
 _MIX_RATES = {"en": 80, "de": 50, "fr": 50}

@@ -256,3 +256,40 @@ def test_asof_skew_plan_partitions_by_key_and_bucket(spark):
     assert "_bk" in plan
     windows = [ln for ln in plan.splitlines() if "Window" in ln]
     assert any("_bk" in ln and "k#" in ln for ln in windows), windows
+
+
+def test_contamination_overlap_fallback_matches_broadcast(spark, sf_dir):
+    # same golden both-paths discipline as decontaminate: the distributed
+    # hash-join regime must score identically to the broadcast literal
+    from kafka_connect_oss_spark.operators.text import contamination_overlap
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 11 == 0).limit(40)
+    broadcast_rows = sorted(map(tuple, contamination_overlap(
+        docs, bench, ngram=3, max_broadcast_hashes=None).collect()))
+    fallback_rows = sorted(map(tuple, contamination_overlap(
+        docs, bench, ngram=3, max_broadcast_hashes=0).collect()))
+    assert broadcast_rows == fallback_rows
+    assert any(r[3] > 0 for r in broadcast_rows)       # some contamination
+    assert any(r[3] == 0 for r in broadcast_rows)      # not everything
+
+
+def test_source_cap_salted_matches_plain_window(spark, sf_dir):
+    # the two-phase salted top-k must equal the single-window form: the
+    # global per-source top-k is a subset of every salt bucket's top-k
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.registry_llm import corpus_source_cap, _SOURCE_CAP
+    from kafka_connect_oss_spark.operators.text import quality_score
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    got = sorted(map(tuple, corpus_source_cap(spark, sf_dir).collect()))
+    docs = load_table(spark, sf_dir, "documents")
+    q = (quality_score(docs, keep_cols=("source",))
+         .select("source", "doc_id", "quality"))
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    plain = (q.withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= _SOURCE_CAP)
+             .select("source", "doc_id", "quality", "rk"))
+    assert got == sorted(map(tuple, plain.collect()))
