@@ -74,14 +74,18 @@ DRIVER_WINDOW: list[str] = [
     "q21_waiting_suppliers", "sim_ann_ivf_kmeans_topk",
     "text_repetition_signals", "corpus_source_cap",
     "corpus_decontam_overlap",
+    "corpus_chunk_windows", "text_rare_token_score",
+    "corpus_cross_source_overlap", "corpus_token_budget",
+    "sim_random_projection",
     # (2) implementation touched this round
     "dedup_cleaned_corpus", "multimodal_near_dup", "dedup_clusters",
     "events_daily_anomaly_zscore", "dedup_embedding_cosine_pairs",
     "dedup_multi_signal",
     # (3) last attested in r03 — re-attest on r05 code
+    # (p2/p3/p5 rotated out this round to make room: triple-attested
+    # green in r01+r02+r03 and untouched since)
     "p1_route_topicpartition", "c2_offsets_to_commit",
-    "p2_default_partitioner", "p3_field_partitioner",
-    "p4_hourly_partitioner", "p4_duration_bucket", "p5_timestamp_extract",
+    "p4_hourly_partitioner", "p4_duration_bucket",
     "r1_interleaved_commit_files", "r3_partition_change_rotation",
     "e2_schema_projection", "e3_json_decode", "e3_json_envelope_decode",
     "e4_protobuf_decode", "e6_json_encode",

@@ -111,6 +111,79 @@ def ann_lsh_multiprobe_topk(embeddings: DataFrame, query: DataFrame,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+# ---- deterministic random projection (dimensionality reduction) ---------
+# sign[j][i] = +1 iff ((6211*(j+7) + 104729*(i+13) + 353) mod 9973) is even —
+# integer-generated like the LSH planes, so the DuckDB oracle rebuilds the
+# identical +/-1 matrix and both engines fold the identical doubles in the
+# identical left-to-right order (bit-exact sums, no RNG to share).
+
+RP_DIM = 8
+
+
+def rp_sign(j: int, i: int) -> int:
+    return 1 if ((6211 * (j + 7) + 104729 * (i + 13) + 353) % 9973) % 2 == 0 else -1
+
+
+def _rp_term_sql(vec_expr: str, j: int, dim: int, dialect: str) -> str:
+    """Signed sum over the input dims for output component j."""
+    parts = []
+    for i in range(dim):
+        elem = (f"CAST(element_at({vec_expr}, {i + 1}) AS DOUBLE)"
+                if dialect == "spark"
+                else f"CAST({vec_expr}[{i + 1}] AS DOUBLE)")
+        parts.append(("+ " if rp_sign(j, i) > 0 else "- ") + elem)
+    return "CAST(0.0 AS DOUBLE) " + " ".join(parts)
+
+
+def random_projection(embeddings: DataFrame, dim: int,
+                      out_dim: int = RP_DIM, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Signed random projection (Achlioptas ±1 family): project ``dim``-d
+    embeddings to ``out_dim`` components via a deterministic ±1 matrix —
+    the standard pre-ANN compression (Johnson–Lindenstrauss: pairwise
+    distances preserved within 1±eps) and the generator of sign-LSH codes.
+
+    A pure narrow projection — no shuffle, no Python, no model state: at
+    100 TB this runs inside whole-stage codegen over the scan, and the
+    packed ``rp_code`` column is the natural partition/cluster key for a
+    downstream bucketed ANN layout (finer-grained than with_lsh_bucket's
+    4-plane bucket; here every output component doubles as a plane).
+
+    Returns (id_col, rp0..rp{out_dim-1} rounded to 4, rp_code) where
+    rp_code packs the component signs (bit j set iff rp_j > 0).
+    """
+    vec = f"cast({vec_col} as array<double>)"
+    comps = [F.expr(_rp_term_sql(vec, j, dim, "spark")).alias(f"_raw{j}")
+             for j in range(out_dim)]
+    raw = embeddings.select(id_col, *comps)
+    code = None
+    for j in range(out_dim):
+        bit = F.when(F.col(f"_raw{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return raw.select(
+        id_col,
+        *[R.fround(F.col(f"_raw{j}"), 4).alias(f"rp{j}")
+          for j in range(out_dim)],
+        code.cast("bigint").alias("rp_code"))
+
+
+def random_projection_oracle_sql(table_expr: str, dim: int,
+                                 out_dim: int = RP_DIM,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id") -> str:
+    vec = f"CAST({vec_col} AS DOUBLE[])"
+    raws = ", ".join(
+        f"({_rp_term_sql(vec, j, dim, 'duckdb')}) AS _raw{j}"
+        for j in range(out_dim))
+    code = " + ".join(
+        f"(CASE WHEN _raw{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(out_dim))
+    rps = ", ".join(f"ROUND(_raw{j}, 4) AS rp{j}" for j in range(out_dim))
+    return (f"WITH raw AS (SELECT {id_col}, {raws} FROM {table_expr}) "
+            f"SELECT {id_col}, {rps}, CAST({code} AS BIGINT) AS rp_code "
+            f"FROM raw")
+
+
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:

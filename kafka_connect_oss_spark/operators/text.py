@@ -257,6 +257,201 @@ def prune_frequent_tokens_oracle_sql(table_expr: str, df_frac: float = 0.5,
     FROM tokd, freq"""
 
 
+def chunk_documents(docs: DataFrame, size: int = 120, stride: int = 80,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Overlapping fixed-size character windows per document — the RAG /
+    context-window prep step (chunk size ``size``, hop ``stride``; trailing
+    chunks may be shorter). Chunk starts are 1, 1+stride, 1+2*stride, ...
+    while start <= length, so every char lands in >= 1 chunk and chunking
+    is a pure function of the text (no tokenizer state).
+
+    A narrow per-row explode — no shuffle, no Python: at 100 TB the op is
+    a projection over the scan with an output replication factor of
+    ~size/stride. Empty docs emit one empty chunk (start pinned to 1) so
+    the output row-set covers every input document.
+
+    Returns (id_col, chunk_id, chunk_text, chunk_len).
+    """
+    ex = docs.select(
+        id_col, F.col(text_col),
+        F.explode(F.expr(
+            f"sequence(1, greatest(1, length({text_col})), {stride})"))
+        .alias("_s"))
+    return ex.select(
+        id_col,
+        F.expr(f"CAST((_s - 1) DIV {stride} AS INT)").alias("chunk_id"),
+        F.expr(f"substring({text_col}, _s, {size})").alias("chunk_text"),
+        F.expr(f"length(substring({text_col}, _s, {size}))").alias("chunk_len"))
+
+
+def chunk_documents_oracle_sql(table_expr: str, size: int = 120,
+                               stride: int = 80, text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB rendering of chunk_documents (generate_series is inclusive of
+    the upper bound, exactly like Spark's sequence)."""
+    return (f"SELECT {id_col}, CAST((s - 1) // {stride} AS INT) AS chunk_id, "
+            f"substr({text_col}, s, {size}) AS chunk_text, "
+            f"length(substr({text_col}, s, {size})) AS chunk_len "
+            f"FROM {table_expr}, UNNEST(generate_series(1, "
+            f"greatest(1, length({text_col})), {stride})) AS u(s)")
+
+
+def rare_token_score(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-grounded rarity score: for each document, statistics of the
+    corpus DOCUMENT FREQUENCY of its distinct tokens — the cheap stand-in
+    for an LM perplexity filter (docs dominated by tokens no other doc
+    uses are likely gibberish/OCR noise; docs of only ubiquitous tokens
+    are boilerplate). Used as a band-pass in public curation recipes.
+
+    Two shuffles, both compact: (1) distinct-token explode -> groupBy
+    token for the DF table (vocabulary-sized with map-side combine);
+    (2) re-join the exploded pairs to the DF table on token — AQE
+    broadcasts the DF side when it fits, and degrades to a shuffle join
+    when the vocabulary doesn't (never a forced broadcast: vocabulary
+    grows with the corpus) — then one per-doc aggregation. Sums stay
+    exact BIGINTs; the mean is a single double division rounded
+    identically to the oracle.
+
+    Docs with zero tokens have no rows (no tokens to score), same as the
+    oracle. Returns (id_col, n_distinct_tokens, mean_df, min_df).
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    per_doc = docs.select(
+        id_col, F.explode(F.expr(f"array_distinct({tok})")).alias("token"))
+    dfreq = (per_doc.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    return (per_doc.join(dfreq, "token")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+                 F.sum("df").alias("_sum_df"),
+                 F.min("df").alias("min_df"))
+            .select(id_col, "n_distinct_tokens",
+                    R.fround(F.col("_sum_df") /
+                             F.col("n_distinct_tokens").cast("double"), 4)
+                    .alias("mean_df"),
+                    "min_df"))
+
+
+def rare_token_score_oracle_sql(table_expr: str, text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH tokd AS (
+      SELECT {id_col}, UNNEST(list_distinct({dtok})) AS token
+      FROM {table_expr}),
+    dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tokd GROUP BY token)
+    SELECT {id_col}, COUNT(*) AS n_distinct_tokens,
+           ROUND(CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS mean_df,
+           MIN(df) AS min_df
+    FROM tokd JOIN dfc USING (token)
+    GROUP BY {id_col}"""
+
+
+def cross_source_overlap(docs: DataFrame, ngram: int = 3,
+                         text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct word n-gram shingles they share, and the Jaccard of
+    their shingle sets — the audit that finds mirrored/scraped-twice
+    content BETWEEN datasets before mixture weights are chosen.
+
+    Shape at 100 TB: one distinct over (source, shingle-hash) pairs (the
+    only corpus-sized shuffle, carrying 8-byte hashes + a short key),
+    then a self-equi-join on the hash — each hash matches at most
+    n_sources rows, so the join output is bounded by |distinct hashes| x
+    n_sources^2 with n_sources small, never quadratic in documents —
+    and a tiny per-pair aggregation. Set sizes ride in via two joins
+    against a sources-sized frame.
+
+    Returns (source_a, source_b, n_shared, jaccard) for pairs sharing
+    >= 1 shingle, source_a < source_b.
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
+    sh = (docs.select(F.col(source_col).alias("src"),
+                      F.explode(F.expr(hh)).alias("h"))
+          .distinct())
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.h") == F.col("b.h")) &
+                    (F.col("a.src") < F.col("b.src")))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    na = sizes.select(F.col("src").alias("source_a"),
+                      F.col("n_sh").alias("_na"))
+    nb = sizes.select(F.col("src").alias("source_b"),
+                      F.col("n_sh").alias("_nb"))
+    return (pairs.join(na, "source_a").join(nb, "source_b")
+            .select("source_a", "source_b", "n_shared",
+                    R.fround(F.col("n_shared") /
+                             (F.col("_na") + F.col("_nb") -
+                              F.col("n_shared")).cast("double"), 4)
+                    .alias("jaccard")))
+
+
+def cross_source_overlap_oracle_sql(table_expr: str, ngram: int = 3,
+                                    text_col: str = "text",
+                                    source_col: str = "source") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    hh = H.shingle_hashes(H.word_shingles(dtok, ngram, "duckdb"), "duckdb")
+    return f"""WITH sh AS (
+      SELECT DISTINCT {source_col} AS src, UNNEST({hh}) AS h
+      FROM {table_expr}),
+    sizes AS (SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY src),
+    pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) /
+                 CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.src = source_a
+    JOIN sizes nb ON nb.src = source_b"""
+
+
+def token_budget(docs: DataFrame, text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Per-source token accounting for mixture planning: document count,
+    whitespace-token count, and each source's share of the corpus token
+    budget — the first table anyone draws before setting sampling
+    weights over a 100 TB mix.
+
+    One groupBy(source) aggregation (map-side combined, sources-sized
+    output) plus a single-row corpus total broadcast back — counts stay
+    exact BIGINTs, the share is one double division rounded identically
+    to the oracle. Returns (source, n_docs, n_tokens, token_share).
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    per_source = (docs.groupBy(F.col(source_col).alias("source"))
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(F.expr(f"size({tok})")).cast("long")
+                       .alias("n_tokens")))
+    total = per_source.agg(F.sum("n_tokens").alias("_total"))
+    return (per_source.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_tokens",
+                    R.fround(F.col("n_tokens") /
+                             F.col("_total").cast("double"), 4)
+                    .alias("token_share")))
+
+
+def token_budget_oracle_sql(table_expr: str, text_col: str = "text",
+                            source_col: str = "source") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH per AS (
+      SELECT {source_col} AS source, COUNT(*) AS n_docs,
+             CAST(SUM(len({dtok})) AS BIGINT) AS n_tokens
+      FROM {table_expr} GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 4)
+             AS token_share
+    FROM per, tot"""
+
+
 #: driver-side cache of collected benchmark hash sets — the same eval
 #: suite is decontaminated against by several queries per session (plain
 #: decontamination, the curated pipeline, and their test mirrors), and

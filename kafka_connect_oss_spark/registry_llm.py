@@ -1085,3 +1085,59 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr = (F.lit(name) if expr is None
                 else F.when(slot < bound, name).otherwise(expr))
     return docs.select("doc_id", expr.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: chunking, corpus-frequency scoring, cross-source
+# contamination audit, token budgeting, random projection
+# --------------------------------------------------------------------------
+
+@register("corpus_chunk_windows",
+          TXT.chunk_documents_oracle_sql("documents", 120, 80))
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking: overlapping 120-char windows with an
+    80-char hop — narrow per-row explode, no shuffle (operator docstring:
+    operators/text.py chunk_documents)."""
+    return TXT.chunk_documents(load_table(spark, sf_dir, "documents"),
+                               size=120, stride=80)
+
+
+@register("text_rare_token_score",
+          TXT.rare_token_score_oracle_sql("documents"))
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-DF rarity band-pass (perplexity-filter stand-in): exact
+    BIGINT document-frequency sums per doc; vocabulary-sized DF table
+    joined back without a forced broadcast (AQE decides)."""
+    return TXT.rare_token_score(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_cross_source_overlap",
+          TXT.cross_source_overlap_oracle_sql("documents", 3))
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: shared distinct 3-gram shingles
+    + Jaccard per source pair; the only corpus-sized shuffle carries
+    (source, 8-byte hash) pairs."""
+    return TXT.cross_source_overlap(load_table(spark, sf_dir, "documents"),
+                                    ngram=3)
+
+
+@register("corpus_token_budget",
+          TXT.token_budget_oracle_sql("documents"))
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting for mixture planning (exact counts, one
+    sources-sized aggregation + a 1-row total broadcast)."""
+    return TXT.token_budget(load_table(spark, sf_dir, "documents"))
+
+
+#: the synthetic embeddings table is 64-dimensional (TESTDATA.md)
+_EMB_DIM = 64
+
+
+@register("sim_random_projection",
+          similarity.random_projection_oracle_sql("embeddings", _EMB_DIM))
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ±1 random projection 64d -> 8d + packed sign code
+    (Johnson–Lindenstrauss compression; the rp_code column is the natural
+    bucketed-ANN partition key). Pure narrow projection — zero shuffle."""
+    return similarity.random_projection(load_table(spark, sf_dir, "embeddings"),
+                                        dim=_EMB_DIM)
