@@ -79,6 +79,11 @@ HEADLINE += [
     "text_repetition_signals",
     "corpus_source_cap",
     "corpus_decontam_overlap",
+    "corpus_chunk_windows",
+    "text_rare_token_score",
+    "corpus_cross_source_overlap",
+    "corpus_token_budget",
+    "sim_random_projection",
 ]
 
 

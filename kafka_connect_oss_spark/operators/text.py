@@ -316,8 +316,10 @@ def rare_token_score(docs: DataFrame, text_col: str = "text",
     Docs with zero tokens have no rows (no tokens to score), same as the
     oracle. Returns (id_col, n_distinct_tokens, mean_df, min_df).
     """
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
     tok = X.sql_tokens(text_col, "spark")
-    per_doc = docs.select(
+    per_doc = _fan_out(docs).select(
         id_col, F.explode(F.expr(f"array_distinct({tok})")).alias("token"))
     dfreq = (per_doc.groupBy("token")
              .agg(F.count(F.lit(1)).cast("long").alias("df")))
@@ -357,28 +359,42 @@ def cross_source_overlap(docs: DataFrame, ngram: int = 3,
     their shingle sets — the audit that finds mirrored/scraped-twice
     content BETWEEN datasets before mixture weights are chosen.
 
-    Shape at 100 TB: one distinct over (source, shingle-hash) pairs (the
+    Shape at 100 TB: ONE distinct over (source, shingle-hash) pairs (the
     only corpus-sized shuffle, carrying 8-byte hashes + a short key),
-    then a self-equi-join on the hash — each hash matches at most
-    n_sources rows, so the join output is bounded by |distinct hashes| x
-    n_sources^2 with n_sources small, never quadratic in documents —
-    and a tiny per-pair aggregation. Set sizes ride in via two joins
-    against a sources-sized frame.
+    persisted because three consumers read it — Catalyst has no
+    common-subplan materialization, so without the persist the corpus
+    distinct executes once per consumer (measured 4x in the r05b probe
+    plan). Pair counting is a groupBy(hash) collect_set + a narrow
+    combination explode bounded by C(n_sources_holding_hash, 2) per hash
+    — never a corpus self-join, no second corpus-sized shuffle; set
+    sizes are a sources-sized aggregate of the same cached frame, joined
+    back to the tiny pair table (AQE broadcasts).
 
     Returns (source_a, source_b, n_shared, jaccard) for pairs sharing
     >= 1 shingle, source_a < source_b.
     """
+    from pyspark import StorageLevel
+
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
     tok = X.sql_tokens(text_col, "spark")
     hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
-    sh = (docs.select(F.col(source_col).alias("src"),
-                      F.explode(F.expr(hh)).alias("h"))
-          .distinct())
+    sh = (_fan_out(docs)
+          .select(F.col(source_col).alias("src"),
+                  F.explode(F.expr(hh)).alias("h"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, (F.col("a.h") == F.col("b.h")) &
-                    (F.col("a.src") < F.col("b.src")))
-             .groupBy(F.col("a.src").alias("source_a"),
-                      F.col("b.src").alias("source_b"))
+    # sorted source set per hash -> every unordered pair, sa < sb by
+    # construction; the explode emits C(|ss|, 2) rows per hash
+    per_hash = sh.groupBy("h").agg(F.sort_array(F.collect_set("src"))
+                                   .alias("ss"))
+    combos = ("flatten(transform(ss, (x, i) -> "
+              "transform(slice(ss, i + 2, size(ss)), "
+              "y -> struct(x AS sa, y AS sb))))")
+    pairs = (per_hash.select(F.explode(F.expr(combos)).alias("p"))
+             .groupBy(F.col("p.sa").alias("source_a"),
+                      F.col("p.sb").alias("source_b"))
              .agg(F.count(F.lit(1)).alias("n_shared")))
     na = sizes.select(F.col("src").alias("source_a"),
                       F.col("n_sh").alias("_na"))

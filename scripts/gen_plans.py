@@ -89,6 +89,20 @@ SHOWCASE = {
         "(modality, centered sign-LSH bucket) block key -> salt-grid "
         "self-join: candidate dots divided ~10x by the bucket factor and "
         "spread over block/cap tasks, never one task per modality"),
+    "corpus_chunk_windows": (
+        "narrow Generate (explode) directly over the pruned scan — zero "
+        "Exchange at any corpus size; output replication bounded by "
+        "size/stride"),
+    "sim_random_projection": (
+        "pure projection over the embeddings scan — zero Exchange; the "
+        "±1 matrix is folded into the expression tree (no model-state "
+        "join, no Python)"),
+    "corpus_cross_source_overlap": (
+        "ONE corpus-sized shuffle (distinct (source, shingle-hash)), "
+        "persisted for its three consumers (InMemoryTableScan under "
+        "each); pair counting via per-hash collect_set + bounded "
+        "combination explode — no corpus self-join; final joins are "
+        "sources-sized broadcasts"),
 }
 
 KEEP = re.compile(

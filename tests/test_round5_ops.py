@@ -1,0 +1,86 @@
+"""Round-5 corpus operators: scale-posture (plan shape) + semantic pins
+beyond the DuckDB parity suite (tests/test_oracle_parity.py covers values).
+"""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators import similarity, text as TXT
+from kafka_connect_oss_spark.sources.batch import load_table
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_is_narrow_no_shuffle(spark, sf_dir):
+    # chunking must stay a projection over the scan: no Exchange at any scale
+    df = TXT.chunk_documents(load_table(spark, sf_dir, "documents"))
+    assert "Exchange" not in _physical(df)
+
+
+def test_chunking_covers_every_char(spark, sf_dir):
+    # last chunk of each doc must reach the end of the text, first must
+    # start at char 1 (chunk_id 0), and chunk starts hop by the stride
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TXT.chunk_documents(docs, size=120, stride=80)
+    cover = (chunks.groupBy("doc_id")
+             .agg(F.max(F.col("chunk_id") * 80 + F.col("chunk_len"))
+                  .alias("covered"),
+                  F.min("chunk_id").alias("first_id"))
+             .join(docs.select("doc_id", F.length("text").alias("n")),
+                   "doc_id"))
+    bad = cover.where((F.col("covered") != F.col("n")) |
+                      (F.col("first_id") != 0)).count()
+    assert bad == 0
+
+
+def test_random_projection_is_narrow_no_shuffle(spark, sf_dir):
+    df = similarity.random_projection(
+        load_table(spark, sf_dir, "embeddings"), dim=64)
+    assert "Exchange" not in _physical(df)
+
+
+def test_random_projection_code_matches_component_signs(spark, sf_dir):
+    df = similarity.random_projection(
+        load_table(spark, sf_dir, "embeddings"), dim=64).limit(50)
+    for row in df.collect():
+        code = sum(1 << j for j in range(similarity.RP_DIM)
+                   if row[f"rp{j}"] > 0)
+        assert code == row["rp_code"]
+
+
+def test_rare_token_score_no_forced_broadcast(spark, sf_dir):
+    # the DF table is vocabulary-sized and GROWS with the corpus: the join
+    # must carry no broadcast hint (AQE decides at runtime) — the same
+    # discipline VERDICT r04 demanded of dedup_cleaned_corpus
+    df = TXT.rare_token_score(load_table(spark, sf_dir, "documents"))
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_rare_token_score_bounds(spark, sf_dir):
+    # min_df >= 1, mean_df >= min_df, and every token's DF <= n_docs
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    scored = TXT.rare_token_score(docs)
+    bad = scored.where((F.col("min_df") < 1) |
+                       (F.col("mean_df") < F.col("min_df")) |
+                       (F.col("mean_df") > n_docs)).count()
+    assert bad == 0
+
+
+def test_cross_source_overlap_symmetric_bounds(spark, sf_dir):
+    # jaccard in (0, 1]; source_a < source_b (each unordered pair once)
+    df = TXT.cross_source_overlap(load_table(spark, sf_dir, "documents"))
+    rows = df.collect()
+    assert rows, "synthetic sources share vocabulary — expect overlap"
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["n_shared"] >= 1
+
+
+def test_token_budget_shares_sum_to_one(spark, sf_dir):
+    df = TXT.token_budget(load_table(spark, sf_dir, "documents"))
+    total_share = df.agg(F.sum("token_share")).first()[0]
+    assert abs(total_share - 1.0) < 1e-2  # rounding of 20 shares to 4dp
+    assert df.where(F.col("n_tokens") <= 0).count() == 0
