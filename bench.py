@@ -84,6 +84,7 @@ HEADLINE += [
     "corpus_cross_source_overlap",
     "corpus_token_budget",
     "sim_random_projection",
+    "sim_embedding_quantize",
 ]
 
 

@@ -1141,3 +1141,13 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-ANN partition key). Pure narrow projection — zero shuffle."""
     return similarity.random_projection(load_table(spark, sf_dir, "embeddings"),
                                         dim=_EMB_DIM)
+
+
+@register("sim_embedding_quantize",
+          similarity.quantize_embeddings_oracle_sql("embeddings"))
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (SQ8): the 4x storage cut for a
+    100 TB embedding table — pure narrow projection, zero shuffle, codes
+    engine-exact (identical double folds + floor/clamp)."""
+    return similarity.quantize_embeddings(load_table(spark, sf_dir,
+                                                     "embeddings"))
