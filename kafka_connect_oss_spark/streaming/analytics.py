@@ -333,3 +333,55 @@ def sessionize(records: DataFrame, gap_ms: int = 30 * 60 * 1000,
             .applyInPandasWithState(
                 _session_func(gap_ms), SESSION_SCHEMA, _SESSION_STATE,
                 "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_windowed_counts(records: DataFrame, window: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Per-(window, event_type, user) event counts with late-data bound —
+    the upstream half of streaming top-k. In append mode a row emits
+    exactly once, when the watermark closes its window, so every row that
+    reaches the sink carries the FINAL count: ranking can then happen
+    per micro-batch (`topk_of_closed_windows`) because all rows of a
+    closed window arrive in the same batch. Rank/row_number is not
+    supported on a streaming frame — this two-piece shape (append-final
+    aggregate + foreachBatch ranking) is the documented Structured
+    Streaming pattern for streaming top-k, and the ranking step is a
+    per-window-sized sort, never a global one.
+    """
+    return (records
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type",
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "user_id", "n_events"))
+
+
+def topk_of_closed_windows(batch: DataFrame, k: int = 3) -> DataFrame:
+    """Rank a batch of CLOSED-window final counts: top-k users per
+    (window_start, event_type), deterministic tie-break on user_id.
+    Applied inside foreachBatch (or to any batch frame of final counts —
+    the golden test runs it over the batch-computed counts)."""
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("window_start", "event_type")
+         .orderBy(F.col("n_events").desc(), F.col("user_id")))
+    return (batch.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def run_windowed_topk(records: DataFrame, out_path: str,
+                      checkpoint: str, k: int = 3, window: str = "1 hour",
+                      watermark: str = "2 hours"):
+    """Wire the two halves: append-final counts -> per-batch ranking ->
+    parquet sink. Returns the started StreamingQuery."""
+    counts = streaming_windowed_counts(records, window, watermark)
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        (topk_of_closed_windows(batch, k)
+         .write.mode("append").parquet(out_path))
+
+    return (counts.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())

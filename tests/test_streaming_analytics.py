@@ -167,3 +167,26 @@ def test_streaming_asof_join_matches_batch(spark, sf_dir, tmp_path):
         assert k in expect and expect[k] == v, (k, v, expect.get(k))
     # everything the final watermark passed must have been emitted
     assert len(got) >= len(expect) // 2, (len(got), len(expect))
+
+
+def test_streaming_windowed_topk_matches_batch(spark, sf_dir, tmp_path):
+    stream = events_file_stream(spark, sf_dir)
+    out = str(tmp_path / "topk_out")
+    q = A.run_windowed_topk(stream, out, str(tmp_path / "ckpt_topk"), k=3)
+    q.awaitTermination(180)
+
+    batch_counts = (sink_records(spark, sf_dir)
+                    .groupBy(F.window("ts", "1 hour").alias("w"),
+                             "event_type", "user_id")
+                    .agg(F.count(F.lit(1)).alias("n_events"))
+                    .select(F.col("w.start").alias("window_start"),
+                            "event_type", "user_id", "n_events"))
+    batch_topk = A.topk_of_closed_windows(batch_counts, k=3)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in batch_topk.collect()}
+    # append mode holds back windows the final watermark never passed; all
+    # emitted rankings must match the batch ranking exactly (same batch =
+    # whole closed window, so ranks are computed over complete windows)
+    assert got <= want
+    assert len(got) >= len(want) * 0.9
