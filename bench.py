@@ -85,6 +85,7 @@ HEADLINE += [
     "corpus_token_budget",
     "sim_random_projection",
     "sim_embedding_quantize",
+    "events_value_histogram",
 ]
 
 

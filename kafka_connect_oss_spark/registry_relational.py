@@ -615,3 +615,34 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("n") > 1) & (F.abs(z) >= 2.0))
             .select("event_type", F.col("day").cast("string").alias("day"),
                     "cnt", F.round(z, 4).alias("zscore")))
+
+
+@register(
+    "events_value_histogram",
+    """WITH b AS (
+      SELECT event_type, CAST(floor(value / 50.0) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+            FROM b GROUP BY event_type)
+    SELECT b.event_type, bin, bin * 50.0 AS bin_lo, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share
+    FROM b JOIN tot USING (event_type)""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 50) — the
+    binning/distribution shape of OLAP dashboards, as ONE map-side-combined
+    aggregation over (type, bin): never a sort, never a percentile pass.
+    The per-type totals are a bins-sized second aggregate broadcast back;
+    bin = floor(value/50) on the same stored doubles in both engines, so
+    shares are engine-exact after one rounded division."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.groupBy("event_type",
+                    F.floor(F.col("value") / 50.0).cast("int").alias("bin"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = b.groupBy("event_type").agg(F.sum("n").cast("long").alias("t"))
+    return (b.join(F.broadcast(tot), "event_type")
+            .select("event_type", "bin",
+                    (F.col("bin") * 50.0).alias("bin_lo"), "n",
+                    F.round(F.col("n") / F.col("t").cast("double"), 4)
+                    .alias("share")))
