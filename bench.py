@@ -86,6 +86,8 @@ HEADLINE += [
     "sim_random_projection",
     "sim_embedding_quantize",
     "events_value_histogram",
+    "events_sliding_rollup",
+    "text_normalized",
 ]
 
 

@@ -257,6 +257,39 @@ def prune_frequent_tokens_oracle_sql(table_expr: str, df_frac: float = 0.5,
     FROM tokd, freq"""
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Canonicalization pass ahead of dedup/tokenization: lowercase, map
+    every non-[a-z0-9 ] character to a space, squeeze space runs, trim —
+    the standard pre-minhash normalizer (near-dup robustness against
+    case/punctuation noise; public recipe).
+
+    Chained regexp_replace in the Java/RE2-identical subset (no backrefs,
+    no lookaround), all inside whole-stage codegen: a pure narrow
+    projection over the scan, zero shuffle at any corpus size.
+
+    Returns (id_col, norm_text, n_chars, n_norm_chars).
+    """
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+        "  +", " "))
+    return docs.select(
+        id_col, norm.alias("norm_text"),
+        F.length(text_col).alias("n_chars"),
+        F.length(norm).alias("n_norm_chars"))
+
+
+def normalize_text_oracle_sql(table_expr: str, text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB rendering ('g' flag: DuckDB replaces first match only by
+    default, unlike Spark)."""
+    norm = (f"trim(regexp_replace(regexp_replace(lower({text_col}), "
+            f"'[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))")
+    return (f"SELECT {id_col}, {norm} AS norm_text, "
+            f"length({text_col}) AS n_chars, "
+            f"length({norm}) AS n_norm_chars FROM {table_expr}")
+
+
 def chunk_documents(docs: DataFrame, size: int = 120, stride: int = 80,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Overlapping fixed-size character windows per document — the RAG /

@@ -1151,3 +1151,12 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact (identical double folds + floor/clamp)."""
     return similarity.quantize_embeddings(load_table(spark, sf_dir,
                                                      "embeddings"))
+
+
+@register("text_normalized",
+          TXT.normalize_text_oracle_sql("documents"))
+def text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup canonicalization (lowercase, punctuation->space, space
+    squeeze, trim) — chained regexp in the Java/RE2-identical subset,
+    pure narrow codegen projection (operators/text.py normalize_text)."""
+    return TXT.normalize_text(load_table(spark, sf_dir, "documents"))

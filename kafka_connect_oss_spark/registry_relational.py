@@ -646,3 +646,38 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("bin") * 50.0).alias("bin_lo"), "n",
                     F.round(F.col("n") / F.col("t").cast("double"), 4)
                     .alias("share")))
+
+
+@register(
+    "events_sliding_rollup",
+    f"""WITH w AS (
+      SELECT event_type, value,
+             UNNEST([make_timestamp(
+                       (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800000000),
+                     make_timestamp(
+                       (CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1)
+                         * 1800000000)]) AS wstart
+      FROM events)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS sum_value
+    FROM w GROUP BY 1, 2""",
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1-hour windows, 30-minute hop) via Spark's
+    native window(ts, len, slide) — each event lands in exactly
+    len/slide = 2 windows; the oracle reconstructs the same assignment by
+    exploding the two containing window starts from integer epoch math.
+    One map-side-combined aggregation over (window, type) — replication
+    factor len/slide, never a self-join; the shape behind every
+    overlapping-window dashboard and the batch twin of the streaming
+    sliding rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.expr(_cents("value"))).cast("double") / 100.0)
+                 .alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "event_type", "n_events",
+                    "sum_value"))
