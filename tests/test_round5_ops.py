@@ -84,3 +84,30 @@ def test_token_budget_shares_sum_to_one(spark, sf_dir):
     total_share = df.agg(F.sum("token_share")).first()[0]
     assert abs(total_share - 1.0) < 1e-2  # rounding of 20 shares to 4dp
     assert df.where(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_normalize_text_is_narrow_no_shuffle(spark, sf_dir):
+    df = TXT.normalize_text(load_table(spark, sf_dir, "documents"))
+    assert "Exchange" not in _physical(df)
+
+
+def test_quantize_embeddings_is_narrow_no_shuffle(spark, sf_dir):
+    df = similarity.quantize_embeddings(load_table(spark, sf_dir,
+                                                   "embeddings"))
+    assert "Exchange" not in _physical(df)
+
+
+def test_quantize_roundtrip_error_bounded(spark, sf_dir):
+    # dequantized values must sit within one quantization step of the
+    # original: |x - (mn + q*(mx-mn)/255)| <= (mx-mn)/255 per vector
+    from pyspark.sql import functions as F
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    joined = q.join(emb, "vec_id").select(
+        F.expr(
+            "aggregate(zip_with(cast(embedding as array<double>), q, "
+            "(x, c) -> abs(x - (mn + c * (mx - mn) / 255.0))), 0D, "
+            "(acc, e) -> greatest(acc, e))").alias("max_err"),
+        ((F.col("mx") - F.col("mn")) / 255.0).alias("step"))
+    bad = joined.where(F.col("max_err") > F.col("step") * 1.0001).count()
+    assert bad == 0
