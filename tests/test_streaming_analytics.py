@@ -190,3 +190,46 @@ def test_streaming_windowed_topk_matches_batch(spark, sf_dir, tmp_path):
     # whole closed window, so ranks are computed over complete windows)
     assert got <= want
     assert len(got) >= len(want) * 0.9
+
+
+def test_streaming_windowed_topk_multibatch_replay(spark, sf_dir, tmp_path):
+    # 4 time-ordered files, one per micro-batch: windows close as the
+    # watermark advances, each closed window's rows land in ONE batch, so
+    # per-batch ranking equals the batch ranking for every emitted window
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    rec = sink_records(spark, sf_dir).select("ts", "event_type", "user_id")
+    chunked = rec.withColumn("q", F.ntile(4).over(Window.orderBy("ts")))
+    stream_dir = tmp_path / "topk_stream"
+    stream_dir.mkdir()
+    for i in range(1, 5):
+        part_dir = tmp_path / f"tk_part_{i}"
+        chunked.where(F.col("q") == i).drop("q") \
+            .coalesce(1).write.parquet(str(part_dir))
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = stream_dir / f"chunk{i}.parquet"
+        shutil.copy(part_dir / src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    out = str(tmp_path / "topk_mb_out")
+    q = A.run_windowed_topk(sdf, out, str(tmp_path / "ckpt_topk_mb"), k=3,
+                            watermark="30 minutes")
+    q.awaitTermination(240)
+
+    batch_counts = (rec.groupBy(F.window("ts", "1 hour").alias("w"),
+                                "event_type", "user_id")
+                    .agg(F.count(F.lit(1)).alias("n_events"))
+                    .select(F.col("w.start").alias("window_start"),
+                            "event_type", "user_id", "n_events"))
+    want = {tuple(r) for r in
+            A.topk_of_closed_windows(batch_counts, k=3).collect()}
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got <= want
+    # with a 30-min watermark over time-ordered chunks, most windows close
+    assert len(got) >= len(want) * 0.5
