@@ -88,6 +88,7 @@ HEADLINE += [
     "events_value_histogram",
     "events_sliding_rollup",
     "text_normalized",
+    "sim_ann_rp_topk",
 ]
 
 

@@ -224,6 +224,37 @@ def quantize_embeddings_oracle_sql(table_expr: str,
             f"{q} AS q FROM {table_expr}")
 
 
+def rp_code_sql(vec_expr: str, dim: int, out_dim: int, dialect: str) -> str:
+    """Packed sign code of the random projection (bit j set iff component
+    j > 0) as one expression — the bucketing key for rp-based ANN.
+    Evaluated on the NORMALIZED vector everywhere (operator and oracle),
+    so both engines take signs of the identical doubles."""
+    terms = [f"(CASE WHEN ({_rp_term_sql(vec_expr, j, dim, dialect)}) > 0 "
+             f"THEN {1 << j} ELSE 0 END)" for j in range(out_dim)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def ann_rp_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                dim: int = 64, out_dim: int = RP_DIM,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k via the random-projection sign code: restrict the
+    exact scorer to vectors sharing the query's rp_code — the 8-plane
+    sibling of ann_lsh_topk (finer buckets: 2^8 vs 2^4), demonstrating
+    rp_code as the physical partition key the projection operator
+    advertises. Same plan shape: broadcast 1-row query + code, equi-join
+    on the code, narrow dot products, TopK."""
+    emb = (with_normalized(embeddings, vec_col)
+           .withColumn("rp_code",
+                       F.expr(rp_code_sql("nv", dim, out_dim, "spark"))))
+    qb = query.select(
+        "qv", F.expr(rp_code_sql("qv", dim, out_dim, "spark")).alias("qcode"))
+    scored = (emb.join(F.broadcast(qb), F.col("rp_code") == F.col("qcode"))
+              .select(id_col, "rp_code",
+                      R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
+                      .alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:

@@ -1160,3 +1160,26 @@ def text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     squeeze, trim) — chained regexp in the Java/RE2-identical subset,
     pure narrow codegen projection (operators/text.py normalize_text)."""
     return TXT.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+def _rp_ann_oracle() -> str:
+    ecode = similarity.rp_code_sql("nv", _EMB_DIM, similarity.RP_DIM,
+                                   "duckdb")
+    qcode = similarity.rp_code_sql("qv", _EMB_DIM, similarity.RP_DIM,
+                                   "duckdb")
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    ec AS (SELECT vec_id, nv, {ecode} AS rp_code FROM n),
+    qc AS (SELECT qv, {qcode} AS qcode FROM q)
+    SELECT e.vec_id, e.rp_code, {round_sql(_QDOT.replace('q.qv', 'c.qv'), 6)} AS cosine
+    FROM ec e JOIN qc c ON e.rp_code = c.qcode
+    ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+
+@register("sim_ann_rp_topk", _rp_ann_oracle())
+def sim_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe over the random-projection sign code (2^8 buckets — the
+    finer-grained sibling of the 4-plane LSH probe; rp_code is the
+    partition key at scale). Broadcast query + code, equi-join, TopK."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.ann_rp_topk(emb, q, k=10, dim=_EMB_DIM)
