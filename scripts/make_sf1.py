@@ -66,10 +66,27 @@ def main() -> None:
         shift[ent] = (load_table(spark, SRC, tbl)
                       .agg(F.max(col)).first()[0] or 0) + 1
 
+    def write_single_file(df, tbl: str) -> None:
+        # the driver layout is ONE FILE per table named <tbl>.parquet (the
+        # file-stream source globs on that name), so write a 1-part dir and
+        # move the part file into place
+        import glob as _glob
+        import shutil
+
+        tmp = f"{OUT}/_tmp_{tbl}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{OUT}/{tbl}.parquet"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+
     os.makedirs(OUT, exist_ok=True)
     for tbl in DIMS:
-        (load_table(spark, SRC, tbl).coalesce(1)
-         .write.mode("overwrite").parquet(f"{OUT}/{tbl}.parquet"))
+        write_single_file(load_table(spark, SRC, tbl), tbl)
         print(f"{tbl}: dimension, single copy")
     for tbl, cols in KEYS.items():
         df = load_table(spark, SRC, tbl)
@@ -79,7 +96,7 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{OUT}/{tbl}.parquet")
+        write_single_file(out, tbl)
         print(f"{tbl}: x{N}")
     print("done ->", OUT)
 
