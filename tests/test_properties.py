@@ -212,3 +212,49 @@ def test_range_join_matches_python_model(spark, left, right, bounds):
         for r in range_join(ldf, rdf, ["k"], lo_s * 1000, hi_s * 1000,
                             right_prefix="e_").collect())
     assert got == _py_range(left, right, lo_s, hi_s)
+
+
+# ---- round-5 text operators vs Python models -----------------------------
+
+_texts = st.lists(
+    st.text(alphabet=st.sampled_from("ab1 .!Z"), max_size=40),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_texts, size=st.integers(1, 15), stride=st.integers(1, 15))
+def test_chunking_matches_python_model(spark, texts, size, stride):
+    from kafka_connect_oss_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_id, r.chunk_text)
+           for r in chunk_documents(docs, size, stride).collect()}
+    want = set()
+    for i, t in enumerate(texts):
+        starts = range(0, max(len(t), 1), stride)
+        for cid, s in enumerate(starts):
+            want.add((i, cid, t[s:s + size]))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_normalize_text_idempotent_and_clean(spark, texts):
+    from kafka_connect_oss_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = normalize_text(docs)
+    # idempotence: normalizing the normalized text is the identity
+    twice = normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text")))
+    a = {(r.doc_id, r.norm_text) for r in once.collect()}
+    b = {(r.doc_id, r.norm_text) for r in twice.collect()}
+    assert a == b
+    # output alphabet is [a-z0-9 ], no double spaces, no edge spaces
+    for _, s in a:
+        assert all(c.islower() or c.isdigit() or c == " " for c in s)
+        assert "  " not in s and s == s.strip()
