@@ -63,3 +63,17 @@ def test_bucketed_join_values_match_unbucketed(spark, bucketed_tables):
              .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
              .collect())}
     assert got == want
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    # write-time partitionBy(lang) -> read-time predicate becomes a
+    # PartitionFilter: non-matching directories are never opened (the
+    # layout corpus_split_assign's docstring prescribes for split columns)
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+    filtered = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan
+    assert filtered.count() == docs.where(F.col("lang") == "en").count()
