@@ -89,6 +89,7 @@ HEADLINE += [
     "events_sliding_rollup",
     "text_normalized",
     "sim_ann_rp_topk",
+    "dedup_incremental_status",
 ]
 
 

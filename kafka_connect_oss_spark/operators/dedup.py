@@ -238,6 +238,88 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     return cross.unionByName(intra)
 
 
+def incremental_dedup_status(base: DataFrame, inc: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             ngram: int = 3,
+                             jaccard_threshold: float = 0.3) -> DataFrame:
+    """Incremental (append-batch) dedup: classify each NEW document
+    against the already-accepted corpus without re-clustering anything —
+    the shape a 100 TB append-mostly pipeline actually runs per ingest
+    batch, with periodic full `lsh_candidate_pairs` compactions.
+
+    Per increment doc, in precedence order:
+
+      * ``dup_exact`` — byte-identical (md5) to any base doc, or to an
+        earlier (smaller-id) doc in the same increment;
+      * ``dup_near``  — verified jaccard >= threshold against some base
+        doc (LSH band join, exact verification);
+      * ``kept``      — neither.
+
+    Scale posture: the base side of the band join is collapsed to ONE
+    representative per distinct content (identical texts band
+    identically), so the join cost is bounded by unique base contents x
+    increment size, never raw corpus size; exact-layer shuffles carry
+    (id, 16-byte digest) only; near-dup pairs WITHIN the increment are
+    deliberately out of contract (they surface at the next compaction) —
+    that keeps the increment path one-directional and cheap. At deploy
+    scale the base signature/band table is written once and reused per
+    batch (bucketed by band_key), not recomputed.
+
+    Returns (id_col, status) — one row per increment doc.
+    """
+    bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
+    breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
+    idd = inc.select(id_col, F.md5(F.col(text_col)).alias("_d"))
+    ifirst = idd.groupBy("_d").agg(F.min(id_col).alias("_first"))
+
+    base_rep_docs = base.join(
+        breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
+    bsig = (with_shingle_hashes(base_rep_docs, text_col, ngram)
+            .select(id_col, "hh",
+                    F.expr(H.minhash_signature_array("hh")).alias("msig"))
+            .cache())
+    bsig.count()
+    isig = (with_shingle_hashes(inc, text_col, ngram)
+            .select(id_col, "hh",
+                    F.expr(H.minhash_signature_array("hh")).alias("msig"))
+            .cache())
+    isig.count()
+    bbands = minhash_band_keys(bsig, id_col).withColumnRenamed(
+        id_col, "base_id")
+    ibands = minhash_band_keys(isig, id_col).withColumnRenamed(
+        id_col, "inc_id")
+    cand = (ibands.join(bbands, ["band", "band_key"])
+            .select("inc_id", "base_id").distinct())
+    ha = isig.select(F.col(id_col).alias("inc_id"),
+                     F.col("hh").alias("h_a"))
+    hb = bsig.select(F.col(id_col).alias("base_id"),
+                     F.col("hh").alias("h_b"))
+    near_ids = (cand.join(ha, "inc_id").join(hb, "base_id")
+                .withColumn("inter",
+                            F.expr("size(array_intersect(h_a, h_b))"))
+                .withColumn("jaccard", R.fround(
+                    F.col("inter") /
+                    (F.expr("size(h_a)") + F.expr("size(h_b)")
+                     - F.col("inter")), 4))
+                .where(F.col("jaccard") >= jaccard_threshold)
+                .select("inc_id").distinct()
+                .withColumn("_near", F.lit(1)))
+
+    status = (idd
+              .join(ifirst, "_d")
+              .join(breps.select("_d", F.lit(1).alias("_in_base")),
+                    "_d", "left")
+              .join(near_ids, idd[id_col] == near_ids.inc_id, "left")
+              .select(
+                  idd[id_col],
+                  F.when(F.col("_in_base").isNotNull() |
+                         (idd[id_col] != F.col("_first")),
+                         F.lit("dup_exact"))
+                  .when(F.col("_near").isNotNull(), F.lit("dup_near"))
+                  .otherwise(F.lit("kept")).alias("status")))
+    return status
+
+
 def connectivity_edges(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", ngram: int = 3,
                        jaccard_threshold: float = 0.3) -> DataFrame:

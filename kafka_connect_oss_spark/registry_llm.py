@@ -1183,3 +1183,53 @@ def sim_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.query_vector(spark, emb, 0)
     return similarity.ann_rp_topk(emb, q, k=10, dim=_EMB_DIM)
+
+
+def _incremental_oracle() -> str:
+    band_selects_b = " UNION ALL ".join(
+        f"SELECT s.doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 "
+        f"+ m{2*b+1} AS band_key FROM sig s JOIN breps ON s.doc_id = breps.rep"
+        for b in range(dedup.N_BANDS))
+    band_selects_i = " UNION ALL ".join(
+        f"SELECT s.doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 "
+        f"+ m{2*b+1} AS band_key FROM sig s WHERE s.doc_id % 2 = 1"
+        for b in range(dedup.N_BANDS))
+    jac = ("len(list_intersect(ha.hh, hb.hh)) / CAST(len(ha.hh) + len(hb.hh)"
+           " - len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)")
+    return f"""WITH {_sig_cte()},
+    based AS (SELECT doc_id, md5(text) AS d FROM documents
+              WHERE doc_id % 2 = 0),
+    breps AS (SELECT d, MIN(doc_id) AS rep FROM based GROUP BY d),
+    incd AS (SELECT doc_id, md5(text) AS d FROM documents
+             WHERE doc_id % 2 = 1),
+    ifirst AS (SELECT d, MIN(doc_id) AS first_id FROM incd GROUP BY d),
+    bbands AS ({band_selects_b}),
+    ibands AS ({band_selects_i}),
+    cand AS (SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id
+             FROM ibands i JOIN bbands b
+               ON i.band = b.band AND i.band_key = b.band_key),
+    near AS (SELECT DISTINCT c.inc_id FROM cand c
+             JOIN hsh ha ON ha.doc_id = c.inc_id
+             JOIN hsh hb ON hb.doc_id = c.base_id
+             WHERE {round_sql(jac, 4)} >= {JACCARD_DEMO})
+    SELECT i.doc_id,
+           CASE WHEN i.d IN (SELECT d FROM breps)
+                     OR i.doc_id <> f.first_id THEN 'dup_exact'
+                WHEN i.doc_id IN (SELECT inc_id FROM near) THEN 'dup_near'
+                ELSE 'kept' END AS status
+    FROM incd i JOIN ifirst f ON i.d = f.d"""
+
+
+@register("dedup_incremental_status", _incremental_oracle())
+def dedup_incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append-batch dedup (operators/dedup.py
+    incremental_dedup_status): even doc_ids play the accepted corpus, odd
+    ids the arriving batch; each arrival is classified
+    dup_exact / dup_near / kept against the base only — the per-ingest
+    filter of an append-mostly 100 TB pipeline (full re-clustering happens
+    at compaction, `dedup_clusters`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_dedup_status(base, inc,
+                                          jaccard_threshold=JACCARD_DEMO)

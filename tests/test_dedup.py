@@ -166,3 +166,24 @@ def test_dedup_clusters_releases_previous_checkpoints(spark):
     # edges + edge_nodes caches + the final round's checkpoint survive;
     # intermediate rounds must have been released
     assert after - before <= 3
+
+
+def test_incremental_status_all_three_classes(spark):
+    # base: two docs; inc: an exact twin of base, an intra-inc twin pair,
+    # a near-dup of base (one token changed), and a fresh doc
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),   # = base 0
+         (3, "fresh words nothing shared with anything here1"),
+         (5, "fresh words nothing shared with anything here1"),  # = inc 3
+         (7, "one two three four five six seven nine"),          # near base 2
+         (9, "completely different tokens again entirely novel")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in
+           dedup.incremental_dedup_status(base, inc,
+                                          jaccard_threshold=0.3).collect()}
+    assert got == {1: "dup_exact", 3: "kept", 5: "dup_exact",
+                   7: "dup_near", 9: "kept"}
