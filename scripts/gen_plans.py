@@ -103,6 +103,12 @@ SHOWCASE = {
         "each); pair counting via per-hash collect_set + bounded "
         "combination explode — no corpus self-join; final joins are "
         "sources-sized broadcasts"),
+    "dedup_incremental_status": (
+        "append-batch classification: exact layer exchanges only "
+        "(id, md5-digest) pairs; near layer bands the increment against "
+        "base reps collapsed one-per-distinct-content (cached signature "
+        "InMemoryTableScan under bands AND verification), verification "
+        "join only on surviving candidates"),
 }
 
 KEEP = re.compile(

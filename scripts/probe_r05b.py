@@ -66,6 +66,19 @@ def main() -> None:
     run("rare_token_score", lambda: TXT.rare_token_score(docs))
     run("cross_source_overlap", lambda: TXT.cross_source_overlap(docs))
 
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.operators import dedup
+
+    # clone-dense increment: odd-id docs arrive against the even-id base —
+    # with SCALE id-shifted copies most arrivals have exact/near twins in
+    # the base, the worst realistic regime for the band join
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    run("incremental_status",
+        lambda: dedup.incremental_dedup_status(base, inc,
+                                               jaccard_threshold=0.08))
+
 
 if __name__ == "__main__":
     main()
