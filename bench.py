@@ -90,6 +90,7 @@ HEADLINE += [
     "text_normalized",
     "sim_ann_rp_topk",
     "dedup_incremental_status",
+    "e3_json_dlq_routing",
 ]
 
 

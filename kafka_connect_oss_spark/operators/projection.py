@@ -63,3 +63,45 @@ def encode_json_value(df: DataFrame, cols: list[str],
                       out_col: str = "json_value") -> DataFrame:
     """E6: struct -> JSON-lines payload (to_json of a struct of columns)."""
     return df.withColumn(out_col, F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+#: column carrying the raw value of records that failed to decode
+CORRUPT_COL = "_corrupt"
+
+
+def decode_json_with_dlq(df: DataFrame, value_col: str,
+                         schema: T.StructType,
+                         envelope: bool = False) -> DataFrame:
+    """JSON decode with dead-letter capture — the Kafka Connect
+    ``errors.tolerance=all`` + DLQ contract the reference sink runs under
+    (framework-level in Connect: a record whose conversion throws is
+    routed to ``errors.deadletterqueue.topic.name`` instead of killing
+    the task; the reference relies on that, README.md quick-start).
+
+    PERMISSIVE ``from_json`` with ``columnNameOfCorruptRecord``: rows
+    that fail to parse keep every schema column NULL and carry their RAW
+    value in ``CORRUPT_COL`` (so the DLQ writer can preserve bytes
+    exactly); rows that parse carry NULL there. A pure narrow projection
+    — malformed data costs no shuffle and never fails the job.
+    """
+    full = T.StructType(list(schema.fields) +
+                        [T.StructField(CORRUPT_COL, T.StringType())])
+    src = F.get_json_object(F.col(value_col), "$.payload") if envelope \
+        else F.col(value_col)
+    decoded = F.from_json(
+        src, full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL})
+    return df.withColumn("_decoded", decoded).select(
+        *[c for c in df.columns if c != "_decoded"], "_decoded.*")
+
+
+def dead_letter_split(df: DataFrame, value_col: str, schema: T.StructType,
+                      envelope: bool = False) -> tuple[DataFrame, DataFrame]:
+    """(good, dead) frames from one decode pass: ``good`` has the typed
+    columns, ``dead`` has the original row plus the raw value for DLQ
+    replay. Both derive from the same narrow projection."""
+    decoded = decode_json_with_dlq(df, value_col, schema, envelope)
+    good = decoded.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    dead = (decoded.where(F.col(CORRUPT_COL).isNotNull())
+            .select(*df.columns, F.col(CORRUPT_COL).alias("raw_value")))
+    return good, dead

@@ -499,3 +499,37 @@ def e6_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return projection.encode_json_value(
         ev, ["event_id", "event_type"]).select("event_id", "json_value")
+
+
+@register(
+    "e3_json_dlq_routing",
+    """SELECT CASE WHEN event_id % 10 = 0 THEN 'dead_letter' ELSE 'ok' END
+             AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN NOT (event_id % 10 = 0)
+                           THEN json_extract_string(props, '$.k') END)
+                AS BIGINT) AS n_decoded_k
+    FROM events GROUP BY 1""",
+)
+def e3_json_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errors.tolerance=all + dead-letter routing (Connect framework
+    semantics the reference sink runs under): every 10th record's JSON is
+    corrupted with a leading '}{', the PERMISSIVE decode captures the
+    raw value in the corrupt column instead of failing the task, and the
+    batch splits into (ok, dead_letter) with per-status counts. The
+    corruption is syntactic, so DuckDB mirrors the judgment as
+    event-id arithmetic; n_decoded_k counts rows whose payload field
+    actually decoded (ok rows only). Narrow projection + one tiny agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0,
+               F.concat(F.lit("}{"), F.col("props")))
+        .otherwise(F.col("props")).alias("value"))
+    decoded = projection.decode_json_with_dlq(
+        ev, "value", T.StructType([T.StructField("k", T.IntegerType())]))
+    return (decoded
+            .groupBy(F.when(F.col(projection.CORRUPT_COL).isNotNull(),
+                            F.lit("dead_letter")).otherwise(F.lit("ok"))
+                     .alias("status"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.count("k").cast("long").alias("n_decoded_k")))

@@ -293,3 +293,20 @@ def test_source_cap_salted_matches_plain_window(spark, sf_dir):
              .where(F.col("rk") <= _SOURCE_CAP)
              .select("source", "doc_id", "quality", "rk"))
     assert got == sorted(map(tuple, plain.collect()))
+
+
+def test_dead_letter_split_preserves_raw_bytes(spark):
+    from pyspark.sql import types as T
+
+    from kafka_connect_oss_spark.operators import projection
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, 'not json at all'), (3, '}{"k": 7}'),
+         (4, '{"k": null}')],
+        "id long, value string")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    good, dead = projection.dead_letter_split(df, "value", schema)
+    assert {(r.id, r.k) for r in good.collect()} == {(1, 5), (4, None)}
+    # DLQ rows keep their ORIGINAL bytes for replay
+    assert {(r.id, r.raw_value) for r in dead.collect()} == {
+        (2, 'not json at all'), (3, '}{"k": 7}')}
