@@ -91,6 +91,7 @@ HEADLINE += [
     "sim_ann_rp_topk",
     "dedup_incremental_status",
     "e3_json_dlq_routing",
+    "events_value_median_exact",
 ]
 
 

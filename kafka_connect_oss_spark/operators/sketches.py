@@ -84,3 +84,77 @@ def kmv_oracle_sql(group_cols_sql: str, key_sql: str, from_sql: str,
            END AS kmv_estimate
     FROM ranked WHERE rnk <= {k}
     GROUP BY {group_cols_sql}, n_exact ORDER BY {group_cols_sql}"""
+
+
+def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
+                        group_col: str, n_bins: int = 4096) -> DataFrame:
+    """EXACT discrete quantile per group WITHOUT a per-group sort — the
+    100 TB path to exact percentiles (`percentile`/`percentile_disc` sort
+    every group's values; this never sorts more than one histogram bin).
+
+    Two scans + driver routing over tiny aggregates:
+
+      1. per-group (min, max, count) — one map-side-combined aggregate,
+         collected (groups are bounded by assumption: event types,
+         languages, sources — document before using on unbounded keys);
+      2. per-group fixed-width bin histogram (<= groups x n_bins rows,
+         collected) — the driver walks the cumulative to find the bin
+         holding rank k = ceil(p * n) (DuckDB's quantile_disc rule,
+         verified empirically) and the residual rank within it;
+      3. one final narrow pass keeps ONLY rows of each group's target bin
+         (a broadcast of <= |groups| routing rows) and ranks inside —
+         per-bin sort cost ~n/n_bins per group instead of n.
+
+    Bin assignment is floor((v - mn) * n_bins / (mx - mn)) clamped —
+    monotone in v under IEEE (positive-constant multiply + subtract are
+    monotone, floor is monotone), so within-bin rank + bins-before count
+    IS the global rank: the result is exactly the k-th smallest value,
+    bit-identical to a full sort, for any float edge behavior. Worst
+    case (every value equal -> one bin) degrades to the sort the naive
+    plan always pays.
+
+    Returns (group_col, q) with q = the group's p-quantile (a data value).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    stats = {r[0]: (r[1], r[2], r[3]) for r in
+             (df.groupBy(group_col)
+              .agg(F.min(value_col), F.max(value_col),
+                   F.count(value_col))).collect()}
+
+    def bin_expr(mn_col: str, mx_col: str) -> F.Column:
+        spread = F.col(mx_col) - F.col(mn_col)
+        raw = F.floor((F.col(value_col) - F.col(mn_col)) * n_bins / spread)
+        return (F.when(spread == 0, F.lit(0))
+                .otherwise(F.least(F.lit(n_bins - 1), raw))
+                .cast("int"))
+
+    spark = df.sparkSession
+    mmx = spark.createDataFrame(
+        [(g, mn, mx) for g, (mn, mx, _) in stats.items()],
+        f"{group_col} string, _mn double, _mx double")
+    binned = (df.join(F.broadcast(mmx), group_col)
+              .withColumn("_bin", bin_expr("_mn", "_mx")))
+    hist = {}
+    for r in binned.groupBy(group_col, "_bin").count().collect():
+        hist.setdefault(r[0], {})[r[1]] = r[2]
+
+    routes = []  # (group, target_bin, rank_within_bin)
+    for g, (mn, mx, n) in stats.items():
+        k = max(1, math.ceil(p * n))
+        cum = 0
+        for b in sorted(hist.get(g, {})):
+            c = hist[g][b]
+            if cum + c >= k:
+                routes.append((g, b, k - cum))
+                break
+            cum += c
+    rdf = spark.createDataFrame(
+        routes, f"{group_col} string, _bin int, _rank long")
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (binned.join(F.broadcast(rdf), [group_col, "_bin"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == F.col("_rank"))
+            .select(group_col, F.col(value_col).alias("q")))

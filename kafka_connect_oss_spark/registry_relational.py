@@ -681,3 +681,19 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                     .alias("window_start"), "event_type", "n_events",
                     "sum_value"))
+
+
+@register(
+    "events_value_median_exact",
+    """SELECT event_type, quantile_disc(value, 0.5) AS q
+    FROM events GROUP BY event_type""",
+)
+def events_value_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median without a per-group sort: two-pass histogram
+    routing (operators/sketches.py exact_quantile_disc) — scan 1 builds a
+    4096-bin histogram per type, the driver locates the rank-holding bin
+    from tiny aggregates, scan 2 ranks only inside that bin (~n/4096
+    rows). The sort-based `events_value_percentiles` is the oracle-simple
+    twin; THIS is the shape that survives 100 TB, exact to the bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return SK.exact_quantile_disc(ev, "value", 0.5, "event_type")

@@ -111,3 +111,33 @@ def test_quantize_roundtrip_error_bounded(spark, sf_dir):
         ((F.col("mx") - F.col("mn")) / 255.0).alias("step"))
     bad = joined.where(F.col("max_err") > F.col("step") * 1.0001).count()
     assert bad == 0
+
+
+def test_exact_quantile_matches_explicit_sort(spark, sf_dir):
+    import math
+
+    from kafka_connect_oss_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    for p in (0.25, 0.5, 0.9):
+        got = {r[0]: r[1] for r in
+               SK.exact_quantile_disc(ev, "value", p, "event_type").collect()}
+        rows = ev.select("event_type", "value").collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r.event_type, []).append(r.value)
+        want = {g: sorted(vs)[max(1, math.ceil(p * len(vs))) - 1]
+                for g, vs in groups.items()}
+        assert got == want, p
+
+
+def test_exact_quantile_edge_groups(spark):
+    from kafka_connect_oss_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [("solo", 42.0)] + [("flat", 7.0)] * 50 +
+        [("two", 1.0), ("two", 2.0)],
+        "event_type string, value double")
+    got = {r[0]: r[1] for r in
+           SK.exact_quantile_disc(df, "value", 0.5, "event_type").collect()}
+    assert got == {"solo": 42.0, "flat": 7.0, "two": 1.0}
