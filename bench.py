@@ -92,6 +92,8 @@ HEADLINE += [
     "dedup_incremental_status",
     "e3_json_dlq_routing",
     "events_value_median_exact",
+    "text_langid_confusion",
+    "sim_ann_recall_eval",
 ]
 
 

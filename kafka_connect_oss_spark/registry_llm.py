@@ -1233,3 +1233,99 @@ def dedup_incremental_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = docs.where(F.col("doc_id") % 2 == 1)
     return dedup.incremental_dedup_status(base, inc,
                                           jaccard_threshold=JACCARD_DEMO)
+
+
+def _langid_confusion_oracle() -> str:
+    scores = {lang: X.sql_count_matching("t", words, "duckdb")
+              for lang, words in X.LANG_STOPWORDS.items()}
+    s_en, s_es, s_de = scores["en"], scores["es"], scores["de"]
+    return f"""WITH tok AS (SELECT doc_id, lang, {_DTOK} AS t FROM documents),
+    pred AS (SELECT lang,
+                    CASE WHEN {s_en} >= {s_es} AND {s_en} >= {s_de} THEN 'en'
+                         WHEN {s_es} >= {s_de} THEN 'es' ELSE 'de' END
+                      AS pred_lang
+             FROM tok)
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2"""
+
+
+@register("text_langid_confusion", _langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix — the eval table for
+    the language-ID heuristic (the synthetic corpus's lang labels are
+    random wrt content, so the matrix exposes the prior the stopword vote
+    collapses to). One narrow prediction pass + a languages^2-sized agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TXT.language_id(docs).select("doc_id", "pred_lang")
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def _ann_recall_oracle(k: int = 10, n_planes: int = 4) -> str:
+    bucket = V.lsh_bucket_sql("nv", n_planes, "duckdb")
+    qbucket = V.lsh_bucket_sql("qv", n_planes, "duckdb")
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_planes)])
+    ecode = similarity.rp_code_sql("nv", _EMB_DIM, similarity.RP_DIM,
+                                   "duckdb")
+    qcode = similarity.rp_code_sql("qv", _EMB_DIM, similarity.RP_DIM,
+                                   "duckdb")
+    dot = round_sql("list_dot_product(e.nv, q.qv)", 6)
+    per_method = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, "
+        f"CAST((SELECT COUNT(*) FROM {m} JOIN exact USING (vec_id)) "
+        f"AS BIGINT) AS n_hits, "
+        f"ROUND((SELECT COUNT(*) FROM {m} JOIN exact USING (vec_id)) "
+        f"/ CAST({k} AS DOUBLE), 4) AS recall"
+        for m in ("lsh", "multiprobe", "rp"))
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    exact AS (SELECT e.vec_id FROM n e, q
+              ORDER BY {dot} DESC, e.vec_id LIMIT {k}),
+    eb AS (SELECT vec_id, nv, {bucket} AS bucket, {ecode} AS rp_code FROM n),
+    qb AS (SELECT qv, {qbucket} AS qbucket, {qcode} AS qcode FROM q),
+    lsh AS (SELECT e.vec_id FROM eb e, qb q
+            WHERE e.bucket = q.qbucket
+            ORDER BY {dot} DESC, e.vec_id LIMIT {k}),
+    probes AS (SELECT qv, CAST(xor(qbucket, t.m) AS BIGINT) AS pbucket
+               FROM qb, unnest([{masks}]) AS t(m)),
+    multiprobe AS (SELECT e.vec_id
+                   FROM eb e JOIN probes q ON e.bucket = q.pbucket
+                   ORDER BY {dot} DESC, e.vec_id LIMIT {k}),
+    rp AS (SELECT e.vec_id FROM eb e, qb q
+           WHERE e.rp_code = q.qcode
+           ORDER BY {dot} DESC, e.vec_id LIMIT {k})
+    {per_method}"""
+
+
+@register("sim_ann_recall_eval", _ann_recall_oracle())
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN index against the exact scorer — the
+    self-measuring eval a production retrieval stack ships with (probe
+    cheapness is worthless without a recall number beside it). One exact
+    top-k + three probe top-ks (each the registered query's own plan),
+    intersected on vec_id; all frames are k-row, so the eval costs one
+    corpus scan per method at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    k = 10
+    exact = similarity.topk_cosine(emb, q, k=k).select("vec_id")
+    methods = {
+        "lsh": similarity.ann_lsh_topk(emb, q, k=k),
+        "multiprobe": similarity.ann_lsh_multiprobe_topk(emb, q, k=k),
+        "rp": similarity.ann_rp_topk(emb, q, k=k, dim=_EMB_DIM),
+    }
+    tagged = None
+    for name, df in methods.items():
+        t = df.select(F.lit(name).alias("method"), "vec_id")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (tagged.join(exact, "vec_id")
+            .groupBy("method").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n_hits")))
+    names = emb.sparkSession.createDataFrame(
+        [(m,) for m in methods], "method string")
+    return (names.join(hits, "method", "left")
+            .select("method",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    fround(F.coalesce("n_hits", F.lit(0)) /
+                           F.lit(float(k)), 4).alias("recall")))
