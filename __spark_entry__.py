@@ -80,16 +80,15 @@ DRIVER_WINDOW: list[str] = [
     "events_value_histogram", "events_sliding_rollup", "text_normalized",
     "sim_ann_rp_topk", "dedup_incremental_status", "e3_json_dlq_routing",
     "events_value_median_exact", "text_langid_confusion",
-    "sim_ann_recall_eval",
+    "sim_ann_recall_eval", "corpus_dup_rate_by_source",
     # (2) implementation touched this round
     "dedup_cleaned_corpus", "multimodal_near_dup", "dedup_clusters",
     "events_daily_anomaly_zscore", "dedup_embedding_cosine_pairs",
     "dedup_multi_signal",
     # (3) last attested in r03 — re-attest on r05 code
-    # (p2/p3/p5/e6/e3-envelope/e2/e3/p1/p4-hourly/p4-duration/r3/
+    # (p2/p3/p5/e6/e3-envelope/e2/e3/p1/c2/p4-hourly/p4-duration/r3/
     # text_stats/text_quality rotated out this round to make room:
     # triple-attested green in r01+r02+r03 and untouched since)
-    "c2_offsets_to_commit",
     "r1_interleaved_commit_files",
     "e4_protobuf_decode",
     "events_signup_funnel", "events_hourly_rollup_approx",

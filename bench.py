@@ -94,6 +94,7 @@ HEADLINE += [
     "events_value_median_exact",
     "text_langid_confusion",
     "sim_ann_recall_eval",
+    "corpus_dup_rate_by_source",
 ]
 
 

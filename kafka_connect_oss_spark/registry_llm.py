@@ -1329,3 +1329,27 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hits"),
                     fround(F.coalesce("n_hits", F.lit(0)) /
                            F.lit(float(k)), 4).alias("recall")))
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    """WITH k AS (SELECT source, md5(text) AS d FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT d) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS dup_rate
+    FROM k GROUP BY source""",
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the governance table that decides
+    which feeds get dedup budget. Shuffles (source, 16-byte digest) pairs
+    only; count-distinct is the standard two-level partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select("source", F.md5("text").alias("_d"))
+    return (k.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("_d").cast("long").alias("n_unique"))
+            .select("source", "n_docs", "n_unique",
+                    fround(F.lit(1.0) - F.col("n_unique") /
+                           F.col("n_docs").cast("double"), 4)
+                    .alias("dup_rate")))
