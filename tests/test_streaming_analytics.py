@@ -233,3 +233,44 @@ def test_streaming_windowed_topk_multibatch_replay(spark, sf_dir, tmp_path):
     assert got <= want
     # with a 30-min watermark over time-ordered chunks, most windows close
     assert len(got) >= len(want) * 0.5
+
+
+def test_streaming_dead_letter_routing(spark, sf_dir, tmp_path):
+    # the Connect errors.tolerance=all contract in its native habitat: a
+    # stream with corrupted payloads keeps flowing — good rows decode to
+    # the sink, dead rows land in the DLQ prefix with raw bytes intact
+    from pyspark.sql import types as T
+
+    from kafka_connect_oss_spark.operators import projection
+
+    rec = sink_records(spark, sf_dir).select(
+        "event_id", "ts",
+        F.when(F.col("event_id") % 10 == 0,
+               F.concat(F.lit("}{"), F.col("props")))
+        .otherwise(F.col("props")).alias("value"))
+    src_dir = tmp_path / "dlq_src"
+    rec.coalesce(1).write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+
+    out, dlq = str(tmp_path / "good"), str(tmp_path / "dead")
+    target = T.StructType([T.StructField("k", T.IntegerType())])
+
+    def sink(batch, _bid):
+        good, dead = projection.dead_letter_split(batch, "value", target)
+        good.write.mode("append").parquet(out)
+        dead.write.mode("append").parquet(dlq)
+
+    q = (stream.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dlq"))
+         .foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    n = rec.count()
+    n_bad = rec.where(F.col("event_id") % 10 == 0).count()
+    good_df, dead_df = spark.read.parquet(out), spark.read.parquet(dlq)
+    assert good_df.count() == n - n_bad
+    assert dead_df.count() == n_bad
+    # decoded payloads survive on the good side, raw bytes on the dead side
+    assert good_df.where(F.col("k").isNull()).count() == 0
+    assert dead_df.where(~F.col("raw_value").startswith("}{")).count() == 0
