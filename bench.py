@@ -95,6 +95,7 @@ HEADLINE += [
     "text_langid_confusion",
     "sim_ann_recall_eval",
     "corpus_dup_rate_by_source",
+    "events_cohort_retention_matrix",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_oss_spark.functions import hashing as H
+from kafka_connect_oss_spark.functions.rounding import fround
 from kafka_connect_oss_spark.operators import sketches as SK
 from kafka_connect_oss_spark.registry import register
 from kafka_connect_oss_spark.sources.batch import load_table
@@ -697,3 +698,43 @@ def events_value_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; THIS is the shape that survives 100 TB, exact to the bit."""
     ev = load_table(spark, sf_dir, "events")
     return SK.exact_quantile_disc(ev, "value", 0.5, "event_type")
+
+
+@register(
+    "events_cohort_retention_matrix",
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY user_id),
+    m AS (SELECT cohort, CAST(day - cohort AS INT) AS day_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM act JOIN first USING (user_id)
+          GROUP BY 1, 2),
+    size_ AS (SELECT cohort, n_active AS cohort_size FROM m
+              WHERE day_offset = 0)
+    SELECT CAST(m.cohort AS VARCHAR) AS cohort_day, day_offset, n_active,
+           ROUND(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 4)
+             AS retention
+    FROM m JOIN size_ USING (cohort)""",
+)
+def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, one
+    row per (cohort, day-offset) with the active count and the share of
+    the cohort still active — the canonical growth-analytics crosstab.
+    Shapes: one distinct over (user, day), one user-keyed min, one
+    user-keyed join + (cohort, offset) agg; the cohort-size side is
+    calendar-bounded and joins back tiny (AQE broadcasts). Day 0 always
+    has retention 1.0 by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    m = (act.join(first, "user_id")
+         .groupBy("cohort", F.datediff("day", "cohort").alias("day_offset"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_active")))
+    size = (m.where(F.col("day_offset") == 0)
+            .select("cohort", F.col("n_active").alias("cohort_size")))
+    return (m.join(size, "cohort")
+            .select(F.col("cohort").cast("string").alias("cohort_day"),
+                    "day_offset", "n_active",
+                    fround(F.col("n_active") /
+                           F.col("cohort_size").cast("double"), 4)
+                    .alias("retention")))
