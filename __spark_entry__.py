@@ -81,17 +81,17 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_rp_topk", "dedup_incremental_status", "e3_json_dlq_routing",
     "events_value_median_exact", "text_langid_confusion",
     "sim_ann_recall_eval", "corpus_dup_rate_by_source",
-    "events_cohort_retention_matrix",
+    "events_cohort_retention_matrix", "sketch_user_overlap_kmv",
     # (2) implementation touched this round
     "dedup_cleaned_corpus", "multimodal_near_dup", "dedup_clusters",
     "events_daily_anomaly_zscore", "dedup_embedding_cosine_pairs",
     "dedup_multi_signal",
     # (3) last attested in r03 — re-attest on r05 code
-    # (p2/p3/p5/e6/e3-envelope/e2/e3/e4/p1/c2/p4-hourly/p4-duration/r3/
-    # text_stats/text_quality rotated out this round to make room:
+    # (p2/p3/p5/e6/e3-envelope/e2/e3/e4/p1/c2/p4-hourly/p4-duration/r1i/
+    # r3/text_stats/text_quality rotated out this round to make room:
     # multiply-attested green through r03 and untouched since; e4 is
-    # additionally pinned by test_protobuf_format.py x7)
-    "r1_interleaved_commit_files",
+    # additionally pinned by test_protobuf_format.py x7, r1-interleaved
+    # by test_properties.py's rotation-algebra invariants)
     "events_signup_funnel", "events_hourly_rollup_approx",
     "events_value_percentiles_sampled", "events_rollup_day_type",
     "orders_without_recent_lineitems",

@@ -96,6 +96,7 @@ HEADLINE += [
     "sim_ann_recall_eval",
     "corpus_dup_rate_by_source",
     "events_cohort_retention_matrix",
+    "sketch_user_overlap_kmv",
 ]
 
 

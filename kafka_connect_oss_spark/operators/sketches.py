@@ -158,3 +158,87 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == F.col("_rank"))
             .select(group_col, F.col(value_col).alias("q")))
+
+
+def _kmv_side(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """One-row (kmins, n_exact) sketch of a frame's distinct keys — the
+    same two-level k-min aggregate as kmv_distinct, ungrouped."""
+    hv = F.expr(H.base_hash(f"CAST({key_col} AS STRING)", "spark"))
+    hashed = df.select(key_col).distinct().select(hv.alias("hv"))
+    partials = (hashed.groupBy(F.spark_partition_id().alias("_pid"))
+                .agg(F.slice(F.array_sort(F.collect_list("hv")), 1, k)
+                     .alias("ph"),
+                     F.count(F.lit(1)).alias("pn")))
+    return partials.agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("ph"))), 1, k)
+        .alias("kmins"),
+        F.sum("pn").alias("n_exact"))
+
+
+def kmv_key_overlap(a: DataFrame, b: DataFrame, key_col: str,
+                    k: int = KMV_K) -> DataFrame:
+    """Join-cardinality estimation from two KMV sketches — the planner
+    move: estimate |keys(A) ∩ keys(B)| (hence join size) WITHOUT joining.
+    Each side folds to a k-minimum-values sketch (one row, K longs); the
+    union sketch is the k smallest of the merged mins, the Jaccard
+    estimate is the fraction of union mins present in both sides, and
+    intersection ~= jaccard x union-cardinality (the standard KMV set
+    algebra — public technique).
+
+    At 100 TB: two distinct-key passes (each the word-count shape) and a
+    1-row x 1-row crossJoin — the estimate costs two scans and moves
+    2K longs, vs the full shuffle join it predicts. ``inter_exact`` is
+    emitted alongside to exhibit estimator error (one extra semi-join;
+    drop it in production use). Deterministic (shared md5-fold hash), so
+    the DuckDB oracle reproduces every value bit-for-bit.
+
+    Returns one row: (n_a, n_b, inter_exact, union_est, jaccard_est,
+    inter_est).
+    """
+    sa = _kmv_side(a, key_col, k).select(
+        F.col("kmins").alias("ka"), F.col("n_exact").alias("n_a"))
+    sb = _kmv_side(b, key_col, k).select(
+        F.col("kmins").alias("kb"), F.col("n_exact").alias("n_b"))
+    inter = (a.select(key_col).distinct()
+             .join(b.select(key_col).distinct(), key_col, "semi")
+             .agg(F.count(F.lit(1)).alias("inter_exact")))
+    u = f"slice(array_sort(array_distinct(concat(ka, kb))), 1, {k})"
+    both = (f"size(filter({u}, x -> array_contains(ka, x) "
+            f"AND array_contains(kb, x)))")
+    usz = f"size({u})"
+    union_est = (f"CASE WHEN {usz} < {k} THEN CAST({usz} AS DOUBLE) "
+                 f"ELSE ({k} - 1) * {HASH_SPACE} "
+                 f"/ element_at({u}, {k}) END")
+    jac = f"{both} / CAST({usz} AS DOUBLE)"
+    return (sa.crossJoin(F.broadcast(sb)).crossJoin(F.broadcast(inter))
+            .select("n_a", "n_b", "inter_exact",
+                    F.round(F.expr(union_est), 4).alias("union_est"),
+                    F.round(F.expr(jac), 4).alias("jaccard_est"),
+                    F.round(F.expr(f"({jac}) * ({union_est})"), 4)
+                    .alias("inter_est")))
+
+
+def kmv_overlap_oracle_sql(a_sql: str, b_sql: str, key_sql: str,
+                           k: int = KMV_K) -> str:
+    """DuckDB oracle for kmv_key_overlap over the same two key sets."""
+    h = H.base_hash("CAST(k AS VARCHAR)", "duckdb")
+    u = f"list_sort(list_distinct(ka || kb))[1:{k}]"
+    both = (f"len(list_filter({u}, x -> list_contains(ka, x) "
+            f"AND list_contains(kb, x)))")
+    usz = f"len({u})"
+    union_est = (f"CASE WHEN {usz} < {k} THEN CAST({usz} AS DOUBLE) "
+                 f"ELSE ({k} - 1) * {HASH_SPACE} / ({u})[{k}] END")
+    jac = f"{both} / CAST({usz} AS DOUBLE)"
+    return f"""WITH da AS (SELECT DISTINCT {key_sql} AS k FROM ({a_sql})),
+    db AS (SELECT DISTINCT {key_sql} AS k FROM ({b_sql})),
+    sa AS (SELECT list_sort(list({h}))[1:{k}] AS ka,
+                  COUNT(*) AS n_a FROM da),
+    sb AS (SELECT list_sort(list({h}))[1:{k}] AS kb,
+                  COUNT(*) AS n_b FROM db),
+    ix AS (SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact
+           FROM da JOIN db USING (k))
+    SELECT n_a, n_b, inter_exact,
+           ROUND({union_est}, 4) AS union_est,
+           ROUND({jac}, 4) AS jaccard_est,
+           ROUND(({jac}) * ({union_est}), 4) AS inter_est
+    FROM sa, sb, ix"""

@@ -738,3 +738,22 @@ def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFram
                     fround(F.col("n_active") /
                            F.col("cohort_size").cast("double"), 4)
                     .alias("retention")))
+
+
+@register(
+    "sketch_user_overlap_kmv",
+    SK.kmv_overlap_oracle_sql(
+        "SELECT user_id FROM events WHERE event_type = 'purchase'",
+        "SELECT user_id FROM events WHERE event_type = 'click'",
+        "user_id"),
+)
+def sketch_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation without the join: KMV sketches of the
+    purchase-user and click-user key sets -> union / jaccard /
+    intersection estimates (operators/sketches.py kmv_key_overlap) — two
+    distinct passes + 2K longs moved, vs the shuffle join it predicts.
+    Exact intersection rides along to exhibit estimator error."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return SK.kmv_key_overlap(a, b, "user_id")
