@@ -304,6 +304,12 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
                 .where(F.col("jaccard") >= jaccard_threshold)
                 .select("inc_id").distinct()
                 .withColumn("_near", F.lit(1)))
+    # per-ingest-batch lifecycle: force the (increment-bounded) near-dup
+    # id set now, then release the signature caches — repeated batch
+    # invocations must not accumulate executor storage
+    near_ids = near_ids.localCheckpoint(eager=True)
+    bsig.unpersist()
+    isig.unpersist()
 
     status = (idd
               .join(ifirst, "_d")

@@ -83,6 +83,13 @@ def decode_json_with_dlq(df: DataFrame, value_col: str,
     value in ``CORRUPT_COL`` (so the DLQ writer can preserve bytes
     exactly); rows that parse carry NULL there. A pure narrow projection
     — malformed data costs no shuffle and never fails the job.
+
+    Envelope path: a non-NULL value whose OUTER JSON is corrupt (or has
+    no ``payload`` member) makes ``get_json_object`` return NULL, and
+    ``from_json(NULL)`` yields a NULL struct rather than a corrupt
+    marker — so the extraction miss is folded into ``CORRUPT_COL``
+    explicitly (raw value preserved). NULL values (Kafka tombstones)
+    stay non-dead, matching Connect's tolerance of null records.
     """
     full = T.StructType(list(schema.fields) +
                         [T.StructField(CORRUPT_COL, T.StringType())])
@@ -91,8 +98,18 @@ def decode_json_with_dlq(df: DataFrame, value_col: str,
     decoded = F.from_json(
         src, full,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL})
-    return df.withColumn("_decoded", decoded).select(
+    out = df.withColumn("_decoded", decoded).select(
         *[c for c in df.columns if c != "_decoded"], "_decoded.*")
+    if not envelope:
+        return out
+    # envelope path: (a) extraction miss — src NULL while the raw value
+    # is not — is dead; (b) a payload-level parse failure must carry the
+    # ORIGINAL record bytes (not the extracted payload) for exact replay
+    return out.withColumn(
+        CORRUPT_COL,
+        F.when(F.col(CORRUPT_COL).isNotNull() |
+               (src.isNull() & F.col(value_col).isNotNull()),
+               F.col(value_col)))
 
 
 def dead_letter_split(df: DataFrame, value_col: str, schema: T.StructType,

@@ -149,38 +149,43 @@ def random_projection(embeddings: DataFrame, dim: int,
     downstream bucketed ANN layout (finer-grained than with_lsh_bucket's
     4-plane bucket; here every output component doubles as a plane).
 
-    Returns (id_col, rp0..rp{out_dim-1} rounded to 4, rp_code) where
-    rp_code packs the component signs (bit j set iff rp_j > 0).
+    Returns (id_col, rp0..rp{out_dim-1} rounded to 4, rp_code).
+    ``rp_code`` is computed from the UNIT-NORMALIZED vector with the exact
+    ``rp_code_sql`` expression ``ann_rp_topk`` uses for its index codes, so
+    a table physically partitioned on this column serves rp-ANN probes
+    bit-for-bit (signs agree mathematically under positive scaling, but
+    float fold order differs between raw and normalized forms — sharing
+    one form removes the near-zero sign-flip hazard). The rp components
+    themselves stay raw-vector projections (the JL-compressed features).
     """
     vec = f"cast({vec_col} as array<double>)"
     comps = [F.expr(_rp_term_sql(vec, j, dim, "spark")).alias(f"_raw{j}")
              for j in range(out_dim)]
-    raw = embeddings.select(id_col, *comps)
-    code = None
-    for j in range(out_dim):
-        bit = F.when(F.col(f"_raw{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        code = bit if code is None else code + bit
+    raw = with_normalized(embeddings, vec_col).select(
+        id_col, *comps,
+        F.expr(rp_code_sql("nv", dim, out_dim, "spark")).alias("rp_code"))
     return raw.select(
         id_col,
         *[R.fround(F.col(f"_raw{j}"), 4).alias(f"rp{j}")
           for j in range(out_dim)],
-        code.cast("bigint").alias("rp_code"))
+        "rp_code")
 
 
 def random_projection_oracle_sql(table_expr: str, dim: int,
                                  out_dim: int = RP_DIM,
                                  vec_col: str = "embedding",
                                  id_col: str = "vec_id") -> str:
+    from kafka_connect_oss_spark.functions import vectors as V2
     vec = f"CAST({vec_col} AS DOUBLE[])"
     raws = ", ".join(
         f"({_rp_term_sql(vec, j, dim, 'duckdb')}) AS _raw{j}"
         for j in range(out_dim))
-    code = " + ".join(
-        f"(CASE WHEN _raw{j} > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(out_dim))
+    nv = V2.normalized_sql(vec, "duckdb")
+    code = rp_code_sql("nv", dim, out_dim, "duckdb")
     rps = ", ".join(f"ROUND(_raw{j}, 4) AS rp{j}" for j in range(out_dim))
-    return (f"WITH raw AS (SELECT {id_col}, {raws} FROM {table_expr}) "
-            f"SELECT {id_col}, {rps}, CAST({code} AS BIGINT) AS rp_code "
+    return (f"WITH raw AS (SELECT {id_col}, {raws}, {nv} AS nv "
+            f"FROM {table_expr}) "
+            f"SELECT {id_col}, {rps}, {code} AS rp_code "
             f"FROM raw")
 
 
@@ -198,13 +203,15 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
     identical doubles in the identical order (floor/clamp of identical
     doubles is identical). Constant vectors (mx == mn) quantize to 0.
 
-    Returns (id_col, mn, mx rounded to 6, q array<int>).
+    Returns (id_col, mn, mx rounded to 6, q) — ``q`` is the code vector
+    serialized as a comma-joined string (scalar, so the driver's
+    canonicalizer can hash it; split(q, ',') recovers the array form).
     """
     vec = f"cast({vec_col} as array<double>)"
     mn, mx = f"array_min({vec})", f"array_max({vec})"
-    q = (f"transform({vec}, x -> CAST(least(255.0, greatest(0.0, "
+    q = (f"array_join(transform({vec}, x -> CAST(least(255.0, greatest(0.0, "
          f"floor(CASE WHEN {mx} = {mn} THEN 0.0 "
-         f"ELSE (x - {mn}) * 255.0 / ({mx} - {mn}) END))) AS INT))")
+         f"ELSE (x - {mn}) * 255.0 / ({mx} - {mn}) END))) AS INT)), ',')")
     return embeddings.select(
         id_col,
         R.fround(F.expr(mn), 6).alias("mn"),
@@ -217,9 +224,10 @@ def quantize_embeddings_oracle_sql(table_expr: str,
                                    id_col: str = "vec_id") -> str:
     vec = f"CAST({vec_col} AS DOUBLE[])"
     mn, mx = f"list_min({vec})", f"list_max({vec})"
-    q = (f"list_transform({vec}, x -> CAST(least(255.0, greatest(0.0, "
+    q = (f"array_to_string(list_transform({vec}, "
+         f"x -> CAST(least(255.0, greatest(0.0, "
          f"floor(CASE WHEN {mx} = {mn} THEN 0.0 "
-         f"ELSE (x - {mn}) * 255.0 / ({mx} - {mn}) END))) AS INT))")
+         f"ELSE (x - {mn}) * 255.0 / ({mx} - {mn}) END))) AS INT)), ',')")
     return (f"SELECT {id_col}, ROUND({mn}, 6) AS mn, ROUND({mx}, 6) AS mx, "
             f"{q} AS q FROM {table_expr}")
 

@@ -113,12 +113,22 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
     case (every value equal -> one bin) degrades to the sort the naive
     plan always pays.
 
+    NULL handling matches SQL aggregate semantics: NULL values never
+    enter the histogram or the rank (percentile_disc ignores NULLs;
+    all-NULL groups produce no row), and a NULL GROUP KEY is a group
+    like any other (null-safe joins throughout, as GROUP BY treats it).
+    The broadcast frames' group column carries df's own dtype, so
+    numeric/date keys join without implicit casts.
+
     Returns (group_col, q) with q = the group's p-quantile (a data value).
     """
     import math
 
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    df = df.where(F.col(value_col).isNotNull())
+    gtype = df.schema[group_col].dataType
     stats = {r[0]: (r[1], r[2], r[3]) for r in
              (df.groupBy(group_col)
               .agg(F.min(value_col), F.max(value_col),
@@ -133,9 +143,12 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
 
     spark = df.sparkSession
     mmx = spark.createDataFrame(
-        [(g, mn, mx) for g, (mn, mx, _) in stats.items()],
-        f"{group_col} string, _mn double, _mx double")
-    binned = (df.join(F.broadcast(mmx), group_col)
+        [(g, float(mn), float(mx)) for g, (mn, mx, _) in stats.items()],
+        T.StructType([T.StructField("_g", gtype),
+                      T.StructField("_mn", T.DoubleType()),
+                      T.StructField("_mx", T.DoubleType())]))
+    binned = (df.join(F.broadcast(mmx),
+                      F.col(group_col).eqNullSafe(F.col("_g")))
               .withColumn("_bin", bin_expr("_mn", "_mx")))
     hist = {}
     for r in binned.groupBy(group_col, "_bin").count().collect():
@@ -152,9 +165,14 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
                 break
             cum += c
     rdf = spark.createDataFrame(
-        routes, f"{group_col} string, _bin int, _rank long")
+        routes,
+        T.StructType([T.StructField("_rg", gtype),
+                      T.StructField("_rbin", T.IntegerType()),
+                      T.StructField("_rank", T.LongType())]))
     w = Window.partitionBy(group_col).orderBy(value_col)
-    return (binned.join(F.broadcast(rdf), [group_col, "_bin"])
+    return (binned.join(F.broadcast(rdf),
+                        F.col(group_col).eqNullSafe(F.col("_rg")) &
+                        (F.col("_bin") == F.col("_rbin")))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == F.col("_rank"))
             .select(group_col, F.col(value_col).alias("q")))

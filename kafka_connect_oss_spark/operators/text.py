@@ -429,6 +429,12 @@ def cross_source_overlap(docs: DataFrame, ngram: int = 3,
              .groupBy(F.col("p.sa").alias("source_a"),
                       F.col("p.sb").alias("source_b"))
              .agg(F.count(F.lit(1)).alias("n_shared")))
+    # both consumers reduce to sources-bounded frames: force them now
+    # and release the corpus-sized persist (per-invocation lifecycle —
+    # repeated calls must not accumulate executor storage)
+    pairs = pairs.localCheckpoint(eager=True)
+    sizes = sizes.localCheckpoint(eager=True)
+    sh.unpersist()
     na = sizes.select(F.col("src").alias("source_a"),
                       F.col("n_sh").alias("_na"))
     nb = sizes.select(F.col("src").alias("source_b"),

@@ -310,3 +310,28 @@ def test_dead_letter_split_preserves_raw_bytes(spark):
     # DLQ rows keep their ORIGINAL bytes for replay
     assert {(r.id, r.raw_value) for r in dead.collect()} == {
         (2, 'not json at all'), (3, '}{"k": 7}')}
+
+
+def test_dead_letter_split_envelope_path(spark):
+    """Envelope decode must route outer-JSON corruption and missing
+    payload members to the DLQ (errors.tolerance=all contract,
+    TestDataWriterJson.java:192-201 envelope shape); NULL values (Kafka
+    tombstones) stay non-dead."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_oss_spark.operators import projection
+
+    df = spark.createDataFrame(
+        [(1, '{"schema": {}, "payload": {"k": 5}}'),   # good
+         (2, '}{ corrupt outer'),                      # dead: outer corrupt
+         (3, '{"schema": {}, "nopayload": 1}'),        # dead: no payload
+         (4, None),                                    # tombstone: good/null
+         (5, '{"payload": "not an object"}')],         # dead: payload corrupt
+        "id long, value string")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    good, dead = projection.dead_letter_split(df, "value", schema,
+                                              envelope=True)
+    assert {(r.id, r.k) for r in good.collect()} == {(1, 5), (4, None)}
+    assert {(r.id, r.raw_value) for r in dead.collect()} == {
+        (2, '}{ corrupt outer'), (3, '{"schema": {}, "nopayload": 1}'),
+        (5, '{"payload": "not an object"}')}

@@ -105,7 +105,8 @@ def test_quantize_roundtrip_error_bounded(spark, sf_dir):
     q = similarity.quantize_embeddings(emb)
     joined = q.join(emb, "vec_id").select(
         F.expr(
-            "aggregate(zip_with(cast(embedding as array<double>), q, "
+            "aggregate(zip_with(cast(embedding as array<double>), "
+            "transform(split(q, ','), s -> cast(s as int)), "
             "(x, c) -> abs(x - (mn + c * (mx - mn) / 255.0))), 0D, "
             "(acc, e) -> greatest(acc, e))").alias("max_err"),
         ((F.col("mx") - F.col("mn")) / 255.0).alias("step"))
@@ -141,3 +142,25 @@ def test_exact_quantile_edge_groups(spark):
     got = {r[0]: r[1] for r in
            SK.exact_quantile_disc(df, "value", 0.5, "event_type").collect()}
     assert got == {"solo": 42.0, "flat": 7.0, "two": 1.0}
+
+
+def test_exact_quantile_null_values_and_numeric_group(spark):
+    """NULL values are ignored (SQL aggregate semantics), all-NULL groups
+    vanish, NULL group keys form their own group, and a numeric group
+    key joins without implicit casts (broadcast frames carry df's own
+    group dtype)."""
+    import math
+
+    from kafka_connect_oss_spark.operators import sketches as SK
+
+    big = 2**62 + 1  # silently lost if long=string comparisons cast to double
+    rows = ([(big, float(v)) for v in range(1, 11)] +
+            [(big, None)] * 3 +
+            [(7, 5.0), (7, None)] +
+            [(None, 1.0), (None, 3.0)] +
+            [(999, None)])
+    df = spark.createDataFrame(rows, "grp long, value double")
+    got = {r[0]: r[1] for r in
+           SK.exact_quantile_disc(df, "value", 0.5, "grp").collect()}
+    assert got == {big: sorted(range(1, 11))[math.ceil(0.5 * 10) - 1] * 1.0,
+                   7: 5.0, None: 1.0}
