@@ -60,48 +60,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked
-#: queries). Round-5 priority: (1) never-attested / red rows — the new
-#: q21_waiting_suppliers and sim_ann_ivf_kmeans_topk (rows-only in r04,
-#: now carrying the fitted-centroid lazy oracle); (2) queries whose
-#: implementation this round touches (unforced drop-list join, composite
-#: near-dup blocking, dedup_clusters pairs guard + checkpoint release,
-#: anomaly z-score n>1 filter); (3) the 37 queries last attested in r03,
-#: rotated back in so every registered query is green on code <= 2 rounds
-#: old (reference envelope/partitioning block, relational/TPC-H block).
-#: tests/test_driver_window.py pins the invariants.
+#: queries). Round-6 priority: (1) the r05 red row plus every query whose
+#: implementation this round touches (quantize scalar output, rp_code
+#: normalization, DLQ envelope routing, quantile NULL/typing, cache
+#: lifecycle in incremental dedup + cross-source overlap); (2) the 16
+#: queries last attested in r03 (3 rounds old — rotate back in so every
+#: query stays green on code <= 2 rounds old); (3) 27 of the 43 r04-
+#: attested queries, oldest-first rotation; the 16 r04 leftovers
+#: (multimodal_* x4, r1/r2/r4 rotation-file set, sim_ann_{ivf,lsh,
+#: lsh_multiprobe,pq}_topk, text_{language_id,ngram_topk,pii_redacted,
+#: prune_frequent_tokens}) are all additionally pytest-pinned and MUST
+#: head the r07 window. tests/test_driver_window.py pins the invariants.
 DRIVER_WINDOW: list[str] = [
-    # (1) never-attested (new) or red (rows-only) in r04
-    "q21_waiting_suppliers", "sim_ann_ivf_kmeans_topk",
-    "text_repetition_signals", "corpus_source_cap",
-    "corpus_decontam_overlap",
-    "corpus_chunk_windows", "text_rare_token_score",
-    "corpus_cross_source_overlap", "corpus_token_budget",
-    "sim_random_projection", "sim_embedding_quantize",
-    "events_value_histogram", "events_sliding_rollup", "text_normalized",
-    "sim_ann_rp_topk", "dedup_incremental_status", "e3_json_dlq_routing",
-    "events_value_median_exact", "text_langid_confusion",
-    "sim_ann_recall_eval", "corpus_dup_rate_by_source",
-    "events_cohort_retention_matrix", "sketch_user_overlap_kmv",
-    # (2) implementation touched this round
-    "dedup_cleaned_corpus", "multimodal_near_dup", "dedup_clusters",
-    "events_daily_anomaly_zscore", "dedup_embedding_cosine_pairs",
-    "dedup_multi_signal",
-    # (3) last attested in r03 — re-attest on r05 code
-    # (p2/p3/p5/e6/e3-envelope/e2/e3/e4/p1/c2/p4-hourly/p4-duration/r1i/
-    # r3/text_stats/text_quality rotated out this round to make room:
-    # multiply-attested green through r03 and untouched since; e4 is
-    # additionally pinned by test_protobuf_format.py x7, r1-interleaved
-    # by test_properties.py's rotation-algebra invariants)
-    "events_signup_funnel", "events_hourly_rollup_approx",
-    "events_value_percentiles_sampled", "events_rollup_day_type",
-    "orders_without_recent_lineitems",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q16_parts_supplier_relationship", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue",
-    "q20_dominant_suppliers", "q22_dormant_customers",
+    # (1) r05 red row + this round's touched implementations
+    "sim_embedding_quantize", "sim_random_projection", "sim_ann_rp_topk",
+    "e3_json_dlq_routing", "events_value_median_exact",
+    "corpus_cross_source_overlap", "dedup_incremental_status",
+    # (2) last attested r03 — re-attest on r06 code
+    "c2_offsets_to_commit", "e2_schema_projection", "e3_json_decode",
+    "e3_json_envelope_decode", "e4_protobuf_decode", "e6_json_encode",
+    "p1_route_topicpartition", "p2_default_partitioner",
+    "p3_field_partitioner", "p4_duration_bucket", "p4_hourly_partitioner",
+    "p5_timestamp_extract", "r1_interleaved_commit_files",
+    "r3_partition_change_rotation", "text_quality_score", "text_stats",
+    # (3) r04-attested, oldest-first rotation
+    "asof_purchase_attribution", "corpus_curated", "corpus_decontaminated",
+    "corpus_mixture_sample", "corpus_split_assign", "dedup_exact",
+    "dedup_minhash_lsh_pairs", "dedup_minhash_signature",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "events_daily_pivot", "events_day_over_day_retention",
+    "events_hourly_rollup", "events_top_users_per_type",
+    "events_user_running_value", "events_value_percentiles",
+    "pack_training_sequences", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_nation_revenue", "range_join_purchase_errors", "sessions_per_user",
+    "sim_knn_join", "sim_topk_bruteforce", "sketch_distinct_users_kmv",
+    "text_fingerprints",
 ]
 
 

@@ -176,22 +176,33 @@ def main() -> None:
         max(ingest_times) - min(ingest_times), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    r01_total = round(sum(timings[n] for n in HEADLINE[:R01_COUNT])
+                      + timings["streaming_ingest_parquet"], 3)
+    # one COMPACT stdout line, per-query timings FIRST and the headline
+    # scalars LAST: the recorder keeps the tail of long output, so a
+    # truncated capture still carries metric/value/headline_r01_total
+    # (the r05 capture lost the queries dict to head-side ordering).
+    # Full detail incl. per-query spreads goes to BENCH_DETAIL.json.
     out = {
-        "metric": "headline suite wall seconds (ingest plan + analytics + "
-                  "dedup/similarity/text) at sf=" + sf,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "metric": f"headline suite wall sec at sf={sf}",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "spread": spreads,
         "reps": reps,
         # same-query-set total vs round 1 (the suite grew in round 2, so
         # `value` alone is not comparable across rounds)
-        "headline_r01_total": round(
-            sum(timings[n] for n in HEADLINE[:R01_COUNT])
-            + timings["streaming_ingest_parquet"], 3),
+        "headline_r01_total": r01_total,
         "sf": float(sf),
     }
-    print(json.dumps(out))
+    detail = dict(out, queries=timings, spread=spreads,
+                  sf_dir=SF_DIR, cpus=CPUS)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -157,3 +157,68 @@ def test_rate_limited_multi_batch_ingest(spark, sf_dir, tmp_path):
         by_part.setdefault(m.group(1), []).append(int(m.group(2)))
     for p, starts in by_part.items():
         assert starts == sorted(set(starts))
+
+
+def test_kafka_stream_plan_contract(spark):
+    """S1 contract pin WITHOUT a broker (none in the sandbox): kafka_stream
+    must ask for format('kafka') with the configured bootstrap/subscribe/
+    backpressure options and project the Kafka source's columns into the
+    SinkRecord envelope (FIXTURES.md F-1: topic, partition, offset, ts,
+    key, value). Drift in either the options dict or the envelope schema
+    fails here. Reference: OSSSinkTask.java:160-175 (framework poll loop)."""
+    from kafka_connect_oss_spark.config import PipelineConfig
+    from kafka_connect_oss_spark.sources.kafka import kafka_stream
+
+    class FakeKafkaReader:
+        """Stands in for spark.readStream: records format/options, serves
+        a frame with the Kafka source's documented schema on load()."""
+
+        def __init__(self, real_spark):
+            self._spark = real_spark
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, fmt):
+            self.fmt = fmt
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return self._spark.createDataFrame(
+                [],
+                "key binary, value binary, topic string, partition int, "
+                "offset long, timestamp timestamp, timestampType int")
+
+    class FakeSpark:
+        def __init__(self, real_spark):
+            self.reader = FakeKafkaReader(real_spark)
+
+        @property
+        def readStream(self):
+            return self.reader
+
+    cfg = PipelineConfig(url="/tmp/unused", format="parquet",
+                         topics=("events", "audit"),
+                         kafka_bootstrap_servers="broker-1:9092,broker-2:9092",
+                         max_offsets_per_trigger=12345)
+    fake = FakeSpark(spark)
+    env = kafka_stream(fake, cfg)
+
+    assert fake.reader.fmt == "kafka"
+    assert fake.reader.opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "events,audit",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "12345",
+    }
+    assert [(f.name, f.dataType.simpleString()) for f in env.schema.fields] == [
+        ("topic", "string"), ("partition", "int"), ("offset", "bigint"),
+        ("ts", "timestamp"), ("key", "string"), ("value", "binary")]
+
+    # no broker configured -> hard error, not a silent fallback
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kafka_stream(fake, PipelineConfig(url="/tmp/unused", format="parquet"))
