@@ -97,6 +97,9 @@ HEADLINE += [
     "corpus_dup_rate_by_source",
     "events_cohort_retention_matrix",
     "sketch_user_overlap_kmv",
+    # round-6 operators
+    "text_novelty_score",
+    "text_bm25_topk",
 ]
 
 

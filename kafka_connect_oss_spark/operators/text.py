@@ -694,3 +694,131 @@ def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
         F.col("n_hits") / F.col("n_shingles").cast("double"))
     return scored.select(id_col, "n_shingles", "n_hits",
                          R.fround(frac, 4).alias("overlap_frac"))
+
+
+def novelty_score(docs: DataFrame, ngram: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Shingle novelty: the fraction of a document's DISTINCT word
+    n-gram shingles whose first corpus occurrence (minimum doc id) is
+    this document — the standard "how much of this doc is new text"
+    signal a training pipeline uses to rank near-template/boilerplate
+    documents below original content (complement of the cross-document
+    duplication MinHash measures pairwise).
+
+    Scale shape: one explode to (id, shingle-hash) pairs (8-byte hashes,
+    never shingle strings, on the wire), ONE hash-keyed aggregate for
+    first-owners (word-count shape, map-side combined), one equi-join on
+    the hash back to the pairs, one id-keyed aggregate. No self-join, no
+    quadratic term; the only corpus-sized shuffles carry (hash, id)
+    pairs. Docs with fewer than `ngram` tokens have no shingles and emit
+    no row (novelty undefined), mirroring SQL aggregate-over-empty.
+
+    Returns (id_col, n_shingles, n_novel, novelty) with novelty rounded
+    to 4 (1.0 = entirely first-seen text).
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array_distinct({hh})")).alias("_h"))
+    firsts = pairs.groupBy("_h").agg(F.min(id_col).alias("_first"))
+    return (pairs.join(firsts, "_h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum((F.col(id_col) == F.col("_first")).cast("int"))
+                 .cast("long").alias("n_novel"))
+            .select(id_col, "n_shingles", "n_novel",
+                    R.fround(F.col("n_novel") /
+                             F.col("n_shingles").cast("double"), 4)
+                    .alias("novelty")))
+
+
+def novelty_score_oracle_sql(table_expr: str, ngram: int = 3,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    hh = H.shingle_hashes(H.word_shingles(dtok, ngram, "duckdb"), "duckdb")
+    return f"""WITH pairs AS (
+      SELECT {id_col}, UNNEST(list_distinct({hh})) AS h FROM {table_expr}),
+    firsts AS (SELECT h, MIN({id_col}) AS first_id FROM pairs GROUP BY h)
+    SELECT p.{id_col}, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN p.{id_col} = f.first_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN p.{id_col} = f.first_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+    FROM pairs p JOIN firsts f USING (h)
+    GROUP BY p.{id_col}"""
+
+
+#: default BM25 probe terms — drawn from the synthetic corpus vocabulary
+BM25_DEFAULT_TERMS = ("data", "model", "learning")
+
+
+def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_DEFAULT_TERMS,
+              k: int = 20, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Robertson/Sparck-Jones
+    probabilistic ranking, the Lucene default — public formula, the
+    +1-smoothed idf variant so scores stay positive):
+
+      score(d) = sum_t ln(1 + (N - df_t + .5)/(df_t + .5))
+                 * tf_td*(k1+1) / (tf_td + k1*(1 - b + b*dl_d/avgdl))
+
+    The retrieval primitive a training-data pipeline runs for targeted
+    corpus search (query expansion, topic probes, decontamination
+    triage). Scale shape: corpus stats (N, avgdl, per-term df) reduce in
+    ONE map-side-combined aggregate to a single row, broadcast back;
+    per-document tf/dl are narrow HOF expressions inside codegen over
+    the scan; top-k is TakeOrderedAndProject (per-partition heaps), not
+    a global sort. Zero data-sized shuffles at any corpus size; the
+    term list is the only driver-side state.
+
+    Returns the k highest-scoring docs as (id_col, score), score rounded
+    to 6, ties broken by id.
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    base = docs.select(F.col(id_col), F.expr(tok).alias("_toks"))
+    base = base.withColumn("_dl", F.size("_toks"))
+    aggs = [F.count(F.lit(1)).alias("_n"),
+            F.avg("_dl").alias("_avgdl")]
+    for i, t in enumerate(terms):
+        aggs.append(F.sum(F.array_contains("_toks", t).cast("int"))
+                    .alias(f"_df{i}"))
+    stats = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(terms):
+        tf = f"CAST(size(filter(_toks, w -> w = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5))"
+        part = (f"({idf}) * {tf} * ({k1} + 1.0) / "
+                f"({tf} + {k1} * (1.0 - {b} + {b} * _dl / _avgdl))")
+        score = part if score is None else f"{score} + {part}"
+    return (scored.select(F.col(id_col),
+                          R.fround(F.expr(score), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
+def bm25_topk_oracle_sql(table_expr: str,
+                         terms: tuple[str, ...] = BM25_DEFAULT_TERMS,
+                         k: int = 20, k1: float = 1.2, b: float = 0.75,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(_toks, '{t}') THEN 1 ELSE 0 END) "
+        f"AS _df{i}" for i, t in enumerate(terms))
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(_toks, w -> w = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5))"
+        parts.append(f"({idf}) * {tf} * ({k1} + 1.0) / "
+                     f"({tf} + {k1} * (1.0 - {b} + {b} * _dl / _avgdl))")
+    score = " + ".join(parts)
+    return f"""WITH base AS (
+      SELECT {id_col}, {dtok} AS _toks, len({dtok}) AS _dl
+      FROM {table_expr}),
+    stats AS (SELECT COUNT(*) AS _n, AVG(_dl) AS _avgdl, {dfs} FROM base)
+    SELECT {id_col}, ROUND({score}, 6) AS score
+    FROM base CROSS JOIN stats
+    ORDER BY score DESC, {id_col} LIMIT {k}"""

@@ -1353,3 +1353,21 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fround(F.lit(1.0) - F.col("n_unique") /
                            F.col("n_docs").cast("double"), 4)
                     .alias("dup_rate")))
+
+
+@register("text_novelty_score", TXT.novelty_score_oracle_sql("documents", 3))
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty per document: share of its distinct 3-gram shingles
+    first seen (min doc_id) in this document — ranks boilerplate below
+    original text. One hash-keyed first-owner aggregate + one hash join;
+    only (hash, id) pairs shuffle (operators/text.py novelty_score)."""
+    return TXT.novelty_score(load_table(spark, sf_dir, "documents"), ngram=3)
+
+
+@register("text_bm25_topk", TXT.bm25_topk_oracle_sql("documents"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Lucene-default scoring, +1-smoothed idf):
+    corpus stats fold to ONE broadcast row, tf/dl are narrow codegen
+    expressions, top-k is TakeOrderedAndProject — zero data-sized
+    shuffles (operators/text.py bm25_topk)."""
+    return TXT.bm25_topk(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,72 @@
+"""Round-6 corpus operators: plan-shape + semantic pins beyond the DuckDB
+parity suite (tests/test_oracle_parity.py covers values)."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators import text as TXT
+from kafka_connect_oss_spark.sources.batch import load_table
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_topk_plan_shape(spark, sf_dir):
+    # top-k must be per-partition heaps (TakeOrderedAndProject), never a
+    # global sort; the corpus-stats row must come back as a broadcast
+    df = TXT.bm25_topk(load_table(spark, sf_dir, "documents"))
+    plan = _physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_scores_nonincreasing_and_tiebroken(spark, sf_dir):
+    rows = TXT.bm25_topk(load_table(spark, sf_dir, "documents"),
+                         k=15).collect()
+    assert len(rows) == 15
+    for a, b in zip(rows, rows[1:]):
+        assert a.score > b.score or (a.score == b.score
+                                     and a.doc_id < b.doc_id)
+
+
+def test_bm25_term_hit_scores_positive(spark, sf_dir):
+    # a doc containing a query term must outscore an empty-hit doc (score 0
+    # under the +1-smoothed idf variant only when no term matches)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TXT.bm25_topk(docs, terms=("data",), k=10_000_000)
+    joined = scored.join(docs, "doc_id")
+    has = F.array_contains(F.expr(
+        "filter(split(text, ' '), tt -> tt <> '')"), "data")
+    assert joined.where(has & (F.col("score") <= 0)).count() == 0
+    assert joined.where(~has & (F.col("score") != 0)).count() == 0
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    # the minimum doc_id holding any shingles sees all of them first
+    docs = load_table(spark, sf_dir, "documents")
+    nv = TXT.novelty_score(docs)
+    first = nv.agg(F.min("doc_id")).first()[0]
+    row = nv.where(F.col("doc_id") == first).first()
+    assert row.novelty == 1.0 and row.n_novel == row.n_shingles
+
+
+def test_novelty_exact_clone_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),   # clone of 1
+         (3, "one two three four five")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.novelty, r.n_shingles)
+           for r in TXT.novelty_score(docs).collect()}
+    assert got[1] == (1.0, 3)
+    assert got[2] == (0.0, 3)
+    assert got[3] == (1.0, 3)
+
+
+def test_novelty_short_docs_emit_no_row(spark):
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a full three gram sentence")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in TXT.novelty_score(docs).collect()}
+    assert got == {2}
