@@ -100,6 +100,7 @@ HEADLINE += [
     # round-6 operators
     "text_novelty_score",
     "text_bm25_topk",
+    "sim_embedding_diversity",
 ]
 
 

@@ -548,3 +548,61 @@ def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
                       R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
                       .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-group embedding diversity WITHOUT a pairwise join — the corpus
+    health metric (mode collapse / cluster redundancy) a training
+    pipeline tracks over its embedding table.
+
+    For unit vectors, sum_{i != j} cos(v_i, v_j) = ||S||^2 - n where
+    S = sum v_i (the classic centroid identity / mean resultant length
+    of directional statistics — public math). So the MEAN pairwise
+    cosine of an n^2 pair set costs ONE elementwise-sum aggregate:
+
+      posexplode(nv) -> partial (group, pos) sums (map-side combined,
+      the shuffle carries groups x dim rows) -> ||S||^2 per group.
+
+    At 100 TB this replaces an unthinkable n^2 self-join with a
+    word-count-shaped aggregate; dim (64) bounds the per-group shuffle
+    payload. Returns (group_col, n, mean_pairwise_cosine, centroid_norm)
+    where centroid_norm = ||S||/n in [0, 1] (1 = all vectors identical
+    direction); mean cosine is NULL for single-vector groups (no pairs).
+    Rounded to 4 (cross-engine float-sum fold order differs ~1e-12).
+    """
+    emb = with_normalized(embeddings, vec_col)
+    comp = emb.select(group_col, F.posexplode("nv").alias("pos", "v"))
+    ssq = (comp.groupBy(group_col, "pos").agg(F.sum("v").alias("sv"))
+           .groupBy(group_col)
+           .agg(F.sum(F.col("sv") * F.col("sv")).alias("_ss")))
+    cnt = emb.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    return (cnt.join(ssq, group_col)
+            .select(group_col, "n",
+                    R.fround(F.when(F.col("n") > 1,
+                                    (F.col("_ss") - nd) / (nd * (nd - 1))),
+                             4).alias("mean_pairwise_cosine"),
+                    R.fround(F.sqrt(F.col("_ss")) / nd, 4)
+                    .alias("centroid_norm")))
+
+
+def embedding_diversity_oracle_sql(table_expr: str, group_col: str = "label",
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id") -> str:
+    from kafka_connect_oss_spark.functions import vectors as V2
+    nv = V2.normalized_sql(f"CAST({vec_col} AS DOUBLE[])", "duckdb")
+    return f"""WITH nrm AS (SELECT {group_col}, {nv} AS nv FROM {table_expr}),
+    u AS (SELECT {group_col}, generate_subscripts(nv, 1) AS pos,
+                 UNNEST(nv) AS v FROM nrm),
+    s AS (SELECT {group_col}, pos, SUM(v) AS sv FROM u GROUP BY 1, 2),
+    ssq AS (SELECT {group_col}, SUM(sv * sv) AS ss FROM s GROUP BY 1),
+    n AS (SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n FROM nrm
+          GROUP BY 1)
+    SELECT {group_col}, n,
+           ROUND(CASE WHEN n > 1
+                 THEN (ss - n) / (CAST(n AS DOUBLE) * (n - 1)) END, 4)
+             AS mean_pairwise_cosine,
+           ROUND(sqrt(ss) / n, 4) AS centroid_norm
+    FROM n JOIN ssq USING ({group_col})"""

@@ -1371,3 +1371,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, top-k is TakeOrderedAndProject — zero data-sized
     shuffles (operators/text.py bm25_topk)."""
     return TXT.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register("sim_embedding_diversity",
+          similarity.embedding_diversity_oracle_sql("embeddings"))
+def sim_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity via the centroid identity
+    (sum-of-pairwise-cosines = ||sum nv||^2 - n for unit vectors): mean
+    pairwise cosine + mean-resultant length with ONE elementwise-sum
+    aggregate — no n^2 self-join at any scale
+    (operators/similarity.py embedding_diversity)."""
+    return similarity.embedding_diversity(
+        load_table(spark, sf_dir, "embeddings"))

@@ -70,3 +70,51 @@ def test_novelty_short_docs_emit_no_row(spark):
         "doc_id long, text string")
     got = {r.doc_id for r in TXT.novelty_score(docs).collect()}
     assert got == {2}
+
+
+def test_embedding_diversity_matches_bruteforce(spark):
+    # the centroid identity must equal the explicit O(n^2) mean on a
+    # small frame, including the single-vector NULL case
+    import itertools
+    import math
+
+    from kafka_connect_oss_spark.operators import similarity
+
+    vecs = [(1, [1.0, 0.0, 0.0], 0), (2, [0.0, 1.0, 0.0], 0),
+            (3, [1.0, 1.0, 0.0], 0), (4, [0.5, 0.25, 1.0], 1),
+            (5, [-1.0, 0.5, 0.25], 1), (6, [3.0, 0.0, 4.0], 2)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    got = {r.label: (r.n, r.mean_pairwise_cosine, r.centroid_norm)
+           for r in similarity.embedding_diversity(df).collect()}
+
+    def unit(v):
+        nn = math.sqrt(sum(x * x for x in v))
+        return [x / nn for x in v]
+
+    for label in (0, 1, 2):
+        nvs = [unit(v) for _, v, lb in vecs if lb == label]
+        n = len(nvs)
+        if n > 1:
+            want = sum(sum(a * b for a, b in zip(x, y))
+                       for x, y in itertools.permutations(nvs, 2))
+            want = round(want / (n * (n - 1)), 4)
+        else:
+            want = None
+        s = [sum(col) for col in zip(*nvs)]
+        cn = round(math.sqrt(sum(x * x for x in s)) / n, 4)
+        assert got[label][0] == n
+        assert got[label][1] == want, label
+        assert abs(got[label][2] - cn) < 1e-9
+
+
+def test_embedding_diversity_no_pairwise_join(spark, sf_dir):
+    # the plan must be aggregates + one tiny group join — no cartesian,
+    # no self-join of the vector table
+    from kafka_connect_oss_spark.operators import similarity
+
+    df = similarity.embedding_diversity(
+        load_table(spark, sf_dir, "embeddings"))
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
