@@ -99,16 +99,31 @@ SHOWCASE = {
         "join, no Python)"),
     "corpus_cross_source_overlap": (
         "ONE corpus-sized shuffle (distinct (source, shingle-hash)), "
-        "persisted for its three consumers (InMemoryTableScan under "
-        "each); pair counting via per-hash collect_set + bounded "
-        "combination explode — no corpus self-join; final joins are "
-        "sources-sized broadcasts"),
+        "persisted while its two consumers materialize then RELEASED "
+        "(r6 lifecycle fix): the final plan reads the sources-bounded "
+        "pair/size checkpoints (Scan ExistingRDD), so repeated per-batch "
+        "invocation holds zero corpus-sized storage"),
     "dedup_incremental_status": (
         "append-batch classification: exact layer exchanges only "
         "(id, md5-digest) pairs; near layer bands the increment against "
-        "base reps collapsed one-per-distinct-content (cached signature "
-        "InMemoryTableScan under bands AND verification), verification "
-        "join only on surviving candidates"),
+        "base reps collapsed one-per-distinct-content, verification "
+        "join only on surviving candidates; near-id set checkpointed "
+        "(increment-bounded) and signature caches released per batch "
+        "(r6 lifecycle fix)"),
+    "text_novelty_score": (
+        "explode to (id, hash) pairs; first-owner = ONE hash-keyed "
+        "partial-agg (map-side combined), equi-join back on the hash, "
+        "id-keyed final agg — no self-join, only (hash, id) pairs on "
+        "the wire"),
+    "text_bm25_topk": (
+        "corpus stats (N, avgdl, per-term df) reduce map-side to ONE "
+        "row broadcast back (BroadcastNestedLoopJoin of a 1-row side is "
+        "the legitimate pattern); tf/dl narrow HOF expressions; "
+        "TakeOrderedAndProject top-k — zero data-sized shuffles"),
+    "sim_embedding_diversity": (
+        "posexplode -> (group, pos) partial sums (map-side combined "
+        "shuffle bounded by groups x dim), squared-sum per group, tiny "
+        "group-count join — the n^2 pairwise mean with NO self-join"),
 }
 
 KEEP = re.compile(
