@@ -66,10 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: lifecycle in incremental dedup + cross-source overlap) and the two
 #: new round-6 operators (novelty, BM25); (2) the 16 queries last
 #: attested in r03 (3 rounds old — rotate back in so every query stays
-#: green on code <= 2 rounds old); (3) 24 of the 43 r04-attested
-#: queries, oldest-first rotation; the 19 r04 leftovers (multimodal_*
+#: green on code <= 2 rounds old); (3) 23 of the 43 r04-attested
+#: queries, oldest-first rotation; the 20 r04 leftovers (multimodal_*
 #: x4, r1/r2/r4 rotation-file set, sim_ann_{ivf,lsh,lsh_multiprobe,
-#: pq}_topk, sim_knn_join, sketch_distinct_users_kmv,
+#: pq}_topk, sim_knn_join, sim_topk_bruteforce, sketch_distinct_users_kmv,
 #: text_{language_id,ngram_topk,pii_redacted,
 #: prune_frequent_tokens,fingerprints}) are all additionally
 #: pytest-pinned and MUST head the r07 window.
@@ -80,6 +80,7 @@ DRIVER_WINDOW: list[str] = [
     "e3_json_dlq_routing", "events_value_median_exact",
     "corpus_cross_source_overlap", "dedup_incremental_status",
     "text_novelty_score", "text_bm25_topk", "sim_embedding_diversity",
+    "corpus_duplicate_spans",
     # (2) last attested r03 — re-attest on r06 code
     "c2_offsets_to_commit", "e2_schema_projection", "e3_json_decode",
     "e3_json_envelope_decode", "e4_protobuf_decode", "e6_json_encode",
@@ -97,7 +98,6 @@ DRIVER_WINDOW: list[str] = [
     "events_user_running_value", "events_value_percentiles",
     "pack_training_sequences", "q1_pricing_summary", "q3_shipping_priority",
     "q5_nation_revenue", "range_join_purchase_errors", "sessions_per_user",
-    "sim_topk_bruteforce",
 ]
 
 

@@ -101,6 +101,7 @@ HEADLINE += [
     "text_novelty_score",
     "text_bm25_topk",
     "sim_embedding_diversity",
+    "corpus_duplicate_spans",
 ]
 
 

@@ -822,3 +822,64 @@ def bm25_topk_oracle_sql(table_expr: str,
     SELECT {id_col}, ROUND({score}, 6) AS score
     FROM base CROSS JOIN stats
     ORDER BY score DESC, {id_col} LIMIT {k}"""
+
+
+def duplicate_spans(docs: DataFrame, size: int = 120, stride: int = 80,
+                    min_docs: int = 2, min_len: int = 40,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Chunk-level substring duplication: fixed-size character windows
+    (the chunk_documents grid) that recur across >= ``min_docs`` DISTINCT
+    documents — the cheap, shuffle-bounded stand-in for suffix-array
+    exact-substring dedup (the MassiveText/ExactSubstr idea at chunk
+    granularity; public technique). A span shared by many docs marks
+    boilerplate to cut before training; ``min_len`` drops trailing
+    slivers too short to be meaningful.
+
+    Scale shape: the chunk explode is narrow (~size/stride replication);
+    the ONLY shuffle is a (16-byte md5)-keyed aggregate carrying
+    (digest, id) pairs — never chunk text (the canonical span locator
+    rides along as a min struct, so one representative (doc, chunk)
+    coordinate survives per span without a second join). Output is
+    bounded by the number of DISTINCT recurring spans, not the corpus.
+
+    Returns (span_md5, n_docs, n_occurrences, rep_doc_id, rep_chunk_id)
+    for spans of full ``min_len``+ length in >= min_docs distinct docs.
+    """
+    ch = chunk_documents(docs, size=size, stride=stride,
+                         text_col=text_col, id_col=id_col)
+    keyed = (ch.where(F.col("chunk_len") >= min_len)
+             .select(F.md5("chunk_text").alias("span_md5"),
+                     F.col(id_col), F.col("chunk_id")))
+    return (keyed.groupBy("span_md5")
+            .agg(F.countDistinct(id_col).cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                 F.min(F.struct(F.col(id_col), F.col("chunk_id")))
+                 .alias("_rep"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("span_md5", "n_docs", "n_occurrences",
+                    F.col(f"_rep.{id_col}").alias("rep_doc_id"),
+                    F.col("_rep.chunk_id").alias("rep_chunk_id")))
+
+
+def duplicate_spans_oracle_sql(table_expr: str, size: int = 120,
+                               stride: int = 80, min_docs: int = 2,
+                               min_len: int = 40, text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    chunks = chunk_documents_oracle_sql(table_expr, size, stride,
+                                        text_col, id_col)
+    return f"""WITH chunks AS ({chunks}),
+    keyed AS (SELECT md5(chunk_text) AS span_md5, {id_col}, chunk_id
+              FROM chunks WHERE chunk_len >= {min_len}),
+    spans AS (
+      SELECT span_md5,
+             CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MIN({id_col}) AS rep_doc_id
+      FROM keyed GROUP BY span_md5)
+    SELECT s.span_md5, s.n_docs, s.n_occurrences, s.rep_doc_id,
+           MIN(k.chunk_id) AS rep_chunk_id
+    FROM spans s JOIN keyed k
+      ON k.span_md5 = s.span_md5 AND k.{id_col} = s.rep_doc_id
+    WHERE s.n_docs >= {min_docs}
+    GROUP BY 1, 2, 3, 4"""

@@ -1383,3 +1383,13 @@ def sim_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py embedding_diversity)."""
     return similarity.embedding_diversity(
         load_table(spark, sf_dir, "embeddings"))
+
+
+@register("corpus_duplicate_spans",
+          TXT.duplicate_spans_oracle_sql("documents"))
+def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact-substring duplication: 120-char windows
+    recurring across >= 2 distinct docs, with one canonical (doc, chunk)
+    locator per span — the boilerplate-cut signal; only (md5, id) pairs
+    shuffle (operators/text.py duplicate_spans)."""
+    return TXT.duplicate_spans(load_table(spark, sf_dir, "documents"))

@@ -118,3 +118,30 @@ def test_embedding_diversity_no_pairwise_join(spark, sf_dir):
     plan = _physical(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_finds_planted_boilerplate(spark):
+    boiler = "x" * 50  # one full chunk-width of shared boilerplate
+    docs = spark.createDataFrame(
+        [(1, boiler + " unique tail one"),
+         (2, boiler + " other trailing text"),
+         (3, "entirely different document body with no shared spans")],
+        "doc_id long, text string")
+    got = TXT.duplicate_spans(docs, size=50, stride=50, min_len=40)
+    rows = got.collect()
+    # exactly the planted span recurs; locator points at doc 1 chunk 0
+    planted = [r for r in rows if r.n_docs == 2]
+    assert len(planted) == 1
+    assert (planted[0].rep_doc_id, planted[0].rep_chunk_id) == (1, 0)
+    assert planted[0].n_occurrences == 2
+
+
+def test_duplicate_spans_no_text_in_shuffle(spark, sf_dir):
+    # every shuffle must key on the 16-byte digest (count-distinct's
+    # two-level expand included); chunk text never reaches an exchange
+    df = TXT.duplicate_spans(load_table(spark, sf_dir, "documents"))
+    exchanges = [ln for ln in _physical(df).splitlines()
+                 if "Exchange hashpartitioning" in ln]
+    assert exchanges, "expected hash exchanges"
+    for ln in exchanges:
+        assert "span_md5" in ln and "chunk_text" not in ln, ln
