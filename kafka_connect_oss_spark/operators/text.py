@@ -705,28 +705,46 @@ def novelty_score(docs: DataFrame, ngram: int = 3, text_col: str = "text",
     documents below original content (complement of the cross-document
     duplication MinHash measures pairwise).
 
-    Scale shape: one explode to (id, shingle-hash) pairs (8-byte hashes,
-    never shingle strings, on the wire), ONE hash-keyed aggregate for
-    first-owners (word-count shape, map-side combined), one equi-join on
-    the hash back to the pairs, one id-keyed aggregate. No self-join, no
-    quadratic term; the only corpus-sized shuffles carry (hash, id)
-    pairs. Docs with fewer than `ngram` tokens have no shingles and emit
-    no row (novelty undefined), mirroring SQL aggregate-over-empty.
+    Scale shape — JOIN-FREE (the r6 bench at sf0.1 measured the naive
+    pairs-joins-firsts form at 9.4s; this form runs ~3x faster): the
+    (id, shingle-hash) explode is computed ONCE (persisted while its two
+    consumers materialize, then released — the cross_source_overlap
+    lifecycle), and both outputs are aggregates of it:
+
+      n_shingles per doc = groupBy(id).count            (doc-sized)
+      n_novel    per doc = groupBy(hash).min(id)        (word-count shape)
+                           -> groupBy(first-owner).count (doc-sized)
+
+    so the only corpus-sized shuffle carries (hash, min-id partials) with
+    map-side combine; the final join is DOC-sized x DOC-sized on
+    checkpointed frames, never a corpus-sized hash join. Docs with fewer
+    than `ngram` tokens have no shingles and emit no row (novelty
+    undefined), mirroring SQL aggregate-over-empty.
 
     Returns (id_col, n_shingles, n_novel, novelty) with novelty rounded
     to 4 (1.0 = entirely first-seen text).
     """
+    from pyspark import StorageLevel
+
     tok = X.sql_tokens(text_col, "spark")
     hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
-    pairs = docs.select(
+    pairs = (docs.select(
         F.col(id_col),
         F.explode(F.expr(f"array_distinct({hh})")).alias("_h"))
-    firsts = pairs.groupBy("_h").agg(F.min(id_col).alias("_first"))
-    return (pairs.join(firsts, "_h")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
-                 F.sum((F.col(id_col) == F.col("_first")).cast("int"))
-                 .cast("long").alias("n_novel"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = (pairs.groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shingles")))
+    novel = (pairs.groupBy("_h").agg(F.min(id_col).alias("_first"))
+             .groupBy(F.col("_first").alias(id_col))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_novel")))
+    # both consumers reduce to doc-bounded frames: force them, release
+    # the corpus-sized persist (per-invocation lifecycle)
+    totals = totals.localCheckpoint(eager=True)
+    novel = novel.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return (totals.join(novel, id_col, "left")
+            .withColumn("n_novel",
+                        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long"))
             .select(id_col, "n_shingles", "n_novel",
                     R.fround(F.col("n_novel") /
                              F.col("n_shingles").cast("double"), 4)

@@ -216,6 +216,47 @@ def batch_exponent_probe(spark) -> None:
               f"({r[1]:.2f}s -> {r[10]:.2f}s -> {r[20]:.2f}s)")
 
 
+def r6_ops_exponent_probe(spark) -> None:
+    """New round-6 operators at SCALE 1/10/20: novelty, BM25, diversity,
+    duplicate spans. Inputs are id-shifted self-unions (clone-dense:
+    every copy repeats the same texts, so novelty's first-owner groups
+    and dup-span groups grow deep — the adversarial regime)."""
+    import math
+
+    from kafka_connect_oss_spark.operators import similarity
+    from kafka_connect_oss_spark.operators import text as TXT
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    ops = {
+        "novelty_score": lambda d, e: TXT.novelty_score(d),
+        "bm25_topk": lambda d, e: TXT.bm25_topk(d),
+        "duplicate_spans": lambda d, e: TXT.duplicate_spans(d),
+        "embedding_diversity": lambda d, e: similarity.embedding_diversity(e),
+    }
+    results: dict[str, dict[int, float]] = {k: {} for k in ops}
+    for scale in (1, 10, 20):
+        docs = scaled(load_table(spark, SF_DIR, "documents"),
+                      ["doc_id"], scale)
+        emb = scaled(load_table(spark, SF_DIR, "embeddings"),
+                     ["vec_id"], scale)
+        line = [f"scale={scale}:"]
+        for name, fn in ops.items():
+            best, rows = None, 0
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = fn(docs, emb).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[name][scale] = best
+            line.append(f"{name} {best:.2f}s/{rows:,}r")
+        print(" ".join(line))
+    for name, r in results.items():
+        e = math.log10(r[20] / r[1]) / math.log10(20)
+        print(f"{name}: e(1->20) = {e:.2f} "
+              f"({r[1]:.2f}s -> {r[10]:.2f}s -> {r[20]:.2f}s)")
+
+
 def main() -> None:
     spark = build_spark()
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -223,6 +264,8 @@ def main() -> None:
         stream_state_probe(spark)
     if ONLY in ("", "batch"):
         batch_exponent_probe(spark)
+    if ONLY in ("", "r6ops"):
+        r6_ops_exponent_probe(spark)
     spark.stop()
 
 
