@@ -147,9 +147,15 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
         T.StructType([T.StructField("_g", gtype),
                       T.StructField("_mn", T.DoubleType()),
                       T.StructField("_mx", T.DoubleType())]))
+    from pyspark import StorageLevel
+
+    # two consumers (histogram collect + final rank pass) — persist so
+    # the scan+bin runs once, released before returning (the result is
+    # groups-sized, so eager materialization costs nothing extra)
     binned = (df.join(F.broadcast(mmx),
                       F.col(group_col).eqNullSafe(F.col("_g")))
-              .withColumn("_bin", bin_expr("_mn", "_mx")))
+              .withColumn("_bin", bin_expr("_mn", "_mx"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
     hist = {}
     for r in binned.groupBy(group_col, "_bin").count().collect():
         hist.setdefault(r[0], {})[r[1]] = r[2]
@@ -170,12 +176,15 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
                       T.StructField("_rbin", T.IntegerType()),
                       T.StructField("_rank", T.LongType())]))
     w = Window.partitionBy(group_col).orderBy(value_col)
-    return (binned.join(F.broadcast(rdf),
-                        F.col(group_col).eqNullSafe(F.col("_rg")) &
-                        (F.col("_bin") == F.col("_rbin")))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == F.col("_rank"))
-            .select(group_col, F.col(value_col).alias("q")))
+    out = (binned.join(F.broadcast(rdf),
+                       F.col(group_col).eqNullSafe(F.col("_rg")) &
+                       (F.col("_bin") == F.col("_rbin")))
+           .withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == F.col("_rank"))
+           .select(group_col, F.col(value_col).alias("q"))
+           .localCheckpoint(eager=True))
+    binned.unpersist()
+    return out
 
 
 def _kmv_side(df: DataFrame, key_col: str, k: int) -> DataFrame:
