@@ -161,7 +161,9 @@ def random_projection(embeddings: DataFrame, dim: int,
     vec = f"cast({vec_col} as array<double>)"
     comps = [F.expr(_rp_term_sql(vec, j, dim, "spark")).alias(f"_raw{j}")
              for j in range(out_dim)]
-    raw = with_normalized(embeddings, vec_col).select(
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    raw = with_normalized(_fan_out(embeddings), vec_col).select(
         id_col, *comps,
         F.expr(rp_code_sql("nv", dim, out_dim, "spark")).alias("rp_code"))
     return raw.select(
@@ -251,7 +253,9 @@ def ann_rp_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     rp_code as the physical partition key the projection operator
     advertises. Same plan shape: broadcast 1-row query + code, equi-join
     on the code, narrow dot products, TopK."""
-    emb = (with_normalized(embeddings, vec_col)
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    emb = (with_normalized(_fan_out(embeddings), vec_col)
            .withColumn("rp_code",
                        F.expr(rp_code_sql("nv", dim, out_dim, "spark"))))
     qb = query.select(
@@ -551,8 +555,8 @@ def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
 
 
 def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
-                        vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        dim: int | None = None) -> DataFrame:
     """Per-group embedding diversity WITHOUT a pairwise join — the corpus
     health metric (mode collapse / cluster redundancy) a training
     pipeline tracks over its embedding table.
@@ -560,26 +564,50 @@ def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
     For unit vectors, sum_{i != j} cos(v_i, v_j) = ||S||^2 - n where
     S = sum v_i (the classic centroid identity / mean resultant length
     of directional statistics — public math). So the MEAN pairwise
-    cosine of an n^2 pair set costs ONE elementwise-sum aggregate:
+    cosine of an n^2 pair set costs ONE elementwise-sum aggregate.
 
-      posexplode(nv) -> partial (group, pos) sums (map-side combined,
-      the shuffle carries groups x dim rows) -> ||S||^2 per group.
+    With ``dim`` given (the fast path): one wide codegen aggregate of
+    dim sum(element_at(v, i) / norm) columns + the count — NO explode
+    (the posexplode fallback forces the interpreted normalize lambda per
+    element: measured 5.8s vs 0.6s on 50k x 64 vectors); the row norm
+    folds once per row. Shuffle carries groups x (dim + 1) partial sums.
+    Without ``dim`` (unknown width) the posexplode word-count shape runs
+    instead — same math, same output.
 
-    At 100 TB this replaces an unthinkable n^2 self-join with a
-    word-count-shaped aggregate; dim (64) bounds the per-group shuffle
-    payload. Returns (group_col, n, mean_pairwise_cosine, centroid_norm)
-    where centroid_norm = ||S||/n in [0, 1] (1 = all vectors identical
-    direction); mean cosine is NULL for single-vector groups (no pairs).
-    Rounded to 4 (cross-engine float-sum fold order differs ~1e-12).
+    At 100 TB both replace an unthinkable n^2 self-join with a
+    map-side-combined aggregate. Returns (group_col, n,
+    mean_pairwise_cosine, centroid_norm) where centroid_norm = ||S||/n
+    in [0, 1] (1 = all vectors identical direction); mean cosine is NULL
+    for single-vector groups (no pairs). Rounded to 4 (cross-engine
+    float-sum fold order differs ~1e-12).
     """
-    emb = with_normalized(embeddings, vec_col)
-    comp = emb.select(group_col, F.posexplode("nv").alias("pos", "v"))
-    ssq = (comp.groupBy(group_col, "pos").agg(F.sum("v").alias("sv"))
-           .groupBy(group_col)
-           .agg(F.sum(F.col("sv") * F.col("sv")).alias("_ss")))
-    cnt = emb.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
     nd = F.col("n").cast("double")
-    return (cnt.join(ssq, group_col)
+    if dim is not None:
+        vec = f"cast({vec_col} as array<double>)"
+        nrm = (f"sqrt(aggregate(transform({vec}, y -> y * y), 0D, "
+               f"(acc, x) -> acc + x))")
+        base = _fan_out(embeddings).select(
+            group_col, F.expr(vec).alias("_v"), F.expr(nrm).alias("_nrm"))
+        g = base.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("_v", i + 1) / F.col("_nrm"))
+              .alias(f"_s{i}") for i in range(dim)])
+        ss = None
+        for i in range(dim):
+            term = F.col(f"_s{i}") * F.col(f"_s{i}")
+            ss = term if ss is None else ss + term
+        joined = g.withColumn("_ss", ss)
+    else:
+        emb = with_normalized(_fan_out(embeddings), vec_col)
+        comp = emb.select(group_col, F.posexplode("nv").alias("pos", "v"))
+        ssq = (comp.groupBy(group_col, "pos").agg(F.sum("v").alias("sv"))
+               .groupBy(group_col)
+               .agg(F.sum(F.col("sv") * F.col("sv")).alias("_ss")))
+        cnt = embeddings.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+        joined = cnt.join(ssq, group_col)
+    return (joined
             .select(group_col, "n",
                     R.fround(F.when(F.col("n") > 1,
                                     (F.col("_ss") - nd) / (nd * (nd - 1))),

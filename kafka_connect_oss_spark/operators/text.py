@@ -726,9 +726,11 @@ def novelty_score(docs: DataFrame, ngram: int = 3, text_col: str = "text",
     """
     from pyspark import StorageLevel
 
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
     tok = X.sql_tokens(text_col, "spark")
     hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
-    pairs = (docs.select(
+    pairs = (_fan_out(docs).select(
         F.col(id_col),
         F.explode(F.expr(f"array_distinct({hh})")).alias("_h"))
         .persist(StorageLevel.MEMORY_AND_DISK))

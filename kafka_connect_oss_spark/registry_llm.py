@@ -1382,7 +1382,7 @@ def sim_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — no n^2 self-join at any scale
     (operators/similarity.py embedding_diversity)."""
     return similarity.embedding_diversity(
-        load_table(spark, sf_dir, "embeddings"))
+        load_table(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
 
 
 @register("corpus_duplicate_spans",

@@ -145,3 +145,15 @@ def test_duplicate_spans_no_text_in_shuffle(spark, sf_dir):
     assert exchanges, "expected hash exchanges"
     for ln in exchanges:
         assert "span_md5" in ln and "chunk_text" not in ln, ln
+
+
+def test_embedding_diversity_fast_path_equals_fallback(spark, sf_dir):
+    # the wide-aggregate (dim given) and posexplode (dim unknown) paths
+    # must produce identical rows on real data
+    from kafka_connect_oss_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = {tuple(r) for r in
+            similarity.embedding_diversity(emb, dim=64).collect()}
+    slow = {tuple(r) for r in similarity.embedding_diversity(emb).collect()}
+    assert fast == slow and fast
