@@ -33,10 +33,19 @@ from kafka_connect_oss_spark.functions import vectors as V
 
 
 def with_normalized(embeddings: DataFrame, vec_col: str = "embedding",
-                    out_col: str = "nv") -> DataFrame:
-    """Add the unit-normalized vector column (narrow, once per row)."""
+                    out_col: str = "nv", fan_out: bool = True) -> DataFrame:
+    """Add the unit-normalized vector column (narrow, once per row).
+
+    The normalize fold is an interpreted HOF, so a corpus-side caller on
+    a small local scan (1-2 input splits) would serialize it onto one
+    core — fan out first (no-op at production split counts). Callers
+    normalizing TINY frames (query vectors, seed centroids/codebooks)
+    pass fan_out=False to keep their 1-row plans shuffle-free."""
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    base = _fan_out(embeddings) if fan_out else embeddings
     nv = V.normalized_sql(f"cast({vec_col} as array<double>)", "spark")
-    return embeddings.withColumn(out_col, F.expr(nv))
+    return base.withColumn(out_col, F.expr(nv))
 
 
 def query_vector(spark: SparkSession, embeddings: DataFrame,
@@ -44,7 +53,7 @@ def query_vector(spark: SparkSession, embeddings: DataFrame,
                  id_col: str = "vec_id") -> DataFrame:
     """1-row DataFrame holding the unit-normalized query vector."""
     return (with_normalized(embeddings.where(F.col(id_col) == vec_id),
-                            vec_col, "qv")
+                            vec_col, "qv", fan_out=False)
             .select("qv"))
 
 
@@ -163,7 +172,7 @@ def random_projection(embeddings: DataFrame, dim: int,
              for j in range(out_dim)]
     from kafka_connect_oss_spark.operators.dedup import _fan_out
 
-    raw = with_normalized(_fan_out(embeddings), vec_col).select(
+    raw = with_normalized(embeddings, vec_col).select(
         id_col, *comps,
         F.expr(rp_code_sql("nv", dim, out_dim, "spark")).alias("rp_code"))
     return raw.select(
@@ -255,7 +264,7 @@ def ann_rp_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     on the code, narrow dot products, TopK."""
     from kafka_connect_oss_spark.operators.dedup import _fan_out
 
-    emb = (with_normalized(_fan_out(embeddings), vec_col)
+    emb = (with_normalized(embeddings, vec_col)
            .withColumn("rp_code",
                        F.expr(rp_code_sql("nv", dim, out_dim, "spark"))))
     qb = query.select(
@@ -278,7 +287,7 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     shape; swap this function for the fitted model at deploy time.
     """
     return (with_normalized(embeddings.where(F.col(id_col) < n_centroids),
-                            vec_col, "cv")
+                            vec_col, "cv", fan_out=False)
             .select(F.col(id_col).alias("cid"), "cv"))
 
 
@@ -418,7 +427,7 @@ def pq_codebooks(embeddings: DataFrame, m: int = PQ_M,
     SQL-expressible for the oracle. Tiny: m*k*(d/m) doubles collected once
     and inlined as literals (the deploy-time model broadcast)."""
     rows = (with_normalized(embeddings.where(F.col(id_col) < k_codes),
-                            vec_col)
+                            vec_col, fan_out=False)
             .orderBy(id_col).select("nv").collect())
     d = len(rows[0].nv)
     if d % m:
@@ -600,7 +609,7 @@ def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
             ss = term if ss is None else ss + term
         joined = g.withColumn("_ss", ss)
     else:
-        emb = with_normalized(_fan_out(embeddings), vec_col)
+        emb = with_normalized(embeddings, vec_col)
         comp = emb.select(group_col, F.posexplode("nv").alias("pos", "v"))
         ssq = (comp.groupBy(group_col, "pos").agg(F.sum("v").alias("sv"))
                .groupBy(group_col)
