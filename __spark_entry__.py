@@ -66,13 +66,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: lifecycle in incremental dedup + cross-source overlap) and the two
 #: new round-6 operators (novelty, BM25); (2) the 16 queries last
 #: attested in r03 (3 rounds old — rotate back in so every query stays
-#: green on code <= 2 rounds old); (3) 23 of the 43 r04-attested
-#: queries, oldest-first rotation; the 20 r04 leftovers (multimodal_*
-#: x4, r1/r2/r4 rotation-file set, sim_ann_{ivf,lsh,lsh_multiprobe,
-#: pq}_topk, sim_knn_join, sim_topk_bruteforce, sketch_distinct_users_kmv,
-#: text_{language_id,ngram_topk,pii_redacted,
-#: prune_frequent_tokens,fingerprints}) are all additionally
-#: pytest-pinned and MUST head the r07 window.
+#: green on code <= 2 rounds old); (3) the ANN family re-seated after
+#: the late-r06 with_normalized fan-out touched every sim plan, then
+#: r04-attested queries oldest-first. The 20 r04 leftovers
+#: (multimodal_* x4, r1/r2/r4 rotation-file set, events_daily_pivot,
+#: events_day_over_day_retention, events_top_users_per_type,
+#: events_user_running_value, events_value_percentiles,
+#: sessions_per_user, dedup_minhash_signature, sketch_distinct_users_kmv,
+#: text_{language_id,
+#: ngram_topk,pii_redacted,prune_frequent_tokens,fingerprints}) are all
+#: additionally pytest-pinned or parity-pinned and MUST head the r07
+#: window.
 #: tests/test_driver_window.py pins the invariants.
 DRIVER_WINDOW: list[str] = [
     # (1) r05 red row + this round's touched implementations + new ops
@@ -81,6 +85,10 @@ DRIVER_WINDOW: list[str] = [
     "corpus_cross_source_overlap", "dedup_incremental_status",
     "text_novelty_score", "text_bm25_topk", "sim_embedding_diversity",
     "corpus_duplicate_spans",
+    # with_normalized fan-out touched the whole ANN family late in r06 —
+    # re-seat every sim query whose plan changed
+    "sim_ann_lsh_topk", "sim_ann_lsh_multiprobe_topk", "sim_ann_ivf_topk",
+    "sim_ann_pq_topk", "sim_knn_join", "sim_ann_ivf_kmeans_topk",
     # (2) last attested r03 — re-attest on r06 code
     "c2_offsets_to_commit", "e2_schema_projection", "e3_json_decode",
     "e3_json_envelope_decode", "e4_protobuf_decode", "e6_json_encode",
@@ -91,13 +99,12 @@ DRIVER_WINDOW: list[str] = [
     # (3) r04-attested, oldest-first rotation
     "asof_purchase_attribution", "corpus_curated", "corpus_decontaminated",
     "corpus_mixture_sample", "corpus_split_assign", "dedup_exact",
-    "dedup_minhash_lsh_pairs", "dedup_minhash_signature",
+    "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs", "dedup_simhash", "dedup_simhash_pairs",
-    "events_daily_pivot", "events_day_over_day_retention",
-    "events_hourly_rollup", "events_top_users_per_type",
-    "events_user_running_value", "events_value_percentiles",
+    "events_hourly_rollup",
     "pack_training_sequences", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_nation_revenue", "range_join_purchase_errors", "sessions_per_user",
+    "q5_nation_revenue", "range_join_purchase_errors",
+    "sim_topk_bruteforce",
 ]
 
 
