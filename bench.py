@@ -102,6 +102,7 @@ HEADLINE += [
     "text_bm25_topk",
     "sim_embedding_diversity",
     "corpus_duplicate_spans",
+    "corpus_weighted_sample",
 ]
 
 

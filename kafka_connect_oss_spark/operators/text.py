@@ -903,3 +903,54 @@ def duplicate_spans_oracle_sql(table_expr: str, size: int = 120,
       ON k.span_md5 = s.span_md5 AND k.{id_col} = s.rep_doc_id
     WHERE s.n_docs >= {min_docs}
     GROUP BY 1, 2, 3, 4"""
+
+
+def weighted_sample(docs: DataFrame, k: int = 20,
+                    weight_expr: str = "CAST(n_chars AS DOUBLE)",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement —
+    the Efraimidis–Spirakis A-Res scheme (public algorithm: draw
+    u_i ~ U(0,1], rank by key_i = u_i^(1/w_i), keep the top k; the
+    selection is then exactly weighted-without-replacement). The
+    "randomness" is a content-stable hash, NEVER rand(): re-runs,
+    task retries, and different partitionings pick the SAME sample, the
+    exactly-once lineage requirement every sampling op in this repo
+    follows (corpus_mixture_sample's rule).
+
+    This is how a pipeline takes a quality- or length-weighted corpus
+    subsample (upweight long/high-quality docs) with reproducibility.
+
+    Scale shape: u and the key are narrow codegen expressions over the
+    scan; top-k is TakeOrderedAndProject (per-partition heaps + k-row
+    driver merge) — zero data-sized shuffles at any corpus size, and the
+    per-partition heaps make it exactly the distributed form the A-Res
+    paper targets. Zero/negative weights sort last (key 0).
+
+    Returns the k sampled rows as (id_col, weight, skey rounded to 6),
+    ties broken by id.
+    """
+    space = float(1 << 60)
+    u = (f"(CAST({H.base_hash(f'CAST({id_col} AS STRING)', 'spark')} "
+         f"AS DOUBLE) + 1.0) / {space!r}")
+    key = (f"CASE WHEN ({weight_expr}) > 0 "
+           f"THEN pow({u}, 1.0 / ({weight_expr})) ELSE 0.0 END")
+    return (docs.select(F.col(id_col),
+                        F.expr(weight_expr).alias("weight"),
+                        R.fround(F.expr(key), 6).alias("skey"))
+            .orderBy(F.col("skey").desc(), F.col(id_col))
+            .limit(k))
+
+
+def weighted_sample_oracle_sql(table_expr: str, k: int = 20,
+                               weight_expr: str = "CAST(n_chars AS DOUBLE)",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    space = float(1 << 60)
+    u = (f"(CAST({H.base_hash(f'CAST({id_col} AS VARCHAR)', 'duckdb')} "
+         f"AS DOUBLE) + 1.0) / {space!r}")
+    key = (f"CASE WHEN ({weight_expr}) > 0 "
+           f"THEN pow({u}, 1.0 / ({weight_expr})) ELSE 0.0 END")
+    return (f"SELECT {id_col}, {weight_expr} AS weight, "
+            f"ROUND({key}, 6) AS skey "
+            f"FROM {table_expr} ORDER BY skey DESC, {id_col} LIMIT {k}")

@@ -1393,3 +1393,12 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     locator per span — the boilerplate-cut signal; only (md5, id) pairs
     shuffle (operators/text.py duplicate_spans)."""
     return TXT.duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_weighted_sample", TXT.weighted_sample_oracle_sql("documents"))
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample (Efraimidis–Spirakis A-Res with
+    content-stable hash uniforms — reproducible weighted-without-
+    replacement): narrow key expression + TakeOrderedAndProject, zero
+    data-sized shuffles (operators/text.py weighted_sample)."""
+    return TXT.weighted_sample(load_table(spark, sf_dir, "documents"))

