@@ -103,6 +103,7 @@ HEADLINE += [
     "sim_embedding_diversity",
     "corpus_duplicate_spans",
     "corpus_weighted_sample",
+    "text_token_entropy",
 ]
 
 

@@ -954,3 +954,66 @@ def weighted_sample_oracle_sql(table_expr: str, k: int = 20,
     return (f"SELECT {id_col}, {weight_expr} AS weight, "
             f"ROUND({key}, 6) AS skey "
             f"FROM {table_expr} ORDER BY skey DESC, {id_col} LIMIT {k}")
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats) — the
+    information-density quality signal: near-zero entropy marks
+    degenerate/repetitive text (one token dominating), high entropy
+    marks diverse vocabulary; used alongside the Gopher repetition
+    rules to rank corpus segments (public technique).
+
+    entropy = -sum_t (c_t / n) ln(c_t / n) over the doc's token counts,
+    norm_entropy = entropy / ln(distinct_tokens) in [0, 1] (NULL when
+    distinct = 1, where the ratio is 0/0).
+
+    Scale shape: the same word-count aggregate repetition_signals runs —
+    explode to (id, token), two-level partial agg keyed by (id, token),
+    then an id-keyed entropy fold; shuffles carry (id, token, count)
+    partials only. Empty docs emit no row (no tokens, SQL
+    aggregate-over-empty semantics).
+
+    Returns (id_col, n_tokens, n_distinct, entropy, norm_entropy)
+    rounded to 4.
+    """
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    counts = (_fan_out(docs)
+              .select(F.col(id_col), F.explode(F.expr(tok)).alias("_w"))
+              .groupBy(id_col, "_w")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    per = (counts.groupBy(id_col)
+           .agg(F.sum("_c").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(F.col("_c") * F.log(F.col("_c").cast("double")))
+                .alias("_clogc")))
+    n = F.col("n_tokens").cast("double")
+    ent = F.log(n) - F.col("_clogc") / n
+    return per.select(
+        id_col, "n_tokens", "n_distinct",
+        R.fround(ent, 4).alias("entropy"),
+        R.fround(F.when(F.col("n_distinct") > 1,
+                        ent / F.log(F.col("n_distinct").cast("double"))),
+                 4).alias("norm_entropy"))
+
+
+def token_entropy_oracle_sql(table_expr: str, text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH tk AS (
+      SELECT {id_col}, UNNEST({dtok}) AS w FROM {table_expr}),
+    counts AS (SELECT {id_col}, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+    per AS (SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   SUM(c * ln(CAST(c AS DOUBLE))) AS clogc
+            FROM counts GROUP BY 1)
+    SELECT {id_col}, n_tokens, n_distinct,
+           ROUND(ln(CAST(n_tokens AS DOUBLE))
+                 - clogc / CAST(n_tokens AS DOUBLE), 4) AS entropy,
+           ROUND(CASE WHEN n_distinct > 1 THEN
+                 (ln(CAST(n_tokens AS DOUBLE))
+                  - clogc / CAST(n_tokens AS DOUBLE))
+                 / ln(CAST(n_distinct AS DOUBLE)) END, 4) AS norm_entropy
+    FROM per"""

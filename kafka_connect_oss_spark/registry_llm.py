@@ -1402,3 +1402,12 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement): narrow key expression + TakeOrderedAndProject, zero
     data-sized shuffles (operators/text.py weighted_sample)."""
     return TXT.weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_token_entropy", TXT.token_entropy_oracle_sql("documents"))
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per doc (information-density
+    quality signal; entropy = ln n - sum c ln c / n folded from the same
+    word-count aggregate the repetition rules use)
+    (operators/text.py token_entropy)."""
+    return TXT.token_entropy(load_table(spark, sf_dir, "documents"))

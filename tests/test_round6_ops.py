@@ -181,3 +181,20 @@ def test_weighted_sample_zero_weight_never_selected(spark):
         "doc_id long, text string, n_chars int")
     got = {r.doc_id for r in TXT.weighted_sample(docs, k=19).collect()}
     assert 99 not in got and len(got) == 19
+
+
+def test_token_entropy_analytic_cases(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),          # uniform: entropy = ln 4, norm 1.0
+         (2, "x x x x x"),        # degenerate: entropy 0, norm NULL
+         (3, "a a b b b b")],     # 2/6, 4/6 mix
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in TXT.token_entropy(docs).collect()}
+    assert got[1].entropy == round(math.log(4), 4)
+    assert got[1].norm_entropy == 1.0
+    assert got[2].entropy == 0.0 and got[2].norm_entropy is None
+    want3 = -(2 / 6 * math.log(2 / 6) + 4 / 6 * math.log(4 / 6))
+    assert abs(got[3].entropy - want3) < 1e-3
+    assert got[3].n_tokens == 6 and got[3].n_distinct == 2
