@@ -73,7 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: events_day_over_day_retention, events_top_users_per_type,
 #: events_user_running_value, events_value_percentiles,
 #: sessions_per_user, dedup_minhash_signature,
-#: dedup_ngram_jaccard_pairs, dedup_simhash, sketch_distinct_users_kmv,
+#: dedup_ngram_jaccard_pairs, dedup_simhash, dedup_simhash_pairs,
+#: sketch_distinct_users_kmv,
 #: text_{language_id,
 #: ngram_topk,pii_redacted,prune_frequent_tokens,fingerprints}) are all
 #: additionally pytest-pinned or parity-pinned and MUST head the r07
@@ -86,7 +87,7 @@ DRIVER_WINDOW: list[str] = [
     "corpus_cross_source_overlap", "dedup_incremental_status",
     "text_novelty_score", "text_bm25_topk", "sim_embedding_diversity",
     "corpus_duplicate_spans", "corpus_weighted_sample",
-    "text_token_entropy",
+    "text_token_entropy", "text_unigram_nll",
     # with_normalized fan-out touched the whole ANN family late in r06 —
     # re-seat every sim query whose plan changed
     "sim_ann_lsh_topk", "sim_ann_lsh_multiprobe_topk", "sim_ann_ivf_topk",
@@ -101,7 +102,7 @@ DRIVER_WINDOW: list[str] = [
     # (3) r04-attested, oldest-first rotation
     "asof_purchase_attribution", "corpus_curated", "corpus_decontaminated",
     "corpus_mixture_sample", "corpus_split_assign", "dedup_exact",
-    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs",
     "events_hourly_rollup",
     "pack_training_sequences", "q1_pricing_summary", "q3_shipping_priority",
     "q5_nation_revenue", "range_join_purchase_errors",

@@ -104,6 +104,7 @@ HEADLINE += [
     "corpus_duplicate_spans",
     "corpus_weighted_sample",
     "text_token_entropy",
+    "text_unigram_nll",
 ]
 
 

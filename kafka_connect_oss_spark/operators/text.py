@@ -1017,3 +1017,51 @@ def token_entropy_oracle_sql(table_expr: str, text_col: str = "text",
                   - clogc / CAST(n_tokens AS DOUBLE))
                  / ln(CAST(n_distinct AS DOUBLE)) END, 4) AS norm_entropy
     FROM per"""
+
+
+def unigram_nll(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-likelihood under the CORPUS unigram
+    language model: nll = mean over token occurrences of -ln(tf_t / T)
+    (tf = corpus term frequency, T = total corpus tokens) — the
+    perplexity-filter proxy of the CCNet-style curation recipes (public
+    technique; a real LM swaps in where the unigram model stands).
+    High NLL = text unlike the corpus (gibberish/OCR noise), very low
+    NLL = all-boilerplate; used as a band-pass beside rare_token_score's
+    document-frequency view (occurrence-weighted vs distinct-token).
+
+    Scale shape: ONE corpus-wide term-frequency aggregate (word-count
+    shape, vocabulary-sized output with map-side combine), its 1-row
+    total broadcast back, and one token->tf join (unforced — AQE
+    broadcasts a vocabulary that fits, shuffles one that doesn't),
+    then a per-doc mean. Shuffles carry (token, count) and
+    (id, token) pairs only. Empty docs emit no row.
+
+    Returns (id_col, n_tokens, nll) with nll in nats rounded to 4.
+    """
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    pairs = _fan_out(docs).select(
+        F.col(id_col), F.explode(F.expr(tok)).alias("_w"))
+    tf = pairs.groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    total = tf.agg(F.sum("_tf").cast("double").alias("_total"))
+    return (pairs.join(tf, "_w")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 R.fround(F.avg(-F.log(F.col("_tf") / F.col("_total"))), 4)
+                 .alias("nll")))
+
+
+def unigram_nll_oracle_sql(table_expr: str, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH pairs AS (
+      SELECT {id_col}, UNNEST({dtok}) AS w FROM {table_expr}),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM pairs GROUP BY w),
+    total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf)
+    SELECT p.{id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(tf.tf / total.t)), 4) AS nll
+    FROM pairs p JOIN tf ON p.w = tf.w CROSS JOIN total
+    GROUP BY p.{id_col}"""

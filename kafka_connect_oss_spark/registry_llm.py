@@ -1411,3 +1411,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count aggregate the repetition rules use)
     (operators/text.py token_entropy)."""
     return TXT.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_unigram_nll", TXT.unigram_nll_oracle_sql("documents"))
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood per doc under the corpus unigram LM
+    (perplexity-filter proxy, occurrence-weighted): one TF aggregate +
+    an unforced token join; (token, count)/(id, token) pairs are the
+    only shuffles (operators/text.py unigram_nll)."""
+    return TXT.unigram_nll(load_table(spark, sf_dir, "documents"))

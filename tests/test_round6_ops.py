@@ -198,3 +198,16 @@ def test_token_entropy_analytic_cases(spark):
     want3 = -(2 / 6 * math.log(2 / 6) + 4 / 6 * math.log(4 / 6))
     assert abs(got[3].entropy - want3) < 1e-3
     assert got[3].n_tokens == 6 and got[3].n_distinct == 2
+
+
+def test_unigram_nll_analytic_case(spark):
+    import math
+
+    # corpus of 8 tokens: 'a' x4, 'b' x2, 'c' x1, 'd' x1
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b b c d")], "doc_id long, text string")
+    got = {r.doc_id: r for r in TXT.unigram_nll(docs).collect()}
+    assert got[1].nll == round(-math.log(4 / 8), 4)
+    want2 = -(2 * math.log(2 / 8) + 2 * math.log(1 / 8)) / 4
+    assert abs(got[2].nll - want2) < 1e-3
+    assert got[2].nll > got[1].nll  # rarer tokens -> higher NLL
