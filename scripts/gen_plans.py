@@ -111,19 +111,31 @@ SHOWCASE = {
         "(increment-bounded) and signature caches released per batch "
         "(r6 lifecycle fix)"),
     "text_novelty_score": (
-        "explode to (id, hash) pairs; first-owner = ONE hash-keyed "
-        "partial-agg (map-side combined), equi-join back on the hash, "
-        "id-keyed final agg — no self-join, only (hash, id) pairs on "
-        "the wire"),
+        "JOIN-FREE form: the (id, hash) explode is computed once "
+        "(persisted, then released); totals and first-owner counts are "
+        "two aggregates of it reduced to DOC-sized checkpoints joined "
+        "doc x doc — never a corpus-sized hash join; the one "
+        "corpus-sized shuffle carries (hash, min-id) partials"),
     "text_bm25_topk": (
         "corpus stats (N, avgdl, per-term df) reduce map-side to ONE "
         "row broadcast back (BroadcastNestedLoopJoin of a 1-row side is "
         "the legitimate pattern); tf/dl narrow HOF expressions; "
         "TakeOrderedAndProject top-k — zero data-sized shuffles"),
     "sim_embedding_diversity": (
-        "posexplode -> (group, pos) partial sums (map-side combined "
-        "shuffle bounded by groups x dim), squared-sum per group, tiny "
-        "group-count join — the n^2 pairwise mean with NO self-join"),
+        "ONE wide codegen aggregate (dim element-sums + count, map-side "
+        "combined, shuffle bounded by groups x (dim+1)) — the n^2 "
+        "pairwise mean with NO self-join and NO explode"),
+    "corpus_weighted_sample": (
+        "A-Res weighted sampling: narrow hash-uniform key expression "
+        "over the scan, TakeOrderedAndProject top-k (per-partition "
+        "heaps) — zero data-sized shuffles"),
+    "text_unigram_nll": (
+        "corpus TF aggregate (word-count shape, map-side combined), "
+        "1-row total broadcast, UNFORCED token join (AQE decides "
+        "broadcast vs shuffle as the vocabulary grows), per-doc mean"),
+    "text_token_entropy": (
+        "single word-count aggregate keyed (id, token) with map-side "
+        "combine, then an id-keyed entropy fold — no second corpus scan"),
 }
 
 KEEP = re.compile(

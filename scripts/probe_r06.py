@@ -231,7 +231,11 @@ def r6_ops_exponent_probe(spark) -> None:
         "novelty_score": lambda d, e: TXT.novelty_score(d),
         "bm25_topk": lambda d, e: TXT.bm25_topk(d),
         "duplicate_spans": lambda d, e: TXT.duplicate_spans(d),
-        "embedding_diversity": lambda d, e: similarity.embedding_diversity(e),
+        "embedding_diversity": lambda d, e: similarity.embedding_diversity(
+            e, dim=64),
+        "weighted_sample": lambda d, e: TXT.weighted_sample(d),
+        "token_entropy": lambda d, e: TXT.token_entropy(d),
+        "unigram_nll": lambda d, e: TXT.unigram_nll(d),
     }
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
     for scale in (1, 10, 20):
