@@ -111,3 +111,43 @@ def test_novelty_totals_conserve_first_owners(spark, texts):
     assert sum(r.n_novel for r in rows) == len(shingles)
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=_docs)
+def test_bm25_matches_python(spark, texts):
+    terms, k1, b = ("alpha", "beta"), 1.2, 0.75
+    got = {r.doc_id: r.score for r in
+           TXT.bm25_topk(_frame(spark, texts), terms=terms, k=len(texts))
+           .collect()}
+    docs = [t.split() for t in texts]
+    n_docs = len(docs)
+    avgdl = sum(len(d) for d in docs) / n_docs
+    for i, toks in enumerate(docs):
+        score = 0.0
+        for t in terms:
+            df = sum(1 for d in docs if t in d)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            tf = float(toks.count(t))
+            score += (idf * tf * (k1 + 1.0) /
+                      (tf + k1 * (1.0 - b + b * len(toks) / avgdl)))
+        assert abs(got[i + 1] - score) < 1e-3, texts[i]
+
+
+_vals = st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+                 min_size=1, max_size=40)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(vals=_vals, p=st.sampled_from([0.1, 0.5, 0.9]))
+def test_exact_quantile_equals_sorted_rank(spark, vals, p):
+    from kafka_connect_oss_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "grp string, value double")
+    got = {r.grp: r.q for r in
+           SK.exact_quantile_disc(df, "value", p, "grp", n_bins=8).collect()}
+    want = sorted(float(v) for v in vals)[max(1, math.ceil(p * len(vals))) - 1]
+    assert got == {"g": want}
