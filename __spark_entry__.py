@@ -74,6 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: events_user_running_value, events_value_percentiles,
 #: sessions_per_user, dedup_minhash_signature,
 #: dedup_ngram_jaccard_pairs, dedup_simhash, dedup_simhash_pairs,
+#: events_hourly_rollup,
 #: sketch_distinct_users_kmv,
 #: text_{language_id,
 #: ngram_topk,pii_redacted,prune_frequent_tokens,fingerprints}) are all
@@ -101,9 +102,9 @@ DRIVER_WINDOW: list[str] = [
     "r3_partition_change_rotation", "text_quality_score", "text_stats",
     # (3) r04-attested, oldest-first rotation
     "asof_purchase_attribution", "corpus_curated", "corpus_decontaminated",
+    "corpus_decontam_overlap",  # contamination_overlap rewritten late r06
     "corpus_mixture_sample", "corpus_split_assign", "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "events_hourly_rollup",
     "pack_training_sequences", "q1_pricing_summary", "q3_shipping_priority",
     "q5_nation_revenue", "range_join_purchase_errors",
     "sim_topk_bruteforce",

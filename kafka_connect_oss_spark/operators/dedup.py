@@ -60,6 +60,38 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def shingle_hash_pairs(docs: DataFrame, text_col: str = "text",
+                       ngram: int = 3, id_col: str = "doc_id",
+                       distinct: bool = True) -> DataFrame:
+    """(id, h) shingle-hash pairs via EXPLODE-THEN-CODEGEN — the fast
+    path for any consumer that wants pairs rather than per-doc arrays.
+
+    `with_shingle_hashes` builds the per-doc hash array with chained
+    higher-order transforms; exploding that array forces INTERPRETED
+    per-element lambda evaluation, measured 45.4s for the distinct pairs
+    of 50k docs at sf1. This form explodes shingle POSITIONS first and
+    builds each shingle + md5 + fold as plain codegen projections —
+    identical values, 1.2s on the same input (~37x). Use the array form
+    only where the per-doc array itself is consumed (minhash signature
+    folds, pairwise verify intersections).
+
+    With distinct=True, one (id, h) distinct per doc (matches
+    array_distinct semantics); docs with < ngram tokens emit no rows.
+    """
+    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
+    parts = ", ".join(f"element_at(tk, i + {k})" for k in range(ngram))
+    pairs = (_fan_out(docs)
+             .selectExpr(id_col, f"{tok} AS tk")
+             .where(F.expr(f"size(tk) >= {ngram}"))
+             .select(id_col, F.explode(F.expr(
+                 f"sequence(1, size(tk) - {ngram - 1})")).alias("i"),
+                 F.col("tk"))
+             .selectExpr(id_col, f"concat_ws(' ', {parts}) AS _sh")
+             .selectExpr(id_col,
+                         H.hex_fold("md5(_sh)", "spark") + " AS _h"))
+    return pairs.distinct() if distinct else pairs
+
+
 def with_shingle_hashes(docs: DataFrame, text_col: str = "text",
                         ngram: int = 3) -> DataFrame:
     """Add `sh` (distinct word-ngram shingles) and `hh` (their base hashes)."""

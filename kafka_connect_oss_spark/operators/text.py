@@ -604,37 +604,31 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
     Returns the CLEAN docs (id_col plus passthrough columns of `docs`).
     """
-    from kafka_connect_oss_spark.operators.dedup import _fan_out
-
-    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
-    sh = H.word_shingles(tok, ngram, "spark")
-    hh_expr = H.shingle_hashes(sh, "spark")
+    from kafka_connect_oss_spark.operators.dedup import shingle_hash_pairs
 
     bench_hashes = benchmark_ngram_hashes(
         benchmark, text_col, ngram, cache_key=bench_cache_key,
         max_hashes=max_broadcast_hashes)
+    doc_h = shingle_hash_pairs(docs, text_col, ngram, id_col,
+                               distinct=False)
     if bench_hashes is None:
         # fallback: benchmark too large for a literal — distributed
         # semi-join on the shingle hash, same tokenization/hash pipeline
-        bench_tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
-        bench_hh = H.shingle_hashes(
-            H.word_shingles(bench_tok, ngram, "spark"), "spark")
-        bench_h = (benchmark
-                   .select(F.explode(F.expr(bench_hh)).alias("_h"))
-                   .distinct())
-        doc_h = (_fan_out(docs)
-                 .select(id_col, F.explode(F.expr(hh_expr)).alias("_h")))
+        bench_h = shingle_hash_pairs(
+            benchmark, text_col, ngram, id_col,
+            distinct=False).select("_h").distinct()
         contaminated = doc_h.join(bench_h, "_h").select(id_col).distinct()
         return docs.join(contaminated, id_col, "left_anti")
     if not bench_hashes:
-        # nothing to scrub — and an empty literal array would be void-typed,
-        # failing array_intersect analysis against array<bigint>
+        # nothing to scrub
         return docs
-    lit_bench = F.lit(bench_hashes).cast("array<bigint>")
-    return (_fan_out(docs)
-            .withColumn("_hh", F.expr(hh_expr))
-            .where(F.size(F.array_intersect("_hh", lit_bench)) == 0)
-            .drop("_hh"))
+    # normal regime: hash membership against the broadcast literal set in
+    # codegen (isin compiles to an InSet probe); contaminated ids are the
+    # RARE case by construction, so the distinct + left-anti join is a
+    # tiny-side broadcast under AQE
+    contaminated = (doc_h.where(F.col("_h").isin(bench_hashes))
+                    .select(id_col).distinct())
+    return docs.join(contaminated, id_col, "left_anti")
 
 
 def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
@@ -657,39 +651,42 @@ def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
     rounded to 4, 0.0 for shingle-less docs.
     """
     from kafka_connect_oss_spark.functions import rounding as R
-    from kafka_connect_oss_spark.operators.dedup import _fan_out
-
-    tok = f"filter(split({text_col}, ' '), tt -> tt <> '')"
-    hh_expr = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
+    from kafka_connect_oss_spark.operators.dedup import shingle_hash_pairs
 
     bench_hashes = benchmark_ngram_hashes(
         benchmark, text_col, ngram, cache_key=bench_cache_key,
         max_hashes=max_broadcast_hashes)
-    base = (_fan_out(docs)
-            .withColumn("_dh", F.expr(f"array_distinct({hh_expr})"))
-            .withColumn("n_shingles", F.size("_dh")))
+    # distinct (id, hash) pairs via the explode-then-codegen fast path
+    # (~37x the HOF array form at sf1); n_shingles = pairs per doc
+    # matches array_distinct semantics exactly
+    doc_h = shingle_hash_pairs(docs, text_col, ngram, id_col)
     if bench_hashes is None:
-        # distributed regime: benchmark hashes stay a frame; doc hashes
-        # explode to (id, hash) and the hit count is one hash join + agg
-        bench_h = (benchmark
-                   .select(F.explode(F.expr(H.shingle_hashes(
-                       H.word_shingles(tok, ngram, "spark"), "spark")))
-                   .alias("_h")).distinct())
-        doc_h = base.select(id_col, F.explode("_dh").alias("_h"))
+        # distributed regime: benchmark hashes stay a frame; the hit
+        # count is one hash join + agg
+        bench_h = shingle_hash_pairs(
+            benchmark, text_col, ngram, id_col,
+            distinct=False).select("_h").distinct()
         hits = (doc_h.join(bench_h, "_h")
                 .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
-        scored = (base.select(id_col, "n_shingles")
-                  .join(hits, id_col, "left")
-                  .withColumn("n_hits", F.coalesce("n_hits", F.lit(0))))
+        per = (doc_h.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_shingles"))
+               .join(hits, id_col, "left")
+               .withColumn("n_hits", F.coalesce("n_hits", F.lit(0))))
     else:
-        # an empty python list would build a void-typed literal (same
-        # pitfall as decontaminate) — cast an empty SQL array instead
-        lit_bench = (F.lit(bench_hashes).cast("array<bigint>")
-                     if bench_hashes
-                     else F.expr("cast(array() as array<bigint>)"))
-        scored = base.select(
-            id_col, "n_shingles",
-            F.size(F.array_intersect("_dh", lit_bench)).alias("n_hits"))
+        # normal regime: ONE map-side-combined aggregate carrying both
+        # counts; membership is a codegen InSet probe (empty set -> 0)
+        hit = (F.col("_h").isin(bench_hashes).cast("int")
+               if bench_hashes else F.lit(0))
+        per = (doc_h.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum(hit).alias("n_hits")))
+    # shingle-less docs emit no pairs — restore them with zero counts
+    scored = (docs.select(id_col)
+              .join(per, id_col, "left")
+              .withColumn("n_shingles",
+                          F.coalesce("n_shingles", F.lit(0)).cast("int"))
+              .withColumn("n_hits",
+                          F.coalesce("n_hits", F.lit(0)).cast("int")))
     frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
         F.col("n_hits") / F.col("n_shingles").cast("double"))
     return scored.select(id_col, "n_shingles", "n_hits",
