@@ -69,7 +69,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: green on code <= 2 rounds old); (3) the ANN family re-seated after
 #: the late-r06 with_normalized fan-out touched every sim plan, then
 #: r04-attested queries oldest-first. The 20 r04 leftovers
-#: (multimodal_* x4, r1/r2/r4 rotation-file set, events_daily_pivot,
+#: (multimodal_* x4, r1/r2/r4 rotation-file set,
+#: asof_purchase_attribution, corpus_mixture_sample,
+#: corpus_split_assign, events_daily_pivot,
 #: events_day_over_day_retention, events_top_users_per_type,
 #: events_user_running_value, events_value_percentiles,
 #: sessions_per_user, dedup_minhash_signature,
@@ -90,9 +92,11 @@ DRIVER_WINDOW: list[str] = [
     "corpus_duplicate_spans", "corpus_weighted_sample",
     "text_token_entropy", "text_unigram_nll",
     # with_normalized fan-out touched the whole ANN family late in r06 —
-    # re-seat every sim query whose plan changed
+    # re-seat every sim query whose plan changed; the signature_frame
+    # rewrite touched the whole LSH family — re-seat its consumers too
     "sim_ann_lsh_topk", "sim_ann_lsh_multiprobe_topk", "sim_ann_ivf_topk",
     "sim_ann_pq_topk", "sim_knn_join", "sim_ann_ivf_kmeans_topk",
+    "dedup_clusters", "dedup_multi_signal", "dedup_cleaned_corpus",
     # (2) last attested r03 — re-attest on r06 code
     "c2_offsets_to_commit", "e2_schema_projection", "e3_json_decode",
     "e3_json_envelope_decode", "e4_protobuf_decode", "e6_json_encode",
@@ -101,9 +105,9 @@ DRIVER_WINDOW: list[str] = [
     "p5_timestamp_extract", "r1_interleaved_commit_files",
     "r3_partition_change_rotation", "text_quality_score", "text_stats",
     # (3) r04-attested, oldest-first rotation
-    "asof_purchase_attribution", "corpus_curated", "corpus_decontaminated",
+    "corpus_curated", "corpus_decontaminated",
     "corpus_decontam_overlap",  # contamination_overlap rewritten late r06
-    "corpus_mixture_sample", "corpus_split_assign", "dedup_exact",
+    "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "pack_training_sequences", "q1_pricing_summary", "q3_shipping_priority",
     "q5_nation_revenue", "range_join_purchase_errors",
