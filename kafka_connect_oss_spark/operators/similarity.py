@@ -170,8 +170,6 @@ def random_projection(embeddings: DataFrame, dim: int,
     vec = f"cast({vec_col} as array<double>)"
     comps = [F.expr(_rp_term_sql(vec, j, dim, "spark")).alias(f"_raw{j}")
              for j in range(out_dim)]
-    from kafka_connect_oss_spark.operators.dedup import _fan_out
-
     raw = with_normalized(embeddings, vec_col).select(
         id_col, *comps,
         F.expr(rp_code_sql("nv", dim, out_dim, "spark")).alias("rp_code"))
@@ -262,8 +260,6 @@ def ann_rp_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     rp_code as the physical partition key the projection operator
     advertises. Same plan shape: broadcast 1-row query + code, equi-join
     on the code, narrow dot products, TopK."""
-    from kafka_connect_oss_spark.operators.dedup import _fan_out
-
     emb = (with_normalized(embeddings, vec_col)
            .withColumn("rp_code",
                        F.expr(rp_code_sql("nv", dim, out_dim, "spark"))))
@@ -294,7 +290,8 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
 def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                      n_iters: int = 5, vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     metric: str = "cosine") -> DataFrame:
+                     metric: str = "cosine",
+                     tol: float = 1e-3) -> DataFrame:
     """Fitted centroids: distributed k-means (Lloyd's), the deploy-time
     replacement for the seed stand-ins.
 
@@ -321,6 +318,19 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     decimals before normalizing so run-to-run float-summation jitter
     cannot leak into the returned model's magnitude. Deterministic init
     (the k lowest-id vectors) — no Date.now/rand anywhere.
+
+    Early exit (round-7): each Lloyd round costs one full job launch +
+    a k x d collect, so on converged data the fixed per-iteration
+    latency dominates the fit. The max absolute centroid movement is
+    already known driver-side after each UPDATE; when it drops to
+    ``tol`` the loop stops. Default 1e-3: on unit vectors a per-
+    component movement below 1e-3 leaves assignments essentially
+    frozen, and the remaining rounds buy recall no test can detect
+    while each costing a full job launch. Deterministic — the movement
+    is computed from the same rounded means every run, and the lazy
+    DuckDB oracle refits through this very function, so query and
+    oracle stop at the same round. ``tol=0`` restores fixed-iteration
+    behavior.
 
     Not SQL-oracle-expressible (iterative); correctness is pinned by
     recall-floor and invariant tests (test_similarity_kmeans.py) instead
@@ -386,7 +396,12 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                 new_cents.append(cents[ci - 1])
                 continue
             new_cents.append([x / norm for x in mean])
+        moved = max((abs(a - b)
+                     for nc, oc in zip(new_cents, cents)
+                     for a, b in zip(nc, oc)), default=0.0)
         cents = new_cents
+        if moved <= tol:
+            break
 
     e.unpersist()
     return spark.createDataFrame(
@@ -589,16 +604,26 @@ def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
     in [0, 1] (1 = all vectors identical direction); mean cosine is NULL
     for single-vector groups (no pairs). Rounded to 4 (cross-engine
     float-sum fold order differs ~1e-12).
+
+    Zero-norm vectors are EXCLUDED on both engines (round-6 advisor
+    fix): a zero vector has no direction, and without the explicit
+    ``_nrm > 0`` guard Spark's x/0 -> NULL silently dropped its
+    component sums while ``n`` still counted it (over-subtracting in
+    (ss - n)/(n(n-1))), whereas DuckDB's IEEE division produced inf —
+    divergent engines AND a wrong statistic. ``n`` therefore counts
+    only direction-carrying vectors.
     """
     from kafka_connect_oss_spark.operators.dedup import _fan_out
 
     nd = F.col("n").cast("double")
+    vec = f"cast({vec_col} as array<double>)"
+    nrm = (f"sqrt(aggregate(transform({vec}, y -> y * y), 0D, "
+           f"(acc, x) -> acc + x))")
     if dim is not None:
-        vec = f"cast({vec_col} as array<double>)"
-        nrm = (f"sqrt(aggregate(transform({vec}, y -> y * y), 0D, "
-               f"(acc, x) -> acc + x))")
-        base = _fan_out(embeddings).select(
-            group_col, F.expr(vec).alias("_v"), F.expr(nrm).alias("_nrm"))
+        base = (_fan_out(embeddings)
+                .select(group_col, F.expr(vec).alias("_v"),
+                        F.expr(nrm).alias("_nrm"))
+                .where(F.col("_nrm") > 0))
         g = base.groupBy(group_col).agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.element_at("_v", i + 1) / F.col("_nrm"))
@@ -609,12 +634,13 @@ def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
             ss = term if ss is None else ss + term
         joined = g.withColumn("_ss", ss)
     else:
-        emb = with_normalized(embeddings, vec_col)
+        nonzero = embeddings.where(F.expr(nrm) > 0)
+        emb = with_normalized(nonzero, vec_col)
         comp = emb.select(group_col, F.posexplode("nv").alias("pos", "v"))
         ssq = (comp.groupBy(group_col, "pos").agg(F.sum("v").alias("sv"))
                .groupBy(group_col)
                .agg(F.sum(F.col("sv") * F.col("sv")).alias("_ss")))
-        cnt = embeddings.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+        cnt = nonzero.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
         joined = cnt.join(ssq, group_col)
     return (joined
             .select(group_col, "n",
@@ -629,8 +655,10 @@ def embedding_diversity_oracle_sql(table_expr: str, group_col: str = "label",
                                    vec_col: str = "embedding",
                                    id_col: str = "vec_id") -> str:
     from kafka_connect_oss_spark.functions import vectors as V2
-    nv = V2.normalized_sql(f"CAST({vec_col} AS DOUBLE[])", "duckdb")
-    return f"""WITH nrm AS (SELECT {group_col}, {nv} AS nv FROM {table_expr}),
+    cv = f"CAST({vec_col} AS DOUBLE[])"
+    nv = V2.normalized_sql(cv, "duckdb")
+    return f"""WITH nrm AS (SELECT {group_col}, {nv} AS nv FROM {table_expr}
+      WHERE sqrt(list_dot_product({cv}, {cv})) > 0),
     u AS (SELECT {group_col}, generate_subscripts(nv, 1) AS pos,
                  UNNEST(nv) AS v FROM nrm),
     s AS (SELECT {group_col}, pos, SUM(v) AS sv FROM u GROUP BY 1, 2),

@@ -394,10 +394,14 @@ def cross_source_overlap(docs: DataFrame, ngram: int = 3,
 
     Shape at 100 TB: ONE distinct over (source, shingle-hash) pairs (the
     only corpus-sized shuffle, carrying 8-byte hashes + a short key),
-    persisted because three consumers read it — Catalyst has no
-    common-subplan materialization, so without the persist the corpus
-    distinct executes once per consumer (measured 4x in the r05b probe
-    plan). Pair counting is a groupBy(hash) collect_set + a narrow
+    staged once via the lazy ``lifecycle.stage_local`` because three
+    consumers read it — Catalyst has no common-subplan materialization,
+    so without it the corpus distinct executes once per consumer
+    (measured 4x in the r05b probe plan). Round 7 replaced the eager
+    persist/checkpoint/unpersist lifecycle here (2 pre-jobs of fixed
+    overhead per call) with the lazy staged form: everything runs as ONE
+    job at the caller's action. Pair counting is a groupBy(hash)
+    collect_set + a narrow
     combination explode bounded by C(n_sources_holding_hash, 2) per hash
     — never a corpus self-join, no second corpus-sized shuffle; set
     sizes are a sources-sized aggregate of the same cached frame, joined
@@ -406,17 +410,15 @@ def cross_source_overlap(docs: DataFrame, ngram: int = 3,
     Returns (source_a, source_b, n_shared, jaccard) for pairs sharing
     >= 1 shingle, source_a < source_b.
     """
-    from pyspark import StorageLevel
-
     from kafka_connect_oss_spark.operators.dedup import _fan_out
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     tok = X.sql_tokens(text_col, "spark")
     hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
-    sh = (_fan_out(docs)
-          .select(F.col(source_col).alias("src"),
-                  F.explode(F.expr(hh)).alias("h"))
-          .distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = stage_local(_fan_out(docs)
+                     .select(F.col(source_col).alias("src"),
+                             F.explode(F.expr(hh)).alias("h"))
+                     .distinct())
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     # sorted source set per hash -> every unordered pair, sa < sb by
     # construction; the explode emits C(|ss|, 2) rows per hash
@@ -429,12 +431,6 @@ def cross_source_overlap(docs: DataFrame, ngram: int = 3,
              .groupBy(F.col("p.sa").alias("source_a"),
                       F.col("p.sb").alias("source_b"))
              .agg(F.count(F.lit(1)).alias("n_shared")))
-    # both consumers reduce to sources-bounded frames: force them now
-    # and release the corpus-sized persist (per-invocation lifecycle —
-    # repeated calls must not accumulate executor storage)
-    pairs = pairs.localCheckpoint(eager=True)
-    sizes = sizes.localCheckpoint(eager=True)
-    sh.unpersist()
     na = sizes.select(F.col("src").alias("source_a"),
                       F.col("n_sh").alias("_na"))
     nb = sizes.select(F.col("src").alias("source_b"),
@@ -704,9 +700,10 @@ def novelty_score(docs: DataFrame, ngram: int = 3, text_col: str = "text",
 
     Scale shape — JOIN-FREE (the r6 bench at sf0.1 measured the naive
     pairs-joins-firsts form at 9.4s; this form runs ~3x faster): the
-    (id, shingle-hash) explode is computed ONCE (persisted while its two
-    consumers materialize, then released — the cross_source_overlap
-    lifecycle), and both outputs are aggregates of it:
+    (id, shingle-hash) explode is staged ONCE (lazy
+    ``lifecycle.stage_local`` — one job at the caller's action, no
+    eager pre-jobs; round-7 change), and both outputs are aggregates
+    of it:
 
       n_shingles per doc = groupBy(id).count            (doc-sized)
       n_novel    per doc = groupBy(hash).min(id)        (word-count shape)
@@ -721,26 +718,19 @@ def novelty_score(docs: DataFrame, ngram: int = 3, text_col: str = "text",
     Returns (id_col, n_shingles, n_novel, novelty) with novelty rounded
     to 4 (1.0 = entirely first-seen text).
     """
-    from pyspark import StorageLevel
-
     from kafka_connect_oss_spark.operators.dedup import _fan_out
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     tok = X.sql_tokens(text_col, "spark")
     hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
-    pairs = (_fan_out(docs).select(
+    pairs = stage_local(_fan_out(docs).select(
         F.col(id_col),
-        F.explode(F.expr(f"array_distinct({hh})")).alias("_h"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        F.explode(F.expr(f"array_distinct({hh})")).alias("_h")))
     totals = (pairs.groupBy(id_col)
               .agg(F.count(F.lit(1)).cast("long").alias("n_shingles")))
     novel = (pairs.groupBy("_h").agg(F.min(id_col).alias("_first"))
              .groupBy(F.col("_first").alias(id_col))
              .agg(F.count(F.lit(1)).cast("long").alias("n_novel")))
-    # both consumers reduce to doc-bounded frames: force them, release
-    # the corpus-sized persist (per-invocation lifecycle)
-    totals = totals.localCheckpoint(eager=True)
-    novel = novel.localCheckpoint(eager=True)
-    pairs.unpersist()
     return (totals.join(novel, id_col, "left")
             .withColumn("n_novel",
                         F.coalesce(F.col("n_novel"), F.lit(0)).cast("long"))
@@ -769,6 +759,16 @@ def novelty_score_oracle_sql(table_expr: str, ngram: int = 3,
 
 #: default BM25 probe terms — drawn from the synthetic corpus vocabulary
 BM25_DEFAULT_TERMS = ("data", "model", "learning")
+
+
+def _sql_quote(t: str, dialect: str = "spark") -> str:
+    """Escape a caller-supplied term for an inline SQL string literal
+    (round-6 advisor fix: a quote in a term broke expression parsing in
+    both engines). Doubled quotes are the shared escape; Spark's
+    non-ANSI parser additionally treats backslash as an escape char."""
+    if dialect == "spark":
+        t = t.replace("\\", "\\\\")
+    return t.replace("'", "''")
 
 
 def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_DEFAULT_TERMS,
@@ -805,6 +805,7 @@ def bm25_topk(docs: DataFrame, terms: tuple[str, ...] = BM25_DEFAULT_TERMS,
     scored = base.crossJoin(F.broadcast(stats))
     score = None
     for i, t in enumerate(terms):
+        t = _sql_quote(t)
         tf = f"CAST(size(filter(_toks, w -> w = '{t}')) AS DOUBLE)"
         idf = f"ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5))"
         part = (f"({idf}) * {tf} * ({k1} + 1.0) / "
@@ -823,10 +824,12 @@ def bm25_topk_oracle_sql(table_expr: str,
                          id_col: str = "doc_id") -> str:
     dtok = X.sql_tokens(text_col, "duckdb")
     dfs = ", ".join(
-        f"SUM(CASE WHEN list_contains(_toks, '{t}') THEN 1 ELSE 0 END) "
+        f"SUM(CASE WHEN list_contains(_toks, "
+        f"'{_sql_quote(t, 'duckdb')}') THEN 1 ELSE 0 END) "
         f"AS _df{i}" for i, t in enumerate(terms))
     parts = []
     for i, t in enumerate(terms):
+        t = _sql_quote(t, "duckdb")
         tf = f"CAST(len(list_filter(_toks, w -> w = '{t}')) AS DOUBLE)"
         idf = f"ln(1.0 + (_n - _df{i} + 0.5) / (_df{i} + 0.5))"
         parts.append(f"({idf}) * {tf} * ({k1} + 1.0) / "
@@ -922,21 +925,34 @@ def weighted_sample(docs: DataFrame, k: int = 20,
     scan; top-k is TakeOrderedAndProject (per-partition heaps + k-row
     driver merge) — zero data-sized shuffles at any corpus size, and the
     per-partition heaps make it exactly the distributed form the A-Res
-    paper targets. Zero/negative weights sort last (key 0).
+    paper targets. Zero/negative weights sort last.
+
+    Ranking uses the UNROUNDED log-domain key ln(u)/w (the A-Res paper's
+    own numerically-stable form; monotone in u^(1/w), so the selection is
+    identical in exact arithmetic): for realistic weights u^(1/w)
+    compresses into a ~1e-3 band below 1.0, and ranking on a
+    display-rounded key would bucket many docs together and break ties by
+    id — an id-biased within-bucket selection that silently weakens the
+    weighted-without-replacement property (round-6 advisor finding).
+    skey = u^(1/w) rounded to 6 is returned for DISPLAY only.
 
     Returns the k sampled rows as (id_col, weight, skey rounded to 6),
-    ties broken by id.
+    exact-key ties broken by id.
     """
     space = float(1 << 60)
     u = (f"(CAST({H.base_hash(f'CAST({id_col} AS STRING)', 'spark')} "
          f"AS DOUBLE) + 1.0) / {space!r}")
-    key = (f"CASE WHEN ({weight_expr}) > 0 "
-           f"THEN pow({u}, 1.0 / ({weight_expr})) ELSE 0.0 END")
+    rank_key = (f"CASE WHEN ({weight_expr}) > 0 "
+                f"THEN ln({u}) / ({weight_expr}) ELSE -1e308 END")
+    disp_key = (f"CASE WHEN ({weight_expr}) > 0 "
+                f"THEN pow({u}, 1.0 / ({weight_expr})) ELSE 0.0 END")
     return (docs.select(F.col(id_col),
                         F.expr(weight_expr).alias("weight"),
-                        R.fround(F.expr(key), 6).alias("skey"))
-            .orderBy(F.col("skey").desc(), F.col(id_col))
-            .limit(k))
+                        R.fround(F.expr(disp_key), 6).alias("skey"),
+                        F.expr(rank_key).alias("_rk"))
+            .orderBy(F.col("_rk").desc(), F.col(id_col))
+            .limit(k)
+            .drop("_rk"))
 
 
 def weighted_sample_oracle_sql(table_expr: str, k: int = 20,
@@ -946,11 +962,14 @@ def weighted_sample_oracle_sql(table_expr: str, k: int = 20,
     space = float(1 << 60)
     u = (f"(CAST({H.base_hash(f'CAST({id_col} AS VARCHAR)', 'duckdb')} "
          f"AS DOUBLE) + 1.0) / {space!r}")
-    key = (f"CASE WHEN ({weight_expr}) > 0 "
-           f"THEN pow({u}, 1.0 / ({weight_expr})) ELSE 0.0 END")
+    rank_key = (f"CASE WHEN ({weight_expr}) > 0 "
+                f"THEN ln({u}) / ({weight_expr}) ELSE -1e308 END")
+    disp_key = (f"CASE WHEN ({weight_expr}) > 0 "
+                f"THEN pow({u}, 1.0 / ({weight_expr})) ELSE 0.0 END")
     return (f"SELECT {id_col}, {weight_expr} AS weight, "
-            f"ROUND({key}, 6) AS skey "
-            f"FROM {table_expr} ORDER BY skey DESC, {id_col} LIMIT {k}")
+            f"ROUND({disp_key}, 6) AS skey "
+            f"FROM {table_expr} "
+            f"ORDER BY {rank_key} DESC, {id_col} LIMIT {k}")
 
 
 def token_entropy(docs: DataFrame, text_col: str = "text",
