@@ -635,7 +635,13 @@ def embedding_diversity(embeddings: DataFrame, group_col: str = "label",
         joined = g.withColumn("_ss", ss)
     else:
         nonzero = embeddings.where(F.expr(nrm) > 0)
-        emb = with_normalized(nonzero, vec_col)
+        # nullif guard: the filter already drops zero-norm rows, but
+        # whole-stage codegen can evaluate the (common-subexpression)
+        # division while testing the predicate — under ANSI mode (Spark 4
+        # default) a bare x/0 then throws for the very rows being
+        # filtered out. NULL division is inert post-filter.
+        guarded = f"transform({vec}, x -> x / nullif({nrm}, 0D))"
+        emb = nonzero.select(group_col, F.expr(guarded).alias("nv"))
         comp = emb.select(group_col, F.posexplode("nv").alias("pos", "v"))
         ssq = (comp.groupBy(group_col, "pos").agg(F.sum("v").alias("sv"))
                .groupBy(group_col)

@@ -19,10 +19,52 @@ def mm(spark, sf_dir):
     return MM.attach_binary(load_table(spark, sf_dir, "documents")).cache()
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_raises_on_missing_codec_or_junk():
+    # junk bytes: every modality raises NotImplementedError, whether the
+    # codec library is absent (import gate) or present (undecodable)
     for modality in MM.MODALITIES:
         with pytest.raises(NotImplementedError):
             MM.decode_real(modality, b"\x89PNG...")
+
+
+def test_real_wav_decode_stdlib():
+    """The audio path is REAL code exercised in-sandbox: stdlib `wave`
+    writes a 16 kHz mono clip, decode_real reads back its metadata."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(b"\x00\x01" * 8_000)  # 8000 frames = 500 ms
+    meta = MM.decode_real("audio", buf.getvalue())
+    assert meta["sample_rate"] == 16_000
+    assert meta["channels"] == 1
+    assert meta["duration_ms"] == 500
+    assert meta["fmt"] == "wav"
+
+
+def test_real_image_decode_pillow():
+    """Skip-gated like the spark-avro jar test: runs wherever Pillow is
+    installed (the production escape hatch), skips in this container."""
+    PIL = pytest.importorskip("PIL.Image", reason="Pillow not installed")
+    import io
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (37, 21)).save(buf, format="PNG")
+    meta = MM.decode_real("image", buf.getvalue())
+    assert (meta["width"], meta["height"], meta["channels"]) == (37, 21, 3)
+    assert meta["fmt"] == "png"
+
+
+def test_real_video_decode_pyav():
+    pytest.importorskip("av", reason="PyAV not installed")
+    # a real container is needed to assert more; presence of the import
+    # path is pinned here, undecodable bytes must still raise
+    with pytest.raises(NotImplementedError):
+        MM.decode_real("video", b"not-a-container")
 
 
 def test_attach_binary_types_and_metadata(mm):
