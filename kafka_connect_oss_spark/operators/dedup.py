@@ -228,13 +228,18 @@ def _lsh_rep_stage(docs: DataFrame, text_col: str, id_col: str, ngram: int,
                    jaccard_threshold: float, materialize_members: bool = True
                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared guarded-LSH stages: identity-group collapse + rep-level
-    verified pairs. Returns (members, sig, rep_pairs); sig is cached AND
-    eagerly materialized (multi-branch consumers race past an unpopulated
-    cache and each recomputes the hash fold — measured 4x swings on the
-    bench). members is likewise materialized when the caller fans it into
+    verified pairs. Returns (members, sig, rep_pairs); sig is cached
+    LAZILY — its multi-branch consumers (band keys x2, verification x2,
+    rep sizes) share the populated cache inside the caller's single job.
+    Round-7 note: the r06 eager ``.count()`` forces here cost two
+    serialized pre-job launches per invocation; measured best-of-3 at
+    sf0.1 AND sf1 the lazy form is faster with tighter spreads (AQE's
+    sequential shuffle-stage materialization prevents the
+    concurrent-branch duplicate compute the eager form guarded against).
+    members is likewise lazily cached when the caller fans it into
     several branches (lsh_candidate_pairs: intra a/b + expansion x2);
-    single-consumer callers pass materialize_members=False to skip that
-    job — the md5 keying is a cheap narrow scan either way.
+    single-consumer callers pass materialize_members=False to keep it
+    uncached — the md5 keying is a cheap narrow scan either way.
     """
     # identity groups shuffle (id, 16-byte digest) only — text never moves
     keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
@@ -244,12 +249,10 @@ def _lsh_rep_stage(docs: DataFrame, text_col: str, id_col: str, ngram: int,
                .select(id_col, "_tmd5", "rep", "gn"))
     if materialize_members:
         members = members.cache()
-        members.count()
 
     rep_docs = docs.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "semi")
     sig = signature_frame(rep_docs, text_col, ngram, id_col).cache()
-    sig.count()
     bands = minhash_band_keys(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, ["band", "band_key"])
@@ -482,16 +485,16 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     # Intra-group pairs are hamming 0 by identity (salt-grid generated);
     # cross-group pairs inherit the representatives' popcount.
     # the fingerprint plan (shingle hashing + simhash fold, the CPU-heavy
-    # stage) feeds groups + members + reps: cache it and materialize
-    # eagerly, or each branch recomputes the fold (see lsh sig.count()
-    # note — measured multi-x swings)
+    # stage) feeds groups + members + reps: cache LAZILY — the branches
+    # share the populated cache inside the caller's single job (round-7:
+    # the eager .count() forces cost two pre-job launches; see the
+    # _lsh_rep_stage note — AQE's sequential shuffle-stage
+    # materialization makes the lazy form faster with tighter spreads)
     fp = fp.cache()
-    fp.count()
     groups = fp.groupBy("simhash").agg(F.min(id_col).alias("rep"),
                                        F.count(F.lit(1)).alias("gn"))
     members = (fp.join(groups, "simhash")
                .select(id_col, "simhash", "rep", "gn").cache())
-    members.count()
     reps = groups.select(F.col("rep").alias(id_col), "simhash")
 
     chunk_rows = ", ".join(
@@ -598,12 +601,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                                  F.col("id_a").alias("dst"))))
     # the edge list joins into EVERY propagation round — without a
     # materialized cache the whole upstream pair pipeline (LSH signature,
-    # banding, verification) re-executes per iteration
+    # banding, verification) re-executes per iteration. Lazily cached
+    # (round-7): round 1's action populates both, later rounds read the
+    # cache — same reuse without two eager pre-job launches.
     edges = edges.cache()
-    edges.count()
     # src covers both directions after the symmetric union above
     edge_nodes = edges.select(F.col("src").alias("node")).distinct().cache()
-    edge_nodes.count()
     labels = edge_nodes.withColumn("label", F.col("node"))
     prev_ckpt = None
     for _ in range(max_iterations):

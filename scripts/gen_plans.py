@@ -99,22 +99,22 @@ SHOWCASE = {
         "join, no Python)"),
     "corpus_cross_source_overlap": (
         "ONE corpus-sized shuffle (distinct (source, shingle-hash)), "
-        "persisted while its two consumers materialize then RELEASED "
-        "(r6 lifecycle fix): the final plan reads the sources-bounded "
-        "pair/size checkpoints (Scan ExistingRDD), so repeated per-batch "
-        "invocation holds zero corpus-sized storage"),
+        "staged lazily (Scan ExistingRDD below all three consumers — "
+        "r7 lifecycle: zero pre-jobs, one job at the caller's action, "
+        "storage GC-released), so repeated per-batch invocation holds "
+        "no accumulating corpus-sized storage"),
     "dedup_incremental_status": (
-        "append-batch classification: exact layer exchanges only "
-        "(id, md5-digest) pairs; near layer bands the increment against "
-        "base reps collapsed one-per-distinct-content, verification "
-        "join only on surviving candidates; near-id set checkpointed "
-        "(increment-bounded) and signature caches released per batch "
-        "(r6 lifecycle fix)"),
+        "append-batch classification, fully lazy ONE-job plan (r7 "
+        "lifecycle — no cache/count/checkpoint pre-jobs): exact layer "
+        "exchanges only (id, md5-digest) pairs; near layer bands the "
+        "increment against base reps collapsed one-per-distinct-"
+        "content, verification join only on surviving candidates; at "
+        "deploy scale base_sig is a precomputed bucketed table"),
     "text_novelty_score": (
-        "JOIN-FREE form: the (id, hash) explode is computed once "
-        "(persisted, then released); totals and first-owner counts are "
-        "two aggregates of it reduced to DOC-sized checkpoints joined "
-        "doc x doc — never a corpus-sized hash join; the one "
+        "JOIN-FREE form: the (id, hash) explode staged lazily once "
+        "(Scan ExistingRDD below both aggregates, r7 lifecycle); "
+        "totals and first-owner counts reduce it to DOC-sized frames "
+        "joined doc x doc — never a corpus-sized hash join; the one "
         "corpus-sized shuffle carries (hash, min-id) partials"),
     "text_bm25_topk": (
         "corpus stats (N, avgdl, per-term df) reduce map-side to ONE "
