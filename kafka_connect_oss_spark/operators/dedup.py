@@ -364,17 +364,30 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
     """
     bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
     breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
-    idd = inc.select(id_col, F.md5(F.col(text_col)).alias("_d"))
-    ifirst = idd.groupBy("_d").agg(F.min(id_col).alias("_first"))
 
     if base_sig is None:
         base_rep_docs = base.join(
             breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
         base_sig = signature_frame(base_rep_docs, text_col, ngram, id_col)
-    bsig = base_sig
-    isig = signature_frame(inc, text_col, ngram, id_col)
-    bbands = minhash_band_keys(bsig, id_col).withColumnRenamed(
+    bbands = minhash_band_keys(base_sig, id_col).withColumnRenamed(
         id_col, "base_id")
+    return _classify_increment(breps, base_sig, bbands, inc, text_col,
+                               id_col, ngram, jaccard_threshold)
+
+
+def _classify_increment(breps: DataFrame, bsig: DataFrame,
+                        bbands: DataFrame, inc: DataFrame, text_col: str,
+                        id_col: str, ngram: int,
+                        jaccard_threshold: float) -> DataFrame:
+    """Shared per-batch classification core: `breps` = (_d, _rep) base
+    content digests, `bsig` = (id, hh, msig) base-rep signatures,
+    `bbands` = (base_id, band, band_key) — built in-plan by
+    ``incremental_dedup_status`` or scanned from the compacted bucketed
+    tables by ``incremental_dedup_status_from_tables``."""
+    idd = inc.select(id_col, F.md5(F.col(text_col)).alias("_d"))
+    ifirst = idd.groupBy("_d").agg(F.min(id_col).alias("_first"))
+
+    isig = signature_frame(inc, text_col, ngram, id_col)
     ibands = minhash_band_keys(isig, id_col).withColumnRenamed(
         id_col, "inc_id")
     cand = (ibands.join(bbands, ["band", "band_key"])
@@ -407,6 +420,64 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
                   .when(F.col("_near").isNotNull(), F.lit("dup_near"))
                   .otherwise(F.lit("kept")).alias("status")))
     return status
+
+
+def compact_base_tables(base: DataFrame, prefix: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ngram: int = 3, n_buckets: int = 32,
+                        mode: str = "overwrite") -> None:
+    """Compaction-time half of the per-ingest dedup contract: persist the
+    accepted corpus's dedup state as three BUCKETED tables so each ingest
+    batch classifies against table scans with ZERO base-side recompute —
+    the concrete form of the "signature table written once and reused per
+    batch" posture the incremental docstring promises. The reference's
+    analog is the offset/state it persists per topic-partition so a
+    restarted sink resumes without reprocessing (OSSSinkTask.java:160-175
+    + the object-name offset encoding); here the persisted state is
+    content-level instead of offset-level.
+
+      {prefix}_digests (_d, _rep)          bucketed by _d: the per-batch
+          exact-layer join reads base-side co-located, only the (small)
+          increment shuffles;
+      {prefix}_sig    (id, hh, msig)       bucketed by id: the
+          verification join's base side;
+      {prefix}_bands  (id->base_id renamed at read, band, band_key)
+          bucketed by band_key: the candidate equi-join's base side —
+          at 100 TB this is the table that must not re-shuffle per batch.
+
+    Sizing: n_buckets to taste at the target SF (bucketing.py notes).
+    """
+    from kafka_connect_oss_spark.operators.bucketing import write_bucketed
+
+    bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
+    breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
+    write_bucketed(breps, f"{prefix}_digests", ["_d"], n_buckets,
+                   mode=mode)
+    rep_docs = base.join(
+        breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
+    sig = signature_frame(rep_docs, text_col, ngram, id_col)
+    write_bucketed(sig, f"{prefix}_sig", [id_col], n_buckets, mode=mode)
+    sig_t = base.sparkSession.table(f"{prefix}_sig")
+    write_bucketed(minhash_band_keys(sig_t, id_col), f"{prefix}_bands",
+                   ["band_key"], n_buckets, mode=mode)
+
+
+def incremental_dedup_status_from_tables(
+        spark, prefix: str, inc: DataFrame, text_col: str = "text",
+        id_col: str = "doc_id", ngram: int = 3,
+        jaccard_threshold: float = 0.3) -> DataFrame:
+    """Per-batch half of the compacted contract: classify `inc` against
+    the ``compact_base_tables`` state. Semantics identical to
+    ``incremental_dedup_status`` (pinned by test_round7_ops); cost is
+    increment-driven — the base side is three bucketed scans (digest and
+    band joins read co-located base buckets; only increment-sized frames
+    shuffle)."""
+    breps = spark.table(f"{prefix}_digests")
+    bsig = spark.table(f"{prefix}_sig")
+    bbands = (spark.table(f"{prefix}_bands")
+              .withColumnRenamed(id_col, "base_id"))
+    return _classify_increment(breps, bsig, bbands, inc, text_col,
+                               id_col, ngram, jaccard_threshold)
 
 
 def connectivity_edges(docs: DataFrame, text_col: str = "text",
@@ -530,17 +601,29 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
     Quadratic *within a block* by construction — the block join key keeps
     the cross product bounded; for unblocked corpora use
     lsh_candidate_pairs, which is this metric behind an LSH filter.
+
+    The per-pair intersect runs on the 8-byte shingle HASHES, not the
+    shingle strings (round-7: the string intersect was the bench's
+    slowest row once this query joined the suite — BIGINT equality is
+    ~3x cheaper per element and the block join shuffles 8-byte elements
+    instead of ~20-byte strings). Both engines hash with the shared
+    functions/hashing.py math, so the counts are identical across
+    engines by construction; vs the string metric they could differ
+    only under an md5 collision INSIDE one document's shingle set.
+    The shingle frame is cached LAZILY so the self-join's two sides
+    share ONE shingle+hash computation (measured 2x at sf0.1 — the
+    per-doc shingling, not the intersect, dominated the bench row).
     """
     df = with_shingle_hashes(docs, text_col, ngram).select(
-        id_col, *block_cols, "sh")
+        id_col, *block_cols, "hh").cache()
     a = df.alias("a")
     b = df.alias("b")
     pairs = (a.join(b, block_cols)
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .withColumn("inter", F.expr("size(array_intersect(a.sh, b.sh))"))
+             .withColumn("inter", F.expr("size(array_intersect(a.hh, b.hh))"))
              .withColumn("jaccard", R.fround(
                  F.col("inter") /
-                 (F.expr("size(a.sh)") + F.expr("size(b.sh)") - F.col("inter")), 4)))
+                 (F.expr("size(a.hh)") + F.expr("size(b.hh)") - F.col("inter")), 4)))
     return (pairs.where(F.col("jaccard") >= threshold)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"), "jaccard"))

@@ -524,11 +524,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard_oracle() -> str:
-    return f"""WITH tok AS (SELECT doc_id, lang, source, {_DSH3} AS sh
+    # intersect on shared-math shingle hashes, mirroring the operator
+    # (round-7) — counts identical across engines by construction
+    hh = H.shingle_hashes(_DSH3, "duckdb")
+    return f"""WITH tok AS (SELECT doc_id, lang, source, {hh} AS hh
                             FROM documents),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     len(list_intersect(a.sh, b.sh)) AS inter,
-                     len(a.sh) AS la, len(b.sh) AS lb
+                     len(list_intersect(a.hh, b.hh)) AS inter,
+                     len(a.hh) AS la, len(b.hh) AS lb
               FROM tok a JOIN tok b
                 ON a.lang = b.lang AND a.source = b.source
                AND a.doc_id < b.doc_id)
