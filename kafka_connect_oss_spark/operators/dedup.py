@@ -49,8 +49,11 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 #: source bytes per fan-out task — sized for CPU-heavy per-row work
 #: (shingling/hashing expands each compressed byte into many operations),
-#: so tasks stay fine-grained well below the 128 MB split default
-FAN_OUT_BYTES_PER_TASK = 256 << 10
+#: so tasks stay fine-grained well below the 128 MB split default.
+#: Swept {32,64,128,256} KB at sf0.1 AND sf1: 64 KB fastest or tied on
+#: every shingle/tokenize query (finer tasks beat per-stage overhead
+#: until ~32 KB, where scheduling costs return)
+FAN_OUT_BYTES_PER_TASK = 64 << 10
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
