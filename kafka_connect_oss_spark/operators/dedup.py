@@ -703,16 +703,18 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         # round instead of two of each. localCheckpoint (not cache):
         # caching short-circuits EXECUTION but Catalyst still re-analyzes
         # the whole accumulated lineage every round, so round time grows
-        # with iteration count; the eager checkpoint truncates the plan
-        # to the materialized blocks — per-round cost stays flat at any
+        # with iteration count; the checkpoint truncates the plan to the
+        # materialized blocks — per-round cost stays flat at any
         # iteration depth (the standard iterative-algorithm discipline,
-        # same reason GraphFrames CC checkpoints).
+        # same reason GraphFrames CC checkpoints). eager=False (round-7):
+        # the convergence count below is the action that materializes it,
+        # ONE job per round instead of checkpoint-then-count's two.
         updated = (labels.join(neighbor_min,
                                labels.node == neighbor_min.src, "left")
                    .select(F.col("node"), F.col("label").alias("_prev"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"), F.col("label")))
-                           .alias("label")).localCheckpoint(eager=True))
+                           .alias("label")).localCheckpoint(eager=False))
         changed = updated.where(F.col("label") != F.col("_prev")).count()
         # the new round is materialized (count above) — release the previous
         # round's checkpoint blocks, or executor storage grows linearly with

@@ -10,7 +10,8 @@ with event-time timeouts firing as the watermark passes (last event +
 gap), rows must stay ~#active-users, flat across batches, while total
 input grows per batch.
 
-    python scripts/probe_r07.py
+    python scripts/probe_r07.py              # sessionization state probe
+    ONLY=r7ops python scripts/probe_r07.py   # exponents for the reshaped ops
 """
 
 from __future__ import annotations
@@ -26,6 +27,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = int(os.environ.get("SCALE", "10"))
 N_CHUNKS = int(os.environ.get("N_CHUNKS", "8"))
+ONLY = os.environ.get("ONLY", "")
+
+
+def r7ops_exponents() -> None:
+    """Wall-time exponents at SCALE 1/10/20 for the two operators this
+    round reshaped: incremental dedup (lazy one-job form) and blocked
+    n-gram Jaccard (hash intersect + shared shingle cache). Clone-dense
+    id-shifted inputs — identical-content groups grow DEEP, the
+    adversarial regime for both."""
+    import math
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.operators import dedup
+    from kafka_connect_oss_spark.sources.batch import load_table
+    from scripts.scale_probe import scaled
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_MEM", "48g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {}
+    for n in (1, 10, 20):
+        docs = scaled(load_table(spark, SF_DIR, "documents"),
+                      ["doc_id"], n)
+        base = docs.where(F.col("doc_id") % 2 == 0)
+        inc = docs.where(F.col("doc_id") % 2 == 1)
+        probes = {
+            "incremental_dedup_status":
+                lambda: dedup.incremental_dedup_status(base, inc).count(),
+            "ngram_jaccard_pairs":
+                lambda: dedup.ngram_jaccard_pairs(
+                    docs, ["lang", "source"], threshold=0.5).count(),
+        }
+        for name, fn in probes.items():
+            best, rows = 1e9, 0
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = fn()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[n] = best
+            print(f"{name} x{n}: {best:.2f}s rows={rows:,}", flush=True)
+    for name, r in results.items():
+        e = math.log(r[20] / r[1]) / math.log(20)
+        print(f"{name}: 1x={r[1]:.2f} 10x={r[10]:.2f} 20x={r[20]:.2f} "
+              f"e(1->20)={e:.2f}")
+    spark.stop()
 
 
 def main() -> None:
@@ -114,4 +168,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if ONLY == "r7ops":
+        r7ops_exponents()
+    else:
+        main()
