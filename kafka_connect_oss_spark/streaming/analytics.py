@@ -385,3 +385,47 @@ def run_windowed_topk(records: DataFrame, out_path: str,
             .option("checkpointLocation", checkpoint)
             .foreachBatch(sink)
             .trigger(availableNow=True).start())
+
+
+def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
+                          out_path: str, checkpoint: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          ngram: int = 3, jaccard_threshold: float = 0.3):
+    """Streaming form of the per-ingest dedup contract: every micro-batch
+    is one increment, classified against the COMPACTED base state
+    (``dedup.compact_base_tables``) with
+    ``incremental_dedup_status_from_tables`` and appended to ``out_path``
+    as (id, status, batch_id) — the streaming analog of the per-``put()``
+    filtering a sink would run (the reference's per-batch write loop,
+    OSSSinkTask.java:160-175, with content-level instead of offset-level
+    state).
+
+    Contract (same one-directional shape as the batch operator, per
+    micro-batch): ``dup_exact``/``dup_near`` are judged against the
+    compacted base plus earlier arrivals WITHIN the batch (exact layer
+    only); near-dups BETWEEN batches surface at the next compaction,
+    which rebuilds the state tables from base + kept arrivals. That
+    keeps per-batch state READ-ONLY — restarts and retries are
+    idempotent (foreachBatch may replay a batch; classification is
+    deterministic and the sink is append-per-batch-id), and no
+    unbounded dedup state accumulates in the stream itself.
+
+    At deploy scale the classification cost per batch is
+    increment-driven: the base side is three bucketed scans (see
+    ``compact_base_tables``), so a small batch classifies in one small
+    job regardless of corpus size.
+    """
+    from kafka_connect_oss_spark.operators.dedup import \
+        incremental_dedup_status_from_tables
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        status = incremental_dedup_status_from_tables(
+            batch.sparkSession, state_prefix, batch, text_col, id_col,
+            ngram, jaccard_threshold)
+        (status.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_path))
+
+    return (stream_docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())

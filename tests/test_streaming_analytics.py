@@ -274,3 +274,57 @@ def test_streaming_dead_letter_routing(spark, sf_dir, tmp_path):
     # decoded payloads survive on the good side, raw bytes on the dead side
     assert good_df.where(F.col("k").isNull()).count() == 0
     assert dead_df.where(~F.col("raw_value").startswith("}{")).count() == 0
+
+
+def test_run_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path,
+                                                    tmp_path_factory):
+    """Streaming per-batch dedup against compacted state: each micro-batch
+    classifies exactly like the batch operator run on that chunk."""
+    from kafka_connect_oss_spark.operators import bucketing as B
+    from kafka_connect_oss_spark.operators import dedup
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    loc = tmp_path_factory.mktemp("sdedup")
+    B.ensure_database(spark, "sdedupstate", str(loc))
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.where(F.col("doc_id") % 2 == 0)
+        dedup.compact_base_tables(base, "sdedupstate.b", n_buckets=4)
+
+        # arrivals: odd ids, split into 2 chunk files = 2 micro-batches
+        arrivals = docs.where(F.col("doc_id") % 2 == 1)
+        stream_dir = tmp_path / "chunks"
+        stream_dir.mkdir()
+        for i, pred in enumerate([F.col("doc_id") % 4 == 1,
+                                  F.col("doc_id") % 4 == 3]):
+            arrivals.where(pred).coalesce(1).write.parquet(
+                str(tmp_path / f"part{i}"))
+            import glob
+            import shutil
+            src = glob.glob(str(tmp_path / f"part{i}" / "*.parquet"))[0]
+            shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+        schema = spark.read.parquet(str(stream_dir)).schema
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+        out = tmp_path / "status_out"
+        q = A.run_incremental_dedup(sdf, "sdedupstate.b", str(out),
+                                    str(tmp_path / "ck_inc"))
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(str(out))
+        assert got.select("batch_id").distinct().count() == 2
+        # each batch must equal the batch operator on its own chunk
+        for r in got.select("batch_id").distinct().collect():
+            chunk_ids = [x.doc_id for x in
+                         got.where(F.col("batch_id") == r.batch_id)
+                         .select("doc_id").collect()]
+            chunk = arrivals.where(F.col("doc_id").isin(chunk_ids))
+            expect = sorted(map(tuple, dedup.incremental_dedup_status(
+                base, chunk).collect()))
+            gotb = sorted(map(tuple,
+                              got.where(F.col("batch_id") == r.batch_id)
+                              .drop("batch_id").collect()))
+            assert gotb == expect
+    finally:
+        spark.sql("DROP DATABASE sdedupstate CASCADE")
