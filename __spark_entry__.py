@@ -79,8 +79,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     _topk, sim_embedding_quantize, sim_ann_recall_eval,
 #:     text_token_entropy, text_unigram_nll + the corpus_* composites)
 #:     carry a width-only plan delta, are oracle-green in the local
-#:     full-parity suite (tests/test_oracle_parity.py), and MUST head
-#:     the r08 window.
+#:     full-parity suite (tests/test_oracle_parity.py) AND in the full
+#:     116/116 sweep at the driver's sf0.01 (`ALL=1
+#:     scripts/driver_sim.py`, round-7 closing), and MUST head the r08
+#:     window.
 #: tests/test_driver_window.py pins the invariants.
 DRIVER_WINDOW: list[str] = [
     # (1) the 28 r04-stale queries — rotation obligation
