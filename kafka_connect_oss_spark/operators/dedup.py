@@ -621,12 +621,17 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
         id_col, *block_cols, "hh").cache()
     a = df.alias("a")
     b = df.alias("b")
+    # nullif guard: two docs BOTH shorter than `ngram` tokens have empty
+    # shingle sets -> 0/0, which throws under ANSI mode (Spark 4
+    # default); NULL jaccard fails the threshold instead, matching the
+    # oracle's NaN-drop (found by test_properties_r7 hypothesis run)
     pairs = (a.join(b, block_cols)
              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .withColumn("inter", F.expr("size(array_intersect(a.hh, b.hh))"))
              .withColumn("jaccard", R.fround(
                  F.col("inter") /
-                 (F.expr("size(a.hh)") + F.expr("size(b.hh)") - F.col("inter")), 4)))
+                 F.nullif(F.expr("size(a.hh)") + F.expr("size(b.hh)")
+                          - F.col("inter"), F.lit(0)), 4)))
     return (pairs.where(F.col("jaccard") >= threshold)
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"), "jaccard"))
