@@ -41,14 +41,24 @@ def normalized_sql(vec_expr: str, dialect: str) -> str:
     dialects. Normalizing BEFORE a pairwise join is the scale move: the
     exchange materializes it once per row, so each pair costs one dot
     instead of dot + two norms (3x fewer interpreted lambda steps — HOFs
-    don't codegen)."""
+    don't codegen).
+
+    Zero-norm guard (round-7): a zero vector's x/0 THROWS under Spark 4's
+    default ANSI mode — one corrupt row would kill a whole-corpus scan —
+    and DuckDB's IEEE division yields NaN, which its DESC ordering ranks
+    FIRST (engine-divergent garbage at the top of every top-k). Both
+    dialects therefore divide by nullif(norm, 0): components become NULL,
+    downstream dots/cosines become NULL, and both engines' default
+    NULLS-LAST DESC ordering drops direction-less rows out of every
+    ranking instead of crashing (Spark) or polluting (DuckDB) it.
+    """
     if dialect == "spark":
         nrm = (f"sqrt(aggregate(transform({vec_expr}, y -> y * y), 0D, "
                f"(acc, x) -> acc + x))")
-        return f"transform({vec_expr}, x -> x / {nrm})"
+        return f"transform({vec_expr}, x -> x / nullif({nrm}, 0D))"
     if dialect == "duckdb":
-        return (f"list_transform({vec_expr}, "
-                f"x -> x / sqrt(list_dot_product({vec_expr}, {vec_expr})))")
+        return (f"list_transform({vec_expr}, x -> x / nullif("
+                f"sqrt(list_dot_product({vec_expr}, {vec_expr})), 0))")
     raise ValueError(dialect)
 
 

@@ -72,6 +72,19 @@ def test_weighted_sample_ranks_by_unrounded_key(spark):
     assert len(set(skeys)) < len(skeys)
 
 
+def test_zero_vector_never_crashes_or_ranks(spark):
+    """A corrupt all-zero embedding must neither throw under ANSI mode
+    (Spark x/0) nor top the ranking (DuckDB NaN DESC): with the nullif
+    guard it simply drops out of top-k."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(5)] + [(99, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = similarity.query_vector(spark, df, 1)
+    got = similarity.topk_cosine(df, q, k=5).collect()
+    assert [r.vec_id for r in got if r.cosine is not None] == \
+        [r.vec_id for r in got]  # every ranked row carries a real score
+    assert 99 not in {r.vec_id for r in got}
+
+
 def test_kmeans_early_exit_deterministic_and_bounded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     a = similarity.kmeans_centroids(emb, n_centroids=4, n_iters=5)
