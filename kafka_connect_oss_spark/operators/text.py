@@ -22,12 +22,16 @@ def text_stats(docs: DataFrame, text_col: str = "text",
         F.expr(f"size({tok})").alias("n_tokens"),
         F.expr(X.sql_bpe_token_count(text_col, "spark")).alias("n_bpe_tokens"),
         F.expr(f"size(array_distinct({tok}))").alias("n_distinct_tokens"),
+        # nullif: empty-text docs have 0 tokens — 0/0 throws under ANSI
+        # mode (Spark 4 default); NULL ratios mirror the oracle
         R.fround(F.expr(
             f"aggregate({tok}, 0, (acc, t) -> acc + length(t)) "
-            f"/ CAST(size({tok}) AS DOUBLE)"), 4).alias("avg_token_len"),
+            f"/ CAST(nullif(size({tok}), 0) AS DOUBLE)"), 4)
+        .alias("avg_token_len"),
         R.fround(F.expr(
             f"{X.sql_count_matching(tok, X.QUALITY_STOPWORDS, 'spark')} "
-            f"/ CAST(size({tok}) AS DOUBLE)"), 4).alias("stopword_ratio"),
+            f"/ CAST(nullif(size({tok}), 0) AS DOUBLE)"), 4)
+        .alias("stopword_ratio"),
     )
 
 
@@ -41,9 +45,11 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     the op stays a pure projection either way."""
     tok = X.sql_tokens(text_col, "spark")
     n_tok = f"size({tok})"
-    distinct_ratio = f"(size(array_distinct({tok})) / CAST({n_tok} AS DOUBLE))"
+    # nullif: zero-token docs would 0/0-throw under ANSI mode
+    distinct_ratio = (f"(size(array_distinct({tok})) "
+                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
     stop_ratio = (f"({X.sql_count_matching(tok, X.QUALITY_STOPWORDS, 'spark')}"
-                  f" / CAST({n_tok} AS DOUBLE))")
+                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
     return docs.select(
         id_col, *keep_cols,
         F.expr(f"CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 1 ELSE 0 END")

@@ -38,8 +38,8 @@ _DSH3 = f"list_distinct({H.word_shingles(_DTOK, 3, 'duckdb')})"
     SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
            {X.sql_bpe_token_count('text', 'duckdb')} AS n_bpe_tokens,
            len(list_distinct(t)) AS n_distinct_tokens,
-           {round_sql('list_sum(list_transform(t, x -> length(x))) / CAST(len(t) AS DOUBLE)', 4)} AS avg_token_len,
-           {round_sql(X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb') + ' / CAST(len(t) AS DOUBLE)', 4)} AS stopword_ratio
+           {round_sql('list_sum(list_transform(t, x -> length(x))) / CAST(nullif(len(t), 0) AS DOUBLE)', 4)} AS avg_token_len,
+           {round_sql(X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb') + ' / CAST(nullif(len(t), 0) AS DOUBLE)', 4)} AS stopword_ratio
     FROM tok""",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +48,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_oracle() -> str:
     n_tok = "len(t)"
-    distinct_ratio = f"(len(list_distinct(t)) / CAST({n_tok} AS DOUBLE))"
+    distinct_ratio = (f"(len(list_distinct(t)) "
+                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
     stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
-                  f" / CAST({n_tok} AS DOUBLE))")
+                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
     return f"""WITH tok AS (SELECT doc_id, {_DTOK} AS t FROM documents)
     SELECT doc_id,
            CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS len_ok,

@@ -72,6 +72,18 @@ def test_weighted_sample_ranks_by_unrounded_key(spark):
     assert len(set(skeys)) < len(skeys)
 
 
+def test_empty_text_never_crashes_stats(spark):
+    """Zero-token documents must not 0/0-throw under ANSI mode; their
+    ratio columns are NULL (mirrored in the oracle SQL)."""
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "real words here")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in TX.text_stats(df).collect()}
+    assert rows[1].avg_token_len is None and rows[1].stopword_ratio is None
+    assert rows[3].avg_token_len is not None
+    q = {r.doc_id: r for r in TX.quality_score(df).collect()}
+    assert q[2].distinct_ratio is None and q[3].quality is not None
+
+
 def test_zero_vector_never_crashes_or_ranks(spark):
     """A corrupt all-zero embedding must neither throw under ANSI mode
     (Spark x/0) nor top the ranking (DuckDB NaN DESC): with the nullif
