@@ -578,14 +578,14 @@ def orders_without_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFra
       FROM daily GROUP BY event_type)
     SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.cnt,
            ROUND((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                 / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                         / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 4)
+                 / nullif(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 0), 4)
              AS zscore
     FROM daily d JOIN stats USING (event_type)
     WHERE n > 1
       AND abs((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-              / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) >= 2.0""",
+              / nullif(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 0)) >= 2.0""",
 )
 def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-volume anomaly detection: days whose event count sits >= 2
@@ -608,10 +608,14 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq")))
     d, s, n, sq = (F.col("cnt").cast("double"), F.col("s").cast("double"),
                    F.col("n").cast("double"), F.col("sq").cast("double"))
-    z = (d - s / n) / F.sqrt((sq - s * s / n) / (F.col("n") - 1).cast("double"))
-    # n == 1 gives a 0/0 z-score; Spark orders NaN above any threshold, so a
-    # type observed on a single day would emit a spurious NaN anomaly row and
-    # parity would ride on engine NaN semantics — filter before the z test
+    # nullif on the sd: a type whose daily counts are all EQUAL has zero
+    # variance — 0/0 throws under ANSI mode (and DuckDB's NaN would pass
+    # any abs() threshold); NULL z fails the filter in both engines, so
+    # constant-volume types emit nothing, which is the right answer.
+    # n == 1 is filtered for the same reason (single observation).
+    z = ((d - s / n) /
+         F.nullif(F.sqrt((sq - s * s / n) /
+                         (F.col("n") - 1).cast("double")), F.lit(0.0)))
     return (daily.join(F.broadcast(stats), "event_type")
             .where((F.col("n") > 1) & (F.abs(z) >= 2.0))
             .select("event_type", F.col("day").cast("string").alias("day"),
