@@ -103,11 +103,17 @@ DRIVER_WINDOW: list[str] = [
     "text_novelty_score", "events_value_median_exact",
     "corpus_weighted_sample", "sim_embedding_diversity", "text_bm25_topk",
     "sim_ann_ivf_kmeans_topk",
-    # (3) round-7 plan changes (size-aware _fan_out), highest risk first
+    # (3) round-7 plan/guard changes, highest risk first: the LSH family
+    # (size-aware _fan_out + lazy caches), decontamination, 4 sim
+    # representatives of the zero-norm normalization guard (the other 5
+    # sim queries share the identical guarded expression and are
+    # attested by the 116/116 ALL-sweep), the late ANSI-guard queries
+    # whose filter expressions changed on real data (z-score,
+    # quality-gated corpora), and multimodal near-dup
     "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_multi_signal",
     "dedup_cleaned_corpus", "corpus_decontaminated",
     "corpus_decontam_overlap", "sim_ann_lsh_topk", "sim_ann_ivf_topk",
-    "sim_ann_pq_topk", "sim_ann_rp_topk", "sim_random_projection",
+    "events_daily_anomaly_zscore", "corpus_curated", "corpus_source_cap",
     "sim_topk_bruteforce", "sim_knn_join", "multimodal_near_dup",
 ]
 
