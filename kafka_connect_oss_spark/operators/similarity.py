@@ -410,23 +410,48 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
 
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF build: nearest centroid per vector (broadcast K centroids, one
-    narrow pass + argmax). At 100 TB this output IS the physical layout —
-    write the table partitioned/clustered by `cid` so probes prune files.
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               keep_nv: bool = False) -> DataFrame:
+    """IVF build: nearest centroid per vector. At 100 TB this output IS
+    the physical layout — write the table partitioned/clustered by `cid`
+    so probes prune files.
 
-    Ties break to the lowest cid (row_number, not max_by) so both engines
-    agree deterministically.
+    Round-7 shape: the K centroids (k x d doubles, bounded) are collected
+    once and inlined as the literal "model broadcast" — the same ASSIGN
+    expression the k-means fit runs — so assignment is one NARROW argmax
+    pass with ZERO shuffle. The previous form crossJoined the broadcast
+    centroid frame (k x corpus rows) and ranked with a row_number window,
+    paying a full id-keyed exchange of the exploded frame for the same
+    answer. Ties still break to the lowest cid (argmax over
+    (dot, -cid)), matching the oracle's row_number ordering exactly.
+
+    The argmax runs on the RAW vector: argmax_c dot(v, c) = argmax_c
+    cos(v, c) because the row's norm is a positive per-row constant —
+    and an inlined normalize would be re-evaluated once per centroid
+    inside the lambda (HOF lambdas don't CSE outer expressions; measured
+    10x slower). A zero vector ties every centroid and takes the lowest
+    cid, exactly as the old window form ranked its all-NULL scores.
+
+    ``keep_nv=True`` carries the normalized vector through, letting
+    callers score candidates without re-normalizing + self-joining the
+    corpus (ann_ivf_topk's round-7 plan).
     """
-    from pyspark.sql import Window
+    rows = sorted(centroids.collect(), key=lambda r: r.cid)
+    cvs = [list(r.cv) for r in rows]
+    cids = [int(r.cid) for r in rows]
+    lit = _lit_vecs(cvs)
+    vec = f"cast({vec_col} as array<double>)"
+    dots = (f"transform({lit}, c -> aggregate(zip_with(_v, c, "
+            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
+    cid_arr = "array(" + ", ".join(str(c) for c in cids) + ")"
+    nearest = (f"-array_max(zip_with({dots}, {cid_arr}, "
+               f"(dd, c) -> named_struct('dd', dd, 'nc', -c))).nc")
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
 
-    e = with_normalized(embeddings, vec_col).select(id_col, "nv")
-    scored = (e.crossJoin(F.broadcast(centroids))
-              .select(id_col, "cid", V.dot(F.col("nv"), F.col("cv"))
-                      .alias("ccos")))
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1).select(id_col, "cid"))
+    base = _fan_out(embeddings).withColumn("_v", F.expr(vec))
+    cols = [id_col, F.expr(V.normalized_sql("_v", "spark")).alias("nv")] \
+        if keep_nv else [F.col(id_col)]
+    return base.select(*cols, F.expr(nearest).cast("int").alias("cid"))
 
 
 PQ_M = 4          # subspaces
@@ -563,14 +588,16 @@ def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     """
     cents = (centroids if centroids is not None
              else ivf_centroids(embeddings, n_centroids, vec_col, id_col))
-    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
+    # keep_nv: assignment carries the normalized vector, so scoring needs
+    # neither a second normalize pass nor the corpus self-join the round-6
+    # plan paid (one scan: assign -> probe filter -> score -> top-k)
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col, keep_nv=True)
     probe = (query.crossJoin(F.broadcast(cents))
              .select(F.col("cid"),
                      V.dot(F.col("qv"), F.col("cv")).alias("qcos"))
              .orderBy(F.col("qcos").desc(), F.col("cid")).limit(nprobe)
              .select("cid"))
-    e = with_normalized(embeddings, vec_col).select(id_col, "nv")
-    cand = (e.join(assigned, id_col).join(F.broadcast(probe), "cid"))
+    cand = assigned.join(F.broadcast(probe), "cid")
     scored = (cand.crossJoin(F.broadcast(query))
               .select(id_col, "cid",
                       R.fround(V.dot(F.col("nv"), F.col("qv")), 6)

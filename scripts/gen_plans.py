@@ -33,8 +33,12 @@ SHOWCASE = {
         "band self-join on a compact BIGINT key, verify join only on "
         "surviving candidate pairs"),
     "sim_ann_ivf_topk": (
-        "centroids + probe list broadcast (BroadcastHashJoin), candidate "
-        "set restricted to nprobe cids before scoring, TopK final"),
+        "assignment = literal-centroid argmax on the RAW vector (zero "
+        "shuffle, argmax invariant to the row norm; r7 — replaces the "
+        "crossJoin+row_number exchange), probe list broadcast "
+        "(BroadcastHashJoin), candidate set restricted to nprobe cids, "
+        "normalized scoring only on candidates (no corpus self-join), "
+        "TopK final"),
     "multimodal_catalog": (
         "single ArrowEvalPython/MapInPandas stage over the scan — binary "
         "payloads never shuffle, parallelism = input splits (fan-out "
