@@ -134,6 +134,9 @@ HEADLINE += [
     "r3_partition_change_rotation",
     "p4_hourly_partitioner",
     "orders_without_recent_lineitems",
+    # round-7 late additions
+    "corpus_dsir_weights",
+    "sim_hybrid_rrf_topk",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -704,3 +704,45 @@ def embedding_diversity_oracle_sql(table_expr: str, group_col: str = "label",
              AS mean_pairwise_cosine,
            ROUND(sqrt(ss) / n, 4) AS centroid_norm
     FROM n JOIN ssq USING ({group_col})"""
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", score_a: str = "score",
+             score_b: str = "cosine", kk: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval legs (Cormack, Clarke &
+    Buettcher, SIGIR 2009 — the public formula Elasticsearch/Vespa ship):
+
+        rrf(d) = sum over legs of 1 / (kk + rank_leg(d))
+
+    with a leg contributing 0 for documents outside its list. The hybrid
+    keyword+vector retrieval a training-data pipeline runs for targeted
+    curation (find docs that are lexically AND semantically close to a
+    probe) — rank fusion needs no score calibration between BM25 and
+    cosine, which live on incomparable scales.
+
+    Both inputs are ALREADY top-R lists (bounded frames — bm25_topk /
+    topk_cosine legs are TakeOrderedAndProject, per-partition heaps);
+    the unpartitioned rank windows and the full-outer join here touch at
+    most R rows per leg, so the single-partition window is a deliberate
+    bounded-driver-merge, not a scale risk. Ranks are assigned by
+    (rounded score DESC, id) — deterministic across engines.
+
+    Returns (id_col, rank_a BIGINT nullable, rank_b BIGINT nullable,
+    rrf) — the k highest-fused docs, ties broken by id.
+    """
+    from pyspark.sql.window import Window
+
+    wa = Window.orderBy(F.col(score_a).desc(), F.col(id_col))
+    ra = ranked_a.select(
+        F.col(id_col), F.row_number().over(wa).cast("long").alias("rank_a"))
+    wb = Window.orderBy(F.col(score_b).desc(), F.col(id_col))
+    rb = ranked_b.select(
+        F.col(id_col), F.row_number().over(wb).cast("long").alias("rank_b"))
+    fused = ra.join(rb, id_col, "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("rank_a")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("rank_b")),
+                        F.lit(0.0)))
+    return (fused.select(id_col, "rank_a", "rank_b",
+                         R.fround(rrf, 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k))

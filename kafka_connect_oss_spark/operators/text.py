@@ -1087,3 +1087,104 @@ def unigram_nll_oracle_sql(table_expr: str, text_col: str = "text",
            ROUND(AVG(-ln(tf.tf / total.t)), 4) AS nll
     FROM pairs p JOIN tf ON p.w = tf.w CROSS JOIN total
     GROUP BY p.{id_col}"""
+
+
+def dsir_importance(docs: DataFrame, target_source: str = "src0",
+                    buckets: int = 1024, alpha: float = 0.5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    source_col: str = "source") -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al. 2023,
+    public DSIR recipe): score every document by how much more likely its
+    hashed unigram features are under a TARGET distribution (here: the
+    docs of ``target_source``) than under the RAW pool (the whole
+    corpus), with add-``alpha`` smoothing over ``buckets`` hashed
+    feature buckets:
+
+        log_weight(d) = sum over tokens w of
+            ln p_target(bucket(w)) - ln p_raw(bucket(w))
+
+    High scores mark raw docs that "look like" the target domain —
+    the standard cheap alternative to a trained quality classifier for
+    domain-matched pretraining selection. Feature hashing uses the
+    cross-engine md5 fold (functions/hashing.base_hash), so the DuckDB
+    oracle reproduces bucket ids bit-for-bit.
+
+    Scale shape: two passes over the corpus, both narrow until their
+    aggregate — (1) FIT: token-explode -> ONE word-count-shaped
+    aggregate onto <= ``buckets`` rows (map-side combined; the shuffle
+    carries bucket ids, never tokens or text), folded with its totals
+    into a <= buckets-row log-ratio model; (2) SCORE: the same explode
+    broadcast-joined to the model (no shuffle), then one id-keyed
+    partial-aggregated sum. Model size is ``buckets``-bounded and
+    scale-invariant; no driver-side collect anywhere.
+
+    Returns (id_col, n_tokens, log_weight) for EVERY doc — token-less
+    docs carry (0, 0.0). log_weight is in nats, rounded to 6 (the
+    per-doc sum is order-jittered at ~1e-14, far below the rounding).
+    """
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    bucket = f"{H.base_hash('_w', 'spark')} % {buckets}"
+    pairs = (_fan_out(docs)
+             .select(F.col(id_col), F.col(source_col),
+                     F.explode(F.expr(tok)).alias("_w"))
+             .select(id_col, source_col, F.expr(bucket).alias("_b")))
+    counts = pairs.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_cr"),
+        F.sum((F.col(source_col) == target_source).cast("long"))
+        .alias("_ct"))
+    # totals as an unpartitioned window over the <= buckets-row aggregate:
+    # a separate .agg() branch would re-run the corpus explode+count a
+    # second time (no CSE across DataFrame branches); the window costs one
+    # single-partition exchange of <= buckets rows instead
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(1))
+    nr = F.sum("_cr").over(w).cast("double")
+    nt = F.sum("_ct").over(w).cast("double")
+    model = counts.select(
+        "_b",
+        (F.log((F.col("_ct") + alpha) / (nt + alpha * buckets))
+         - F.log((F.col("_cr") + alpha) / (nr + alpha * buckets)))
+        .alias("_lr"))
+    scored = (pairs.join(F.broadcast(model), "_b")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                   F.sum("_lr").alias("_s")))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0).cast("long"))
+                    .alias("n_tokens"),
+                    R.fround(F.coalesce(F.col("_s"), F.lit(0.0)), 6)
+                    .alias("log_weight")))
+
+
+def dsir_importance_oracle_sql(table_expr: str, target_source: str = "src0",
+                               buckets: int = 1024, alpha: float = 0.5,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               source_col: str = "source") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    bucket = f"{H.base_hash('_w', 'duckdb')} % {buckets}"
+    return f"""WITH ex AS (
+      SELECT {id_col}, {source_col}, UNNEST({dtok}) AS _w
+      FROM {table_expr}),
+    pairs AS (SELECT {id_col}, {source_col}, {bucket} AS _b FROM ex),
+    counts AS (SELECT _b, CAST(COUNT(*) AS BIGINT) AS _cr,
+                      CAST(SUM(CASE WHEN {source_col} = '{target_source}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS _ct
+               FROM pairs GROUP BY _b),
+    totals AS (SELECT CAST(SUM(_cr) AS DOUBLE) AS _nr,
+                      CAST(SUM(_ct) AS DOUBLE) AS _nt FROM counts),
+    model AS (SELECT _b, ln((_ct + {alpha}) / (_nt + {alpha} * {buckets}))
+                       - ln((_cr + {alpha}) / (_nr + {alpha} * {buckets}))
+                       AS _lr
+              FROM counts CROSS JOIN totals),
+    scored AS (SELECT p.{id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      SUM(m._lr) AS _s
+               FROM pairs p JOIN model m USING (_b) GROUP BY p.{id_col})
+    SELECT d.{id_col},
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(s._s, 0.0), 6) AS log_weight
+    FROM {table_expr} d LEFT JOIN scored s ON d.{id_col} = s.{id_col}"""

@@ -1424,3 +1424,47 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unforced token join; (token, count)/(id, token) pairs are the
     only shuffles (operators/text.py unigram_nll)."""
     return TXT.unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_dsir_weights", TXT.dsir_importance_oracle_sql("documents"))
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-unigram target-vs-raw log ratio,
+    the public importance-resampling data-selection recipe): one
+    bucket-count aggregate fits the <=1024-row model, a broadcast join +
+    id-keyed sum scores every doc — bucket ids and doc ids are the only
+    shuffle keys (operators/text.py dsir_importance)."""
+    return TXT.dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+def _hybrid_rrf_oracle(r: int = 50, k: int = 10, kk: int = 60) -> str:
+    bm = TXT.bm25_topk_oracle_sql("documents", k=r)
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    bm AS ({bm}),
+    cos AS (SELECT e.vec_id AS doc_id, {round_sql(_QDOT, 6)} AS cosine
+            FROM n e, q ORDER BY cosine DESC, e.vec_id LIMIT {r}),
+    ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+               (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a FROM bm),
+    rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+               (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_b FROM cos),
+    f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                 ra.rank_a, rb.rank_b
+          FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+    SELECT doc_id, rank_a, rank_b,
+           ROUND(COALESCE(1.0 / ({kk} + rank_a), 0)
+                 + COALESCE(1.0 / ({kk} + rank_b), 0), 6) AS rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {k}"""
+
+
+@register("sim_hybrid_rrf_topk", _hybrid_rrf_oracle())
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid keyword+vector retrieval: BM25 top-50 and cosine top-50
+    legs (both TakeOrderedAndProject-bounded) fused by reciprocal-rank
+    fusion — rank-based, so no cross-scale score calibration; the fusion
+    join touches <=100 rows (operators/similarity.py rrf_fuse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = TXT.bm25_topk(docs, k=50)
+    q = similarity.query_vector(spark, emb, 0)
+    cos = (similarity.topk_cosine(emb, q, k=50)
+           .withColumnRenamed("vec_id", "doc_id"))
+    return similarity.rrf_fuse(bm, cos, k=10)
