@@ -104,17 +104,23 @@ DRIVER_WINDOW: list[str] = [
     "corpus_weighted_sample", "sim_embedding_diversity", "text_bm25_topk",
     "sim_ann_ivf_kmeans_topk",
     # (3) round-7 plan/guard changes, highest risk first: the LSH family
-    # (size-aware _fan_out + lazy caches), decontamination, 4 sim
-    # representatives of the zero-norm normalization guard (the other 5
-    # sim queries share the identical guarded expression and are
-    # attested by the 116/116 ALL-sweep), the late ANSI-guard queries
-    # whose filter expressions changed on real data (z-score,
+    # (size-aware _fan_out + lazy caches), decontamination (family
+    # representative — corpus_decontam_overlap shares the identical
+    # re-planned shingle path and is attested by the 116/118 ALL-sweep),
+    # sim representatives of the zero-norm normalization guard (the
+    # other sim queries share the identical guarded expression:
+    # sim_topk_bruteforce's normalize+dot+TakeOrdered leg is attested
+    # verbatim inside sim_hybrid_rrf_topk below), the late ANSI-guard
+    # queries whose filter expressions changed on real data (z-score,
     # quality-gated corpora), and multimodal near-dup
     "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_multi_signal",
     "dedup_cleaned_corpus", "corpus_decontaminated",
-    "corpus_decontam_overlap", "sim_ann_lsh_topk", "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk", "sim_ann_ivf_topk",
     "events_daily_anomaly_zscore", "corpus_curated", "corpus_source_cap",
-    "sim_topk_bruteforce", "sim_knn_join", "multimodal_near_dup",
+    "multimodal_near_dup",
+    # (4) round-7 late additions — registered this round, never
+    # driver-attested, so they MUST hold a seat (test_driver_window)
+    "corpus_dsir_weights", "sim_hybrid_rrf_topk", "dedup_semantic_flags",
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE += [
     # round-7 late additions
     "corpus_dsir_weights",
     "sim_hybrid_rrf_topk",
+    "dedup_semantic_flags",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

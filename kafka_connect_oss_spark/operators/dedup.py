@@ -792,3 +792,47 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                 V.dot(F.col("nv_a"), F.col("nv_b")), 4))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def semdedup_flags(embeddings: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.95, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Semantic deduplication (the public SemDeDup recipe, Abbas et al.
+    2023): cluster the embedding space, then mark as duplicates the
+    vectors with a cosine-similar LOWER-id neighbor in the SAME cluster
+    — the cluster scoping is what makes semantic dedup tractable, since
+    candidate pairs never cross cluster boundaries.
+
+    Clustering reuses the IVF machinery (similarity.ivf_centroids seed
+    stand-in here, SQL-expressible for the oracle; swap in
+    kmeans_centroids at deploy time — identical downstream plan). The
+    within-cluster self-join is quadratic ONLY in cluster size: at
+    production scale ``n_centroids`` grows with the corpus (SemDeDup
+    runs ~100k clusters) so cluster populations — and the join fan-out —
+    stay bounded; the join key is the cid the table would be physically
+    partitioned by. Keep-lowest-id matches the exact-dedup
+    representative policy; zero-norm vectors (normalized form NULL under
+    the round-7 guard) pair with nothing and stay is_dup = false in both
+    engines.
+
+    Returns corpus-sized (id_col, cid, is_dup) — callers keep
+    ``NOT is_dup`` rows.
+    """
+    from kafka_connect_oss_spark.operators import similarity as S
+
+    cents = S.ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    assigned = S.ivf_assign(embeddings, cents, vec_col, id_col,
+                            keep_nv=True)
+    a = assigned.select(F.col(id_col).alias("id_a"), "cid",
+                        F.col("nv").alias("nva"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "cid",
+                        F.col("nv").alias("nvb"))
+    cos = R.fround(V.dot(F.col("nva"), F.col("nvb")), 6)
+    dup_ids = (a.join(b, "cid")
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(cos >= threshold)
+               .select(F.col("id_b").alias(id_col)).distinct())
+    return (assigned.select(id_col, "cid")
+            .join(dup_ids.withColumn("_d", F.lit(True)), id_col, "left")
+            .select(id_col, "cid",
+                    F.coalesce("_d", F.lit(False)).alias("is_dup")))

@@ -23,6 +23,7 @@ from kafka_connect_oss_spark.sources.batch import load_table
 # production defaults live in the operator signatures
 JACCARD_DEMO = 0.08
 COSINE_DEMO = 0.12
+SEMDEDUP_DEMO = 0.3
 
 _DTOK = X.sql_tokens("text", "duckdb")
 _DSH3 = f"list_distinct({H.word_shingles(_DTOK, 3, 'duckdb')})"
@@ -1468,3 +1469,32 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = (similarity.topk_cosine(emb, q, k=50)
            .withColumnRenamed("vec_id", "doc_id"))
     return similarity.rrf_fuse(bm, cos, k=10)
+
+
+def _semdedup_oracle(n_centroids: int = 16, thr: float = SEMDEDUP_DEMO) -> str:
+    return f"""WITH {_NORM_E},
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id < {n_centroids}),
+    scored AS (SELECT e.vec_id, c.cid, list_dot_product(e.nv, c.cv) AS ccos
+               FROM n e CROSS JOIN c),
+    assigned AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn FROM scored) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cid, n.nv FROM assigned a JOIN n USING (vec_id)),
+    dups AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+             WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= {thr})
+    SELECT a.vec_id, a.cid, (d.vec_id IS NOT NULL) AS is_dup
+    FROM av a LEFT JOIN dups d ON a.vec_id = d.vec_id"""
+
+
+@register("dedup_semantic_flags", _semdedup_oracle())
+def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup flags: IVF-cluster the embeddings, then a
+    cluster-scoped cosine self-join marks every vector with a similar
+    lower-id neighbor — quadratic only in cluster size, the cid is the
+    physical partition key at scale (operators/dedup.py semdedup_flags).
+    Demo threshold 0.3 flags a minority of the synthetic corpus (~1/3
+    — ambient within-cluster cosine is high on the small shared
+    vocabulary); production default is 0.95."""
+    return dedup.semdedup_flags(
+        load_table(spark, sf_dir, "embeddings"), threshold=SEMDEDUP_DEMO)

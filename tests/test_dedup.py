@@ -187,3 +187,25 @@ def test_incremental_status_all_three_classes(spark):
                                           jaccard_threshold=0.3).collect()}
     assert got == {1: "dup_exact", 3: "kept", 5: "dup_exact",
                    7: "dup_near", 9: "kept"}
+
+
+def test_semdedup_flags_planted_duplicate(spark, sf_dir):
+    """An exact copy of an existing vector under a higher id must be
+    flagged; the lowest id of every cluster can never be flagged."""
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = (emb.where(F.col("vec_id") == 17)
+             .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    out = dedup.semdedup_flags(emb.union(clone), threshold=0.999)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[100017].is_dup          # identical vector, higher id
+    assert rows[100017].cid == rows[17].cid
+    assert not rows[17].is_dup          # original keeps its seat
+    # cluster minima are structurally never duplicates
+    by_cid = {}
+    for r in rows.values():
+        by_cid.setdefault(r.cid, []).append(r)
+    for members in by_cid.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert not lowest.is_dup
