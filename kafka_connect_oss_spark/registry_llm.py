@@ -1038,8 +1038,18 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    cpairs = dedup.embedding_near_dup(emb, threshold=COSINE_DEMO)
-    hashed = dedup.with_shingle_hashes(docs).select(
+    # lazy cache: the embedding pair join feeds three consumers (two id
+    # projections + the verify join); the first action populates it once
+    cpairs = dedup.embedding_near_dup(emb, threshold=COSINE_DEMO).cache()
+    # make the docstring's semi-join pushdown REAL: Catalyst will not
+    # reorder the (expensive) shingle-hash projection below the join on
+    # its own, so restrict docs to candidate ids BEFORE hashing — the
+    # md5-shingle chain then scales with candidates, not the corpus
+    cand_ids = (cpairs.select(F.col("id_a").alias("doc_id"))
+                .union(cpairs.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    hashed = dedup.with_shingle_hashes(
+        docs.join(cand_ids, "doc_id", "semi")).select(
         "doc_id", F.expr("hh").alias("hh"))
     ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("hh").alias("h_a"))
     hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("hh").alias("h_b"))
