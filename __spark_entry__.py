@@ -116,11 +116,15 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh_pairs", "dedup_clusters", "dedup_multi_signal",
     "dedup_cleaned_corpus", "corpus_decontaminated",
     "sim_ann_lsh_topk", "sim_ann_ivf_topk",
-    "events_daily_anomaly_zscore", "corpus_curated", "corpus_source_cap",
+    "events_daily_anomaly_zscore", "corpus_curated",
     "multimodal_near_dup",
     # (4) round-7 late additions — registered this round, never
-    # driver-attested, so they MUST hold a seat (test_driver_window)
+    # driver-attested, so they MUST hold a seat (test_driver_window).
+    # corpus_source_cap ceded its seat to corpus_cluster_quota_sample,
+    # which embeds source_cap's exact quality fragment AND two-phase
+    # salted top-k shape (plus the IVF assign) — transitive coverage
     "corpus_dsir_weights", "sim_hybrid_rrf_topk", "dedup_semantic_flags",
+    "corpus_cluster_quota_sample",
 ]
 
 

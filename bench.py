@@ -138,6 +138,7 @@ HEADLINE += [
     "corpus_dsir_weights",
     "sim_hybrid_rrf_topk",
     "dedup_semantic_flags",
+    "corpus_cluster_quota_sample",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -252,16 +252,22 @@ _SOURCE_CAP = 10
 _CAP_SALT = 8
 
 
-def _source_cap_oracle() -> str:
+def _quality_sql() -> str:
+    """The composite-quality fragment over a token list column ``t`` —
+    shared by every quota oracle so the formula can't drift."""
     n_tok = "len(t)"
     distinct_ratio = f"(len(list_distinct(t)) / CAST({n_tok} AS DOUBLE))"
     stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
                   f" / CAST({n_tok} AS DOUBLE))")
-    quality = (f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 "
-               f"THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) + "
-               f"CAST(0.3 AS DOUBLE) * {distinct_ratio} + "
-               f"CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} > 0 "
-               f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+    return (f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 "
+            f"THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) + "
+            f"CAST(0.3 AS DOUBLE) * {distinct_ratio} + "
+            f"CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} > 0 "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+
+
+def _source_cap_oracle() -> str:
+    quality = _quality_sql()
     return f"""WITH tok AS (
       SELECT source, doc_id, {_DTOK} AS t FROM documents),
     q AS (SELECT source, doc_id, {round_sql(quality, 4)} AS quality
@@ -1508,3 +1514,58 @@ def dedup_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary); production default is 0.95."""
     return dedup.semdedup_flags(
         load_table(spark, sf_dir, "embeddings"), threshold=SEMDEDUP_DEMO)
+
+
+#: per-cluster quota of the diversity-balanced sample
+_CLUSTER_QUOTA = 20
+
+
+def _cluster_quota_oracle(n_centroids: int = 16,
+                          quota: int = _CLUSTER_QUOTA) -> str:
+    quality = _quality_sql()
+    return f"""WITH {_NORM_E},
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n WHERE vec_id < {n_centroids}),
+    scored AS (SELECT e.vec_id, c.cid, list_dot_product(e.nv, c.cv) AS ccos
+               FROM n e CROSS JOIN c),
+    assigned AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn FROM scored) WHERE rn = 1),
+    tok AS (SELECT doc_id, {_DTOK} AS t FROM documents),
+    q AS (SELECT doc_id, {round_sql(quality, 4)} AS quality FROM tok),
+    j AS (SELECT a.cid, q.doc_id, q.quality
+          FROM assigned a JOIN q ON a.vec_id = q.doc_id),
+    ranked AS (SELECT cid, doc_id, quality,
+                      ROW_NUMBER() OVER (PARTITION BY cid
+                          ORDER BY quality DESC, doc_id) AS rk FROM j)
+    SELECT cid, doc_id, quality, rk FROM ranked WHERE rk <= {quota}"""
+
+
+@register("corpus_cluster_quota_sample", _cluster_quota_oracle())
+def corpus_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the D4/SemDeDup-line recipe,
+    public): IVF-cluster the embedding space, then keep the top
+    _CLUSTER_QUOTA docs PER CLUSTER by quality — quotas over learned
+    semantic clusters de-bias the mixture the way corpus_source_cap does
+    over crawl metadata, but against semantic redundancy the metadata
+    can't see. Same salted two-phase top-k as source_cap (a hot cluster
+    never sorts in one task); the cluster assign is the zero-shuffle
+    literal-centroid argmax."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = similarity.ivf_centroids(emb, 16)
+    assigned = (similarity.ivf_assign(emb, cents)
+                .withColumnRenamed("vec_id", "doc_id"))
+    q = TXT.quality_score(docs).select("doc_id", "quality")
+    base = assigned.join(q, "doc_id")
+    w1 = (Window.partitionBy("cid", "_s")
+          .orderBy(F.col("quality").desc(), "doc_id"))
+    part = (base.withColumn("_s", F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(_CAP_SALT)).cast("int"))
+            .withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= _CLUSTER_QUOTA))
+    w2 = Window.partitionBy("cid").orderBy(F.col("quality").desc(), "doc_id")
+    return (part.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= _CLUSTER_QUOTA)
+            .select("cid", "doc_id", "quality", "rk"))

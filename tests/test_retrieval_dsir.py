@@ -74,3 +74,22 @@ def test_rrf_both_legs_beat_single_leg_at_equal_rank(spark):
     rows = {r.doc_id: r.rrf for r in
             similarity.rrf_fuse(a, b, k=10).collect()}
     assert rows[1] > rows[2] and rows[1] > rows[3]
+
+
+def test_cluster_quota_sample_respects_quota_and_order(spark, sf_dir):
+    """Per-cluster quota: <= 20 rows per cid, ranked by (quality desc,
+    doc_id), and every kept doc outranks every dropped doc of its own
+    cluster — the salted two-phase window must equal the plain window."""
+    import kafka_connect_oss_spark.registry_llm  # noqa: F401 (registers)
+    from kafka_connect_oss_spark.registry import QUERIES
+
+    out = QUERIES["corpus_cluster_quota_sample"](spark, sf_dir).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, []).append(r)
+    for cid, rows in by_cid.items():
+        assert len(rows) <= 20
+        ranked = sorted(rows, key=lambda r: r.rk)
+        keys = [(-r.quality, r.doc_id) for r in ranked]
+        assert keys == sorted(keys)
+        assert [r.rk for r in ranked] == list(range(1, len(rows) + 1))
