@@ -291,9 +291,10 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
                      n_iters: int = 5, vec_col: str = "embedding",
                      id_col: str = "vec_id",
                      metric: str = "cosine",
-                     tol: float = 1e-3) -> DataFrame:
-    """Fitted centroids: distributed k-means (Lloyd's), the deploy-time
-    replacement for the seed stand-ins.
+                     tol: float = 1e-3,
+                     sample_size: int = 65536) -> DataFrame:
+    """Fitted centroids: sample-trained k-means (Lloyd's), the
+    deploy-time replacement for the seed stand-ins.
 
     ``metric="cosine"`` (IVF over unit vectors): inputs are normalized
     once, assignment is argmax-dot, means re-normalize each round
@@ -301,36 +302,33 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     inputs are taken as-is, assignment is argmin squared distance with
     first-index tie-break (mirroring pq_encode), means stay raw.
 
-    Spark-first shape per iteration (the same skeleton MLlib's KMeans
-    runs, expressed directly in DataFrame ops):
+    Round-7 shape — the faiss/ScaNN coarse-quantizer recipe (public):
+    TRAIN on a bounded sample, ASSIGN distributed. A fully distributed
+    Lloyd's pays one Spark job launch + a k x d collect PER ITERATION —
+    measured to dominate the fit wall-clock at every SF — while a
+    k<=1024 coarse quantizer gains nothing from seeing more than ~100k
+    training vectors. So:
 
-      * ASSIGN — centroids inlined as a k x d literal (k*d doubles, the
-        "model broadcast"); nearest centroid per row is one narrow
-        argmax-by-dot expression inside codegen: no join, no shuffle, no
-        Python. Ties break to the lowest cid (max over (dot, -cid)).
-      * UPDATE — per-dimension means via posexplode -> partial map-side
-        aggregation: the shuffle carries at most k * d * partitions
-        partial sums, never vectors. k*d means (~1k doubles) collect to
-        the driver, are re-normalized to unit length (spherical k-means —
-        scoring is cosine), and become the next literal.
+      * SAMPLE — one deterministic hash-stride filter
+        (base_hash(id) % ceil(n/sample_size) = 0): content-stable, so
+        re-runs/retries/different partitionings train on the SAME rows
+        at any scale; the collect is ~sample_size rows regardless of
+        corpus size (scale-invariant driver traffic). The preceding
+        count() is a column-pruned metadata-cheap scan.
+      * FIT — Lloyd's in numpy over the sorted-by-id sample:
+        microseconds per round, zero job launches. Assignment ties
+        break to the lowest cid (np.arg{max,min} first-hit), means are
+        rounded to 9 decimals before normalizing, empty clusters keep
+        their previous centroid — bit-for-bit re-runnable on the same
+        sample.
+      * (callers then ASSIGN the full corpus with ivf_assign's
+        zero-shuffle literal-centroid argmax.)
 
-    Empty clusters keep their previous centroid. Means are rounded to 9
-    decimals before normalizing so run-to-run float-summation jitter
-    cannot leak into the returned model's magnitude. Deterministic init
-    (the k lowest-id vectors) — no Date.now/rand anywhere.
-
-    Early exit (round-7): each Lloyd round costs one full job launch +
-    a k x d collect, so on converged data the fixed per-iteration
-    latency dominates the fit. The max absolute centroid movement is
-    already known driver-side after each UPDATE; when it drops to
-    ``tol`` the loop stops. Default 1e-3: on unit vectors a per-
-    component movement below 1e-3 leaves assignments essentially
-    frozen, and the remaining rounds buy recall no test can detect
-    while each costing a full job launch. Deterministic — the movement
-    is computed from the same rounded means every run, and the lazy
-    DuckDB oracle refits through this very function, so query and
-    oracle stop at the same round. ``tol=0`` restores fixed-iteration
-    behavior.
+    Early exit: stop when max absolute centroid movement <= ``tol``
+    (default 1e-3 on unit vectors; ``tol=0`` restores fixed
+    iterations). Deterministic end-to-end — no Date.now/rand anywhere —
+    and the lazy DuckDB oracle refits through this very function on the
+    same data, so query and oracle carry the identical model.
 
     Not SQL-oracle-expressible (iterative); correctness is pinned by
     recall-floor and invariant tests (test_similarity_kmeans.py) instead
@@ -339,73 +337,57 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     """
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
+    import numpy as np
+
+    from kafka_connect_oss_spark.functions import hashing as H
+
     spark = embeddings.sparkSession
-    # one preparation pass, materialized: every Lloyd's iteration scans
-    # this frame — without the cache each round re-reads the source and
-    # re-runs the normalize fold (measured ~40% of fit time at sf0.1)
     if metric == "cosine":
         e = with_normalized(embeddings, vec_col).select(id_col, "nv")
     else:
         e = embeddings.select(
             id_col, F.expr(f"cast({vec_col} as array<double>)").alias("nv"))
-    e = e.cache()
-    seed_rows = e.orderBy(id_col).limit(n_centroids).collect()
-    if len(seed_rows) < n_centroids:
-        raise ValueError(
-            f"need >= {n_centroids} vectors, got {len(seed_rows)}")
-    cents = [list(r.nv) for r in seed_rows]
-    d = len(cents[0])
+    n = embeddings.count()
+    if n < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors, got {n}")
+    step = max(1, n // sample_size)
+    samp = e if step == 1 else e.where(F.expr(
+        f"{H.base_hash(f'CAST({id_col} AS STRING)', 'spark')} % {step} = 0"))
+    rows = sorted(samp.collect(), key=lambda r: r[0])
+    if len(rows) < n_centroids:
+        # pathological stride underflow: bounded deterministic fallback
+        rows = e.orderBy(id_col).limit(sample_size).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cents = X[:n_centroids].copy()      # k lowest-id sample vectors
 
     for _ in range(n_iters):
-        lit = _lit_vecs(cents)
         if metric == "cosine":
-            dots = (f"transform({lit}, c -> aggregate(zip_with(nv, c, "
-                    f"(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
-            nearest = (f"-array_max(zip_with({dots}, "
-                       f"sequence(1, {len(cents)}), "
-                       f"(dd, j) -> named_struct('dd', dd, 'nj', -j))).nj")
+            assign = np.argmax(X @ cents.T, axis=1)
         else:
-            dists = (f"transform({lit}, c -> aggregate(zip_with(nv, c, "
-                     f"(x, y) -> (x - y) * (x - y)), 0D, "
-                     f"(acc, v) -> acc + v))")
-            nearest = (f"array_min(zip_with({dists}, "
-                       f"sequence(1, {len(cents)}), "
-                       f"(dd, j) -> named_struct('dd', dd, 'j', j))).j")
-        assigned = e.withColumn("cid", F.expr(nearest).cast("int"))
-        stats = (assigned
-                 .select("cid", F.posexplode("nv").alias("pos", "val"))
-                 .groupBy("cid", "pos")
-                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                 .collect())
-        sums: dict[int, list[float]] = {}
-        counts: dict[int, int] = {}
-        for r in stats:
-            sums.setdefault(r.cid, [0.0] * d)[r.pos] = r.s
-            counts[r.cid] = r.n
-        new_cents = []
-        for ci in range(1, n_centroids + 1):
-            if ci not in sums or counts[ci] == 0:
-                new_cents.append(cents[ci - 1])     # empty cluster: keep
-                continue
-            mean = [round(x / counts[ci], 9) for x in sums[ci]]
+            d2 = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ cents.T)
+                  + (cents * cents).sum(axis=1)[None, :])
+            assign = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for ci in range(n_centroids):
+            mask = assign == ci
+            if not mask.any():
+                continue                            # empty cluster: keep
+            mean = np.round(X[mask].mean(axis=0), 9)
             if metric == "l2":
-                new_cents.append(mean)
+                new[ci] = mean
                 continue
-            norm = sum(x * x for x in mean) ** 0.5
+            norm = float(np.sqrt((mean * mean).sum()))
             if norm == 0.0:
-                new_cents.append(cents[ci - 1])
                 continue
-            new_cents.append([x / norm for x in mean])
-        moved = max((abs(a - b)
-                     for nc, oc in zip(new_cents, cents)
-                     for a, b in zip(nc, oc)), default=0.0)
-        cents = new_cents
+            new[ci] = mean / norm
+        moved = float(np.abs(new - cents).max())
+        cents = new
         if moved <= tol:
             break
 
-    e.unpersist()
     return spark.createDataFrame(
-        [(ci + 1, cents[ci]) for ci in range(n_centroids)],
+        [(ci + 1, [float(x) for x in cents[ci]])
+         for ci in range(n_centroids)],
         "cid int, cv array<double>")
 
 

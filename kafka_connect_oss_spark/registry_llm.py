@@ -660,15 +660,17 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_ivf_kmeans_topk")  # oracle is LAZY — see below
 def sim_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with FITTED centroids (operators/similarity.kmeans_centroids):
-    distributed spherical Lloyd's — broadcast-literal assign (narrow,
-    codegen) + per-dimension partial-agg update — replacing the seed
-    stand-in the oracle-checked sim_ann_ivf_topk uses. The iterative fit
-    itself is not SQL-expressible, but the fit is DETERMINISTIC (means
-    rounded to 9 decimals per round absorb partial-sum order jitter), so
-    the lazy oracle below re-runs it and inlines the fitted centroids as
-    literals into the IVF oracle template — DuckDB hash-checks everything
-    downstream of the fit (assign, probe, top-k). Model invariants stay
-    pinned by tests/test_similarity_kmeans.py."""
+    the faiss-style coarse-quantizer recipe — spherical Lloyd's in numpy
+    over a deterministic hash-stride sample (bounded, content-stable
+    collect), then the zero-shuffle literal-centroid assign over the
+    full corpus — replacing the seed stand-in the oracle-checked
+    sim_ann_ivf_topk uses. The iterative fit itself is not
+    SQL-expressible, but it is DETERMINISTIC (sorted-by-id sample,
+    means rounded to 9 decimals per round), so the lazy oracle below
+    re-runs it and inlines the fitted centroids as literals into the
+    IVF oracle template — DuckDB hash-checks everything downstream of
+    the fit (assign, probe, top-k). Model invariants stay pinned by
+    tests/test_similarity_kmeans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = similarity.query_vector(spark, emb, 0)
     cents = similarity.kmeans_centroids(emb, n_centroids=16, n_iters=5)
