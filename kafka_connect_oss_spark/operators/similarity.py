@@ -356,7 +356,17 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
     rows = sorted(samp.collect(), key=lambda r: r[0])
     if len(rows) < n_centroids:
         # pathological stride underflow: bounded deterministic fallback
-        rows = e.orderBy(id_col).limit(sample_size).collect()
+        rows = sorted(e.orderBy(id_col).limit(sample_size).collect(),
+                      key=lambda r: r[0])
+    # a zero-norm embedding normalizes to an array of NULLs under the
+    # round-7 guard — it can anchor no centroid, so drop it from the
+    # TRAINING sample (ivf_assign still assigns it downstream, to the
+    # lowest cid, exactly as before)
+    rows = [r for r in rows
+            if r[1] is not None and all(x is not None for x in r[1])]
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} usable vectors, got {len(rows)}")
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     cents = X[:n_centroids].copy()      # k lowest-id sample vectors
 

@@ -95,3 +95,15 @@ def test_kmeans_l2_assignment_is_argmin_distance(spark):
                                         metric="l2")
     vals = sorted(r.cv[0] for r in cents.collect())
     assert abs(vals[0] - 2.0) < 1.0 and abs(vals[1] - 12.0) < 1.0
+
+
+def test_kmeans_fit_survives_zero_norm_vector(spark, emb):
+    # a zero embedding normalizes to an all-NULL array (round-7 guard);
+    # the fit must train without it and still assign it downstream
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<double>")
+    both = emb.select("vec_id", "embedding").union(zero)
+    cents = similarity.kmeans_centroids(both, n_centroids=8, n_iters=2)
+    assert cents.count() == 8
+    assigned = similarity.ivf_assign(both, cents)
+    assert assigned.where(F.col("vec_id") == 99999).count() == 1
