@@ -483,6 +483,43 @@ def incremental_dedup_status_from_tables(
                                id_col, ngram, jaccard_threshold)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Content-hash diff of two corpus snapshots — the incremental-ingest
+    lineage audit: which documents a new snapshot added, removed, changed
+    or kept, decided by content digest rather than timestamps. The batch
+    analog of the reference's deterministic re-upload story (README.md:
+    119-125 — unchanged offsets re-produce byte-identical objects, so a
+    diff of two uploads shows only real changes).
+
+    Per id in the union of both snapshots:
+
+      * ``added``     — id only in ``new``;
+      * ``removed``   — id only in ``old``;
+      * ``changed``   — id in both, content digests differ;
+      * ``unchanged`` — id in both, byte-identical content.
+
+    Expects one row per id per snapshot (a corpus snapshot's natural key).
+
+    Scale posture: each side collapses to (id, 16-byte md5) before the
+    single full-outer id join — the only shuffle, carrying ~24 bytes/row.
+    At deploy scale write both snapshots' digest frames bucketed by id
+    (operators/bucketing.py, as ``compact_base_tables`` does for dedup
+    state) and the diff is exchange-free; the digest projection itself is
+    narrow codegen over the scan.
+
+    Returns (id_col, status) — one row per id in either snapshot.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_od"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_nd"))
+    return (o.join(n, id_col, "full_outer")
+            .select(id_col,
+                    F.when(F.col("_od").isNull(), F.lit("added"))
+                    .when(F.col("_nd").isNull(), F.lit("removed"))
+                    .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+                    .otherwise(F.lit("changed")).alias("status")))
+
+
 def connectivity_edges(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", ngram: int = 3,
                        jaccard_threshold: float = 0.3) -> DataFrame:

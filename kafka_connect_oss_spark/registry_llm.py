@@ -1152,6 +1152,41 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TXT.token_budget(load_table(spark, sf_dir, "documents"))
 
 
+_SNAPSHOT_DIFF_ORACLE = """WITH
+    olds AS (SELECT doc_id, md5(text) AS od FROM documents
+             WHERE doc_id % 10 <> 9),
+    news AS (SELECT doc_id,
+                    md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]'
+                             ELSE text END) AS nd
+             FROM documents WHERE doc_id % 10 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN od = nd THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id"""
+
+
+@register("corpus_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest lineage audit (operators/dedup.py snapshot_diff):
+    content-hash full-outer diff of two corpus snapshots. The demo carves
+    both snapshots from the documents table — the 'old' snapshot lacks the
+    doc_id%10==9 stratum (those arrive as ``added``), the 'new' one drops
+    doc_id%10==0 (``removed``) and rewrites doc_id%7==3 (``changed``);
+    everything else is byte-identical (``unchanged``). One digest-narrowed
+    full-outer id join — see the operator docstring for the bucketed
+    exchange-free form at deploy scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 9)
+    new = (docs.where(F.col("doc_id") % 10 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 3,
+                              F.concat(F.col("text"), F.lit(" [rev2]")))
+                       .otherwise(F.col("text"))))
+    return dedup.snapshot_diff(old, new)
+
+
 #: the synthetic embeddings table is 64-dimensional (TESTDATA.md)
 _EMB_DIM = 64
 

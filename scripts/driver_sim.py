@@ -26,7 +26,10 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF}/{t}.parquet')")
 
-names = list(qs) if os.environ.get("ALL") else list(qs)[:50]
+if os.environ.get("ONLY"):
+    names = [n.strip() for n in os.environ["ONLY"].split(",") if n.strip()]
+else:
+    names = list(qs) if os.environ.get("ALL") else list(qs)[:50]
 bad = []
 for name in names:
     try:
