@@ -30,7 +30,16 @@ from kafka_connect_oss_spark.functions import rounding as R
 from kafka_connect_oss_spark.functions import vectors as V
 
 N_MINHASH = len(H.MINHASH_COEFFS)  # 8
-N_BANDS = 4                        # bands of 2 -> catches jaccard ~> 0.3 pairs
+#: bands of 2 over the 8-slot signature. Candidate recall follows the LSH
+#: s-curve 1-(1-J^2)^4: ~31% at J=0.3, ~68% at J=0.5, ~96% at J=0.8 —
+#: the banded tier is a high-J filter whose precision (not recall) is
+#: exact via verification. Consumers that need exact recall at low
+#: thresholds use the shingle-posting candidates (incremental tier) or
+#: the blocked exact tier (ngram_jaccard_pairs).
+N_BANDS = 4
+#: shingles whose base-side document frequency exceeds this are skipped
+#: during incremental candidate generation (see incremental_dedup_status)
+HOT_SHINGLE_DF_CAP = 8192
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -287,6 +296,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     shingle-hash sets -> threshold. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard rounded to 4 (exact rational both engines).
 
+    Recall is the banding s-curve, NOT exact: with 8 hashes in 4 bands
+    of 2, a pair at jaccard J is a candidate with probability
+    1-(1-J^2)^4 — ~31% at J=0.3, ~68% at J=0.5, ~96% at J=0.8, >99.9%
+    at J=0.95. Precision IS exact (every emitted pair is verified).
+    This is the deliberate trade of the unblocked whole-corpus tier:
+    it exists to catch high-J duplicates sub-quadratically. Consumers
+    needing exact recall at a low threshold use ``ngram_jaccard_pairs``
+    (blocked) or the incremental tier's shingle-posting candidates.
+
     Hot-band guard: identical texts are collapsed to ONE representative
     before banding (md5 identity groups), so a mega-cluster of k identical
     boilerplate pages contributes one signature to the band join instead
@@ -320,11 +338,23 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     return cross.unionByName(intra)
 
 
+def shingle_set_frame(docs: DataFrame, text_col: str = "text",
+                      ngram: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id, hh) per-doc distinct shingle-hash set — ``signature_frame``
+    without the 8 minhash folds, for consumers that candidate on the
+    hashes themselves rather than on banded signatures (the exact
+    incremental tier). Same one map-side-combined aggregate."""
+    return (shingle_hash_pairs(docs, text_col, ngram, id_col)
+            .groupBy(id_col).agg(F.collect_list("_h").alias("hh")))
+
+
 def incremental_dedup_status(base: DataFrame, inc: DataFrame,
                              text_col: str = "text", id_col: str = "doc_id",
                              ngram: int = 3,
                              jaccard_threshold: float = 0.3,
-                             base_sig: DataFrame | None = None) -> DataFrame:
+                             base_sig: DataFrame | None = None,
+                             hot_shingle_df_cap: int | None =
+                             HOT_SHINGLE_DF_CAP) -> DataFrame:
     """Incremental (append-batch) dedup: classify each NEW document
     against the already-accepted corpus without re-clustering anything —
     the shape a 100 TB append-mostly pipeline actually runs per ingest
@@ -334,67 +364,97 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
 
       * ``dup_exact`` — byte-identical (md5) to any base doc, or to an
         earlier (smaller-id) doc in the same increment;
-      * ``dup_near``  — verified jaccard >= threshold against some base
-        doc (LSH band join, exact verification);
+      * ``dup_near``  — exact n-gram jaccard >= threshold against some
+        base doc;
       * ``kept``      — neither.
 
-    Scale posture: the base side of the band join is collapsed to ONE
-    representative per distinct content (identical texts band
-    identically), so the join cost is bounded by unique base contents x
-    increment size, never raw corpus size; exact-layer shuffles carry
-    (id, 16-byte digest) only; near-dup pairs WITHIN the increment are
-    deliberately out of contract (they surface at the next compaction) —
-    that keeps the increment path one-directional and cheap. At deploy
-    scale pass ``base_sig`` — the base signature/band table written once
-    at the last compaction (bucketed by band_key) and reused per batch —
-    so only the increment is re-signatured per ingest.
+    Recall contract (round-8 rewrite): ``dup_near`` recall is EXACT, not
+    probabilistic. Candidates are generated by an inverted-index join on
+    the shingle hashes themselves — any pair with jaccard > 0 shares at
+    least one shingle, so every pair meeting the threshold is a
+    candidate and survives exact verification. (The round-7 form used
+    the minhash band join, whose s-curve recall at the 8-hash/4-band
+    configuration is ~31% at J=0.3 — fine for the high-J batch LSH tier,
+    wrong for a tier whose docstring promised threshold semantics; the
+    gap was caught by tests/test_properties_r7.py.) The one bound:
+    shingles whose BASE document frequency exceeds ``hot_shingle_df_cap``
+    (default 8192; ``None`` disables) are excluded from candidate
+    generation, so a pair whose ONLY shared shingles are hotter than the
+    cap is missed — boilerplate n-grams shared by >cap distinct base
+    contents carry ~no identifying signal, and the cap is what bounds
+    the posting join on a 100 TB corpus.
 
-    Latency shape (round-7 rewrite): the whole classification is ONE
-    lazy Spark job at the caller's action — no eager cache / count /
-    checkpoint pre-jobs, no executor storage to release afterwards. The
-    round-6 eager lifecycle cost a measured ~4.3s fixed floor per
-    invocation — the wrong shape for a per-ingest-batch operator; this
-    form measures ~1.1s at sf0.1 AND sf1 (job-launch-bound, flat in
-    data). Each signature subplan is referenced twice (band keys +
-    verification) and deliberately NOT materialized: re-deriving the
-    cheap codegen aggregate inside one AQE-planned job measured 2-3x
-    faster than sharing it through a cache or local checkpoint, whose
-    RDD boundary blocks AQE's size-based join planning. At deploy scale
-    the double-reference falls on ``base_sig``'s bucketed table scan,
-    not on recompute.
+    Scale posture: the base posting list is built over ONE representative
+    per distinct base content, so per-batch join cost is bounded by
+    increment_shingles x capped_df — never corpus size; exact-layer
+    shuffles carry (id, 16-byte digest) only; near-dup pairs WITHIN the
+    increment are deliberately out of contract (they surface at the next
+    compaction) — that keeps the increment path one-directional and
+    cheap. At deploy scale use ``incremental_dedup_status_from_tables``:
+    compaction persists the posting list bucketed by shingle hash, so
+    the candidate join reads the base side co-located and only the
+    (small) increment shuffles per ingest batch. ``base_sig`` accepts a
+    precomputed (id, hh, ...) base-rep frame to skip the in-plan
+    re-shingle.
+
+    Latency shape (round-7 lesson, kept): the whole classification is
+    ONE lazy Spark job at the caller's action — no eager cache / count /
+    checkpoint pre-jobs. Shared subplans (the shingle codegen chain) are
+    deliberately re-derived inside the one AQE-planned job rather than
+    materialized; the round-8 form is also strictly narrower than
+    round 7's, having dropped the 8 minhash folds entirely.
 
     Returns (id_col, status) — one row per increment doc.
     """
     bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
     breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
 
+    base_rep_docs = base.join(
+        breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
     if base_sig is None:
-        base_rep_docs = base.join(
-            breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
-        base_sig = signature_frame(base_rep_docs, text_col, ngram, id_col)
-    bbands = minhash_band_keys(base_sig, id_col).withColumnRenamed(
-        id_col, "base_id")
-    return _classify_increment(breps, base_sig, bbands, inc, text_col,
-                               id_col, ngram, jaccard_threshold)
+        base_sig = shingle_set_frame(base_rep_docs, text_col, ngram, id_col)
+        # postings direct from the pair path: no aggregate, no re-explode
+        bpost = shingle_hash_pairs(base_rep_docs, text_col, ngram,
+                                   id_col).select(
+            F.col(id_col).alias("base_id"), "_h")
+    else:
+        bpost = base_sig.select(F.col(id_col).alias("base_id"),
+                                F.explode("hh").alias("_h"))
+    return _classify_increment(breps, base_sig, bpost, inc, text_col,
+                               id_col, ngram, jaccard_threshold,
+                               hot_shingle_df_cap)
 
 
 def _classify_increment(breps: DataFrame, bsig: DataFrame,
-                        bbands: DataFrame, inc: DataFrame, text_col: str,
+                        bpost: DataFrame, inc: DataFrame, text_col: str,
                         id_col: str, ngram: int,
-                        jaccard_threshold: float) -> DataFrame:
+                        jaccard_threshold: float,
+                        hot_shingle_df_cap: int | None) -> DataFrame:
     """Shared per-batch classification core: `breps` = (_d, _rep) base
-    content digests, `bsig` = (id, hh, msig) base-rep signatures,
-    `bbands` = (base_id, band, band_key) — built in-plan by
-    ``incremental_dedup_status`` or scanned from the compacted bucketed
-    tables by ``incremental_dedup_status_from_tables``."""
+    content digests, `bsig` = (id, hh, ...) base-rep shingle sets (only
+    ``hh`` is read), `bpost` = (base_id, _h) base-rep posting list —
+    built in-plan by ``incremental_dedup_status`` or scanned from the
+    compacted bucketed tables by
+    ``incremental_dedup_status_from_tables``."""
     idd = inc.select(id_col, F.md5(F.col(text_col)).alias("_d"))
     ifirst = idd.groupBy("_d").agg(F.min(id_col).alias("_first"))
 
-    isig = signature_frame(inc, text_col, ngram, id_col)
-    ibands = minhash_band_keys(isig, id_col).withColumnRenamed(
-        id_col, "inc_id")
-    cand = (ibands.join(bbands, ["band", "band_key"])
-            .select("inc_id", "base_id").distinct())
+    # inverted index: one row per distinct base shingle, its posting list
+    # grouped (bounded by the cap) — the join build side is then distinct
+    # shingles, not raw postings, and the hot-shingle filter is a HAVING
+    # on the same aggregate instead of a second agg + anti-join
+    grouped = (bpost.groupBy("_h")
+               .agg(F.collect_list("base_id").alias("_ids")))
+    if hot_shingle_df_cap is not None:
+        grouped = grouped.where(
+            F.expr("size(_ids)") <= hot_shingle_df_cap)
+    ipost = shingle_hash_pairs(inc, text_col, ngram, id_col).select(
+        F.col(id_col).alias("inc_id"), "_h")
+    cand = (ipost.join(grouped, "_h")
+            .select("inc_id", F.explode("_ids").alias("base_id"))
+            .distinct())
+
+    isig = shingle_set_frame(inc, text_col, ngram, id_col)
     ha = isig.select(F.col(id_col).alias("inc_id"),
                      F.col("hh").alias("h_a"))
     hb = bsig.select(F.col(id_col).alias("base_id"),
@@ -439,14 +499,17 @@ def compact_base_tables(base: DataFrame, prefix: str,
     + the object-name offset encoding); here the persisted state is
     content-level instead of offset-level.
 
-      {prefix}_digests (_d, _rep)          bucketed by _d: the per-batch
+      {prefix}_digests  (_d, _rep)         bucketed by _d: the per-batch
           exact-layer join reads base-side co-located, only the (small)
           increment shuffles;
-      {prefix}_sig    (id, hh, msig)       bucketed by id: the
-          verification join's base side;
-      {prefix}_bands  (id->base_id renamed at read, band, band_key)
-          bucketed by band_key: the candidate equi-join's base side —
-          at 100 TB this is the table that must not re-shuffle per batch.
+      {prefix}_sig      (id, hh, msig)     bucketed by id: the
+          verification join's base side (msig retained for consumers
+          that band, e.g. periodic full-LSH compaction over the same
+          state);
+      {prefix}_postings (id->base_id renamed at read, _h) bucketed by
+          _h: the exact candidate equi-join's base side (the inverted
+          index) — at 100 TB this is the table that must not re-shuffle
+          per batch.
 
     Sizing: n_buckets to taste at the target SF (bucketing.py notes).
     """
@@ -461,26 +524,29 @@ def compact_base_tables(base: DataFrame, prefix: str,
     sig = signature_frame(rep_docs, text_col, ngram, id_col)
     write_bucketed(sig, f"{prefix}_sig", [id_col], n_buckets, mode=mode)
     sig_t = base.sparkSession.table(f"{prefix}_sig")
-    write_bucketed(minhash_band_keys(sig_t, id_col), f"{prefix}_bands",
-                   ["band_key"], n_buckets, mode=mode)
+    post = sig_t.select(id_col, F.explode("hh").alias("_h"))
+    write_bucketed(post, f"{prefix}_postings", ["_h"], n_buckets,
+                   mode=mode)
 
 
 def incremental_dedup_status_from_tables(
         spark, prefix: str, inc: DataFrame, text_col: str = "text",
         id_col: str = "doc_id", ngram: int = 3,
-        jaccard_threshold: float = 0.3) -> DataFrame:
+        jaccard_threshold: float = 0.3,
+        hot_shingle_df_cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFrame:
     """Per-batch half of the compacted contract: classify `inc` against
     the ``compact_base_tables`` state. Semantics identical to
     ``incremental_dedup_status`` (pinned by test_round7_ops); cost is
     increment-driven — the base side is three bucketed scans (digest and
-    band joins read co-located base buckets; only increment-sized frames
-    shuffle)."""
+    posting joins read co-located base buckets; only increment-sized
+    frames shuffle)."""
     breps = spark.table(f"{prefix}_digests")
     bsig = spark.table(f"{prefix}_sig")
-    bbands = (spark.table(f"{prefix}_bands")
-              .withColumnRenamed(id_col, "base_id"))
-    return _classify_increment(breps, bsig, bbands, inc, text_col,
-                               id_col, ngram, jaccard_threshold)
+    bpost = (spark.table(f"{prefix}_postings")
+             .withColumnRenamed(id_col, "base_id"))
+    return _classify_increment(breps, bsig, bpost, inc, text_col,
+                               id_col, ngram, jaccard_threshold,
+                               hot_shingle_df_cap)
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",

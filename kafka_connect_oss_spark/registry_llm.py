@@ -1244,14 +1244,8 @@ def sim_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
-    band_selects_b = " UNION ALL ".join(
-        f"SELECT s.doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 "
-        f"+ m{2*b+1} AS band_key FROM sig s JOIN breps ON s.doc_id = breps.rep"
-        for b in range(dedup.N_BANDS))
-    band_selects_i = " UNION ALL ".join(
-        f"SELECT s.doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 "
-        f"+ m{2*b+1} AS band_key FROM sig s WHERE s.doc_id % 2 = 1"
-        for b in range(dedup.N_BANDS))
+    # mirrors the round-8 exact shingle-posting candidate generation
+    # (operators/dedup.py _classify_increment), hot-shingle cap included
     jac = ("len(list_intersect(ha.hh, hb.hh)) / CAST(len(ha.hh) + len(hb.hh)"
            " - len(list_intersect(ha.hh, hb.hh)) AS DOUBLE)")
     return f"""WITH {_sig_cte()},
@@ -1261,11 +1255,15 @@ def _incremental_oracle() -> str:
     incd AS (SELECT doc_id, md5(text) AS d FROM documents
              WHERE doc_id % 2 = 1),
     ifirst AS (SELECT d, MIN(doc_id) AS first_id FROM incd GROUP BY d),
-    bbands AS ({band_selects_b}),
-    ibands AS ({band_selects_i}),
-    cand AS (SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id
-             FROM ibands i JOIN bbands b
-               ON i.band = b.band AND i.band_key = b.band_key),
+    bpost AS (SELECT breps.rep AS base_id, UNNEST(s.hh) AS h
+              FROM hsh s JOIN breps ON s.doc_id = breps.rep),
+    bhot AS (SELECT h FROM bpost GROUP BY h
+             HAVING COUNT(*) > {dedup.HOT_SHINGLE_DF_CAP}),
+    ipost AS (SELECT doc_id AS inc_id, UNNEST(hh) AS h FROM hsh
+              WHERE doc_id % 2 = 1),
+    cand AS (SELECT DISTINCT i.inc_id, b.base_id
+             FROM ipost i JOIN bpost b ON i.h = b.h
+             WHERE i.h NOT IN (SELECT h FROM bhot)),
     near AS (SELECT DISTINCT c.inc_id FROM cand c
              JOIN hsh ha ON ha.doc_id = c.inc_id
              JOIN hsh hb ON hb.doc_id = c.base_id

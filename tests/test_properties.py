@@ -36,7 +36,7 @@ def _df(spark, recs):
     ).withColumn("ts", F.col("epoch").cast("timestamp")).drop("epoch")
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(recs=_records, flush=_flush)
 def test_files_partition_offsets_exactly(spark, recs, flush):
@@ -57,7 +57,7 @@ def test_files_partition_offsets_exactly(spark, recs, flush):
             len(offs) == len(set(offs))           # no duplicate offsets
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(recs=_records, flush=_flush)
 def test_assignment_is_deterministic(spark, recs, flush):
@@ -68,7 +68,7 @@ def test_assignment_is_deterministic(spark, recs, flush):
     assert a == b
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(recs=_records, iv_s=st.integers(1, 2_000))
 def test_anchored_rotation_invariants(spark, recs, iv_s):
@@ -164,7 +164,7 @@ def _py_asof(left, right):
     return sorted(out)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(left=_left_rows, right=_right_rows)
 def test_asof_join_matches_python_model(spark, left, right):
@@ -194,7 +194,7 @@ def _py_range(left, right, lo_s, hi_s):
     return sorted(out)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(left=st.lists(_pair, min_size=1, max_size=10, unique=True),
        right=_right_rows, bounds=st.tuples(st.integers(0, 5),
@@ -221,7 +221,7 @@ _texts = st.lists(
     min_size=1, max_size=12)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_texts, size=st.integers(1, 15), stride=st.integers(1, 15))
 def test_chunking_matches_python_model(spark, texts, size, stride):
@@ -239,7 +239,7 @@ def test_chunking_matches_python_model(spark, texts, size, stride):
     assert got == want
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_texts)
 def test_normalize_text_idempotent_and_clean(spark, texts):

@@ -21,7 +21,7 @@ def _frame(spark, texts):
         [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string")
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs)
 def test_token_entropy_matches_python(spark, texts):
@@ -46,7 +46,7 @@ def test_token_entropy_matches_python(spark, texts):
             assert r.norm_entropy is None
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs)
 def test_unigram_nll_matches_python(spark, texts):
@@ -66,7 +66,7 @@ def test_unigram_nll_matches_python(spark, texts):
         assert r.nll >= -1e-9  # tf/total <= 1 => -ln >= 0
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs, k=st.integers(1, 6))
 def test_weighted_sample_is_topk_of_python_keys(spark, texts, k):
@@ -96,7 +96,7 @@ def hashlib_md5_fold(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs)
 def test_novelty_totals_conserve_first_owners(spark, texts):
@@ -113,7 +113,7 @@ def test_novelty_totals_conserve_first_owners(spark, texts):
         assert 0 <= r.n_novel <= r.n_shingles
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs)
 def test_bm25_matches_python(spark, texts):
@@ -139,7 +139,7 @@ _vals = st.lists(st.floats(-100, 100, allow_nan=False, width=32),
                  min_size=1, max_size=40)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(vals=_vals, p=st.sampled_from([0.1, 0.5, 0.9]))
 def test_exact_quantile_equals_sorted_rank(spark, vals, p):

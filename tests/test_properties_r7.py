@@ -30,7 +30,7 @@ def _shingles(t: str, n: int = 3) -> set:
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs)
 def test_incremental_status_matches_python(spark, texts):
@@ -72,7 +72,7 @@ def test_incremental_status_matches_python(spark, texts):
             assert hits, (i, t)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=_docs)
 def test_ngram_jaccard_hash_intersect_equals_string_sets(spark, texts):
@@ -100,7 +100,7 @@ def test_ngram_jaccard_hash_intersect_equals_string_sets(spark, texts):
                 assert want == 0.0 or key not in got
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(weights=st.lists(st.integers(min_value=0, max_value=10_000),
                         min_size=1, max_size=30),

@@ -21,7 +21,7 @@ def _py_base_hash(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(scores_a=st.lists(st.integers(0, 50), min_size=1, max_size=8,
                          unique=True),
@@ -55,7 +55,7 @@ def test_rrf_matches_python_reference(spark, scores_a, scores_b):
     assert got == want
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=list(HealthCheck))
 @given(texts=st.lists(_doc, min_size=2, max_size=8),
        target_mask=st.lists(st.booleans(), min_size=2, max_size=8))
