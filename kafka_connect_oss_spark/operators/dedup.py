@@ -716,12 +716,19 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
     functions/hashing.py math, so the counts are identical across
     engines by construction; vs the string metric they could differ
     only under an md5 collision INSIDE one document's shingle set.
-    The shingle frame is cached LAZILY so the self-join's two sides
-    share ONE shingle+hash computation (measured 2x at sf0.1 — the
-    per-doc shingling, not the intersect, dominated the bench row).
+    The shingle frame is staged via lifecycle.stage_local so the
+    self-join's two sides share ONE shingle+hash computation (measured
+    2x at sf0.1 — the per-doc shingling, not the intersect, dominated
+    the bench row) WITHOUT pinning a CacheManager entry per invocation:
+    a plain .cache() here leaked corpus-sized executor storage until
+    session end on every call (r07 ADVICE), while the lazy
+    localCheckpoint is released by the JVM ContextCleaner once the
+    caller drops the frame.
     """
-    df = with_shingle_hashes(docs, text_col, ngram).select(
-        id_col, *block_cols, "hh").cache()
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    df = stage_local(with_shingle_hashes(docs, text_col, ngram).select(
+        id_col, *block_cols, "hh"))
     a = df.alias("a")
     b = df.alias("b")
     # nullif guard: two docs BOTH shorter than `ngram` tokens have empty
@@ -913,7 +920,11 @@ def semdedup_flags(embeddings: DataFrame, n_centroids: int = 16,
     production scale ``n_centroids`` grows with the corpus (SemDeDup
     runs ~100k clusters) so cluster populations — and the join fan-out —
     stay bounded; the join key is the cid the table would be physically
-    partitioned by. Keep-lowest-id matches the exact-dedup
+    partitioned by. The assignment step survives that knob: above
+    ``similarity.IVF_LITERAL_MAX_K`` (4096) centroids, ``ivf_assign``
+    switches from inlined-literal argmax to a broadcast-join argmax
+    (r8), so ~100k centroids never become a multi-MB Catalyst
+    expression. Keep-lowest-id matches the exact-dedup
     representative policy; zero-norm vectors (normalized form NULL under
     the round-7 guard) pair with nothing and stay is_dup = false in both
     engines.

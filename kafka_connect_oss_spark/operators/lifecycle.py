@@ -45,7 +45,17 @@ from pyspark.sql import DataFrame
 #: "local" (default) = lazy localCheckpoint, GC-released, lineage severed.
 #: "lineage" = lazy persist keeping full lineage for fault-tolerant
 #: clusters; storage lives until explicitly released / session end.
+#: Default only — tests may monkeypatch it; the env var is re-read on
+#: every stage_local call so flipping SPARK_GRAFT_LIFECYCLE mid-session
+#: (the advertised escape hatch) takes effect immediately.
 LIFECYCLE_MODE = os.environ.get("SPARK_GRAFT_LIFECYCLE", "local")
+_IMPORT_DEFAULT = LIFECYCLE_MODE
+
+
+def _mode() -> str:
+    if LIFECYCLE_MODE != _IMPORT_DEFAULT:
+        return LIFECYCLE_MODE  # monkeypatched module attribute wins
+    return os.environ.get("SPARK_GRAFT_LIFECYCLE", "local")
 
 
 def stage_local(df: DataFrame) -> DataFrame:
@@ -56,7 +66,7 @@ def stage_local(df: DataFrame) -> DataFrame:
     reads the materialized copy. See module docstring for the
     release/fault-tolerance contract of each mode.
     """
-    if LIFECYCLE_MODE == "lineage":
+    if _mode() == "lineage":
         from pyspark import StorageLevel
 
         return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -94,6 +94,13 @@ def decode_real(modality: str, payload: bytes) -> dict:
         try:
             with wave.open(io.BytesIO(payload)) as w:
                 sr = w.getframerate()
+                if sr <= 0:
+                    # a zero framerate field is a malformed header, not a
+                    # decodable WAV — keep the documented contract that
+                    # undecodable payloads raise NotImplementedError
+                    # (ZeroDivisionError would escape it; r07 ADVICE)
+                    raise NotImplementedError(
+                        "WAV header declares zero frame rate")
                 meta.update(sample_rate=sr, channels=w.getnchannels(),
                             duration_ms=w.getnframes() * 1000 // sr,
                             fmt="wav")

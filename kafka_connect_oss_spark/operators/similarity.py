@@ -401,45 +401,88 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 16,
         "cid int, cv array<double>")
 
 
+#: above this many centroids ivf_assign switches from the inlined-literal
+#: argmax to the broadcast-join form: at K=100k, d=32 the literals alone
+#: are a ~50 MB SQL expression — Catalyst tree transforms and codegen
+#: fall over long before that, while a 25 MB broadcast RELATION is
+#: routine. 4096 x 64d ≈ 2 MB of expression stays comfortably inside
+#: analysis/codegen limits.
+IVF_LITERAL_MAX_K = 4096
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               keep_nv: bool = False) -> DataFrame:
+               keep_nv: bool = False,
+               literal_max_k: int = IVF_LITERAL_MAX_K) -> DataFrame:
     """IVF build: nearest centroid per vector. At 100 TB this output IS
     the physical layout — write the table partitioned/clustered by `cid`
     so probes prune files.
 
-    Round-7 shape: the K centroids (k x d doubles, bounded) are collected
-    once and inlined as the literal "model broadcast" — the same ASSIGN
-    expression the k-means fit runs — so assignment is one NARROW argmax
-    pass with ZERO shuffle. The previous form crossJoined the broadcast
-    centroid frame (k x corpus rows) and ranked with a row_number window,
-    paying a full id-keyed exchange of the exploded frame for the same
-    answer. Ties still break to the lowest cid (argmax over
-    (dot, -cid)), matching the oracle's row_number ordering exactly.
+    Two physical strategies, switched on K (round-8; parity pinned by
+    test_round8_ops.py::test_ivf_assign_join_path_matches_literal):
 
-    The argmax runs on the RAW vector: argmax_c dot(v, c) = argmax_c
-    cos(v, c) because the row's norm is a positive per-row constant —
-    and an inlined normalize would be re-evaluated once per centroid
-    inside the lambda (HOF lambdas don't CSE outer expressions; measured
-    10x slower). A zero vector ties every centroid and takes the lowest
-    cid, exactly as the old window form ranked its all-NULL scores.
+    * K <= ``literal_max_k`` (the coarse-quantizer regime): the K
+      centroids (k x d doubles, bounded) are collected once and inlined
+      as the literal "model broadcast" — the same ASSIGN expression the
+      k-means fit runs — so assignment is one NARROW argmax pass with
+      ZERO shuffle and ZERO join (the round-7 shape, byte-identical
+      plan below the threshold).
+    * K > ``literal_max_k`` (the SemDeDup regime — n_centroids grows
+      with the corpus, ~100k clusters per Abbas et al. 2023): inlining
+      K x d doubles into the expression tree would hand Catalyst a
+      multi-MB SQL string (tree transforms + codegen cliff), so the
+      centroids stay a DataFrame and ship as a broadcast RELATION
+      instead: BroadcastNestedLoopJoin (no shuffle of the corpus) ->
+      per-row dot -> one partial-aggregated argmax (max_by over
+      (dot, -cid)). The groupBy(id) collapses the K fan-out map-side —
+      each input partition owns its ids, so the exchange carries one
+      row per vector, never K.
+
+    Both paths break ties to the lowest cid (argmax over (dot, -cid)),
+    matching the oracle's row_number ordering exactly. The argmax runs
+    on the RAW vector: argmax_c dot(v, c) = argmax_c cos(v, c) because
+    the row's norm is a positive per-row constant — and an inlined
+    normalize would be re-evaluated once per centroid inside the lambda
+    (HOF lambdas don't CSE outer expressions; measured 10x slower). A
+    zero vector ties every centroid and takes the lowest cid on both
+    paths.
 
     ``keep_nv=True`` carries the normalized vector through, letting
     callers score candidates without re-normalizing + self-joining the
     corpus (ann_ivf_topk's round-7 plan).
     """
-    rows = sorted(centroids.collect(), key=lambda r: r.cid)
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    vec = f"cast({vec_col} as array<double>)"
+    # one action decides the path AND fetches the literal-path model:
+    # <= literal_max_k rows back means we already hold all centroids
+    head = centroids.head(literal_max_k + 1)
+    if len(head) > literal_max_k:
+        base = _fan_out(embeddings).withColumn("_v", F.expr(vec))
+        dot = ("aggregate(zip_with(_v, cv, (x, y) -> x * y), 0D, "
+               "(acc, v) -> acc + v)")
+        scored = (base.crossJoin(F.broadcast(centroids))
+                  .select(id_col,
+                          *([F.expr(V.normalized_sql("_v", "spark"))
+                             .alias("nv")] if keep_nv else []),
+                          F.expr(dot).alias("_dd"), F.col("cid")))
+        best = F.max(F.struct(F.col("_dd").alias("dd"),
+                              (-F.col("cid")).alias("nc"))).alias("_b")
+        aggs = [best] + ([F.first("nv").alias("nv")] if keep_nv else [])
+        out = scored.groupBy(id_col).agg(*aggs)
+        cols = [id_col] + (["nv"] if keep_nv else [])
+        return out.select(*cols,
+                          (-F.col("_b.nc")).cast("int").alias("cid"))
+
+    rows = sorted(head, key=lambda r: r.cid)
     cvs = [list(r.cv) for r in rows]
     cids = [int(r.cid) for r in rows]
     lit = _lit_vecs(cvs)
-    vec = f"cast({vec_col} as array<double>)"
     dots = (f"transform({lit}, c -> aggregate(zip_with(_v, c, "
             f"(x, y) -> x * y), 0D, (acc, v) -> acc + v))")
     cid_arr = "array(" + ", ".join(str(c) for c in cids) + ")"
     nearest = (f"-array_max(zip_with({dots}, {cid_arr}, "
                f"(dd, c) -> named_struct('dd', dd, 'nc', -c))).nc")
-    from kafka_connect_oss_spark.operators.dedup import _fan_out
-
     base = _fan_out(embeddings).withColumn("_v", F.expr(vec))
     cols = [id_col, F.expr(V.normalized_sql("_v", "spark")).alias("nv")] \
         if keep_nv else [F.col(id_col)]

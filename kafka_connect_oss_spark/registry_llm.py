@@ -1046,9 +1046,15 @@ def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    # lazy cache: the embedding pair join feeds three consumers (two id
-    # projections + the verify join); the first action populates it once
-    cpairs = dedup.embedding_near_dup(emb, threshold=COSINE_DEMO).cache()
+    # lazy stage: the embedding pair join feeds three consumers (two id
+    # projections + the verify join); the first action materializes it
+    # once, and the localCheckpoint is GC-released after the caller
+    # drops the frame (a .cache() here pinned storage per invocation
+    # until session end — r07 ADVICE)
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    cpairs = stage_local(dedup.embedding_near_dup(emb,
+                                                  threshold=COSINE_DEMO))
     # make the docstring's semi-join pushdown REAL: Catalyst will not
     # reorder the (expensive) shingle-hash projection below the join on
     # its own, so restrict docs to candidate ids BEFORE hashing — the

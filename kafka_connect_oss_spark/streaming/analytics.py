@@ -406,9 +406,12 @@ def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
     only); near-dups BETWEEN batches surface at the next compaction,
     which rebuilds the state tables from base + kept arrivals. That
     keeps per-batch state READ-ONLY — restarts and retries are
-    idempotent (foreachBatch may replay a batch; classification is
-    deterministic and the sink is append-per-batch-id), and no
-    unbounded dedup state accumulates in the stream itself.
+    idempotent: foreachBatch may replay a batch after a failure, so the
+    sink writes ``partitionBy(batch_id)`` with dynamic partition
+    overwrite — a replay rewrites ONLY its own batch_id partition with
+    the same deterministic rows instead of appending duplicates (a
+    plain append here double-counted replays; r07 ADVICE). No unbounded
+    dedup state accumulates in the stream itself.
 
     At deploy scale the classification cost per batch is
     increment-driven: the base side is three bucketed scans (see
@@ -423,7 +426,9 @@ def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
             batch.sparkSession, state_prefix, batch, text_col, id_col,
             ngram, jaccard_threshold)
         (status.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_path))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
 
     return (stream_docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)

@@ -3,7 +3,45 @@ candidates, large-K IVF assignment, pair-cap guard."""
 
 from pyspark.sql import functions as F
 
-from kafka_connect_oss_spark.operators import dedup
+from kafka_connect_oss_spark.operators import dedup, similarity
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_assign_join_path_matches_literal(spark, sf_dir):
+    """Above the K threshold ivf_assign must switch to the broadcast-join
+    argmax and return bit-identical assignments (ties to lowest cid,
+    zero vectors included); below it the plan stays the r07 zero-join
+    literal form."""
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
+    lit = similarity.ivf_assign(emb, cents)
+    join = similarity.ivf_assign(emb, cents, literal_max_k=2)
+    assert sorted(map(tuple, lit.collect())) == \
+        sorted(map(tuple, join.collect()))
+    assert "Join" not in _plan(lit)
+    assert "BroadcastNestedLoopJoin" in _plan(join)
+
+
+def test_ivf_assign_join_path_keep_nv_and_ties(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "cid int, cv array<double>")
+    for kw in ({}, {"literal_max_k": 1}):
+        got = {r.vec_id: r.cid
+               for r in similarity.ivf_assign(emb, cents, **kw).collect()}
+        # vec 1 ties cids 1 and 3 -> lowest; zero vec 3 ties all -> 1
+        assert got == {1: 1, 2: 2, 3: 1}, kw
+        nv = {r.vec_id: r.cid for r in similarity.ivf_assign(
+            emb, cents, keep_nv=True, **kw).collect()}
+        assert nv == got
 
 
 def test_incremental_recall_is_exact_on_r7_counterexample(spark):

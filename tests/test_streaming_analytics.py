@@ -326,5 +326,18 @@ def test_run_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path,
                               got.where(F.col("batch_id") == r.batch_id)
                               .drop("batch_id").collect()))
             assert gotb == expect
+
+        # replay idempotency (r07 ADVICE): wipe the checkpoint so the
+        # SAME batches reprocess with the same batch ids — the dynamic
+        # partition-overwrite sink must leave the output unchanged, not
+        # append duplicates
+        before = sorted(map(tuple, got.collect()))
+        import shutil as _sh
+        _sh.rmtree(str(tmp_path / "ck_inc"))
+        q2 = A.run_incremental_dedup(sdf, "sdedupstate.b", str(out),
+                                     str(tmp_path / "ck_inc"))
+        q2.awaitTermination(180)
+        after = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+        assert after == before
     finally:
         spark.sql("DROP DATABASE sdedupstate CASCADE")
