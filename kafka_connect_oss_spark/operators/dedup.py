@@ -701,12 +701,23 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         text_col: str = "text", id_col: str = "doc_id",
-                        ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+                        ngram: int = 3, threshold: float = 0.5,
+                        max_pairs_per_block: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard within blocking keys.
 
     Quadratic *within a block* by construction — the block join key keeps
     the cross product bounded; for unblocked corpora use
     lsh_candidate_pairs, which is this metric behind an LSH filter.
+
+    ``max_pairs_per_block`` is the guard for that contract (r07 probe:
+    e=0.97 output-bound on clone-dense corpora — pairs grew 400x): when
+    set, a word-count-shaped pre-pass counts each block and RAISES
+    ``ValueError`` naming the offending blocks if any owes more than
+    this many pairs, so one pathological boilerplate group fails fast
+    instead of quadratically consuming a 100 TB run that intended the
+    exact tier only for small blocks (route big blocks to the LSH tier
+    instead). ``None`` (default) keeps the operator fully lazy with an
+    unchanged plan.
 
     The per-pair intersect runs on the 8-byte shingle HASHES, not the
     shingle strings (round-7: the string intersect was the bench's
@@ -726,6 +737,20 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
     caller drops the frame.
     """
     from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    if max_pairs_per_block is not None:
+        over = (docs.groupBy(*block_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") * (F.col("_n") - 1) / 2
+                       > max_pairs_per_block)
+                .limit(5).collect())
+        if over:
+            blocks = [tuple(r[c] for c in block_cols) for r in over]
+            raise ValueError(
+                f"ngram_jaccard_pairs: block(s) {blocks} exceed "
+                f"max_pairs_per_block={max_pairs_per_block} "
+                f"(n*(n-1)/2 pairs owed); shrink the blocks or use the "
+                f"LSH tier for them")
 
     df = stage_local(with_shingle_hashes(docs, text_col, ngram).select(
         id_col, *block_cols, "hh"))

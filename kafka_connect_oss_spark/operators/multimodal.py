@@ -71,6 +71,20 @@ def decode_real(modality: str, payload: bytes) -> dict:
     """
     import io
 
+    def _png_header_meta(p: bytes):
+        """(width, height, channels) from a PNG IHDR, stdlib-only — the
+        metadata this catalog path needs requires no pixel codec (PNG
+        spec: 8-byte signature, IHDR first chunk; color type 0/2/3/4/6 ->
+        1/3/1/2/4 channels). Returns None for non-PNG bytes."""
+        import struct
+
+        if len(p) < 26 or p[:8] != b"\x89PNG\r\n\x1a\n" \
+                or p[12:16] != b"IHDR":
+            return None
+        w, h, _depth, ctype = struct.unpack(">IIBB", p[16:26])
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        return None if channels is None else (w, h, channels)
+
     meta = {"byte_len": len(payload), "fmt": FORMATS[modality],
             "width": None, "height": None, "channels": None,
             "sample_rate": None, "duration_ms": None, "n_frames": None}
@@ -78,8 +92,14 @@ def decode_real(modality: str, payload: bytes) -> dict:
         try:
             from PIL import Image
         except ImportError as ex:
-            raise NotImplementedError(
-                "real image decoding requires Pillow") from ex
+            png = _png_header_meta(payload)
+            if png is None:
+                raise NotImplementedError(
+                    "real image decoding requires Pillow (the pure-"
+                    "Python fallback reads PNG headers only)") from ex
+            meta.update(width=png[0], height=png[1], channels=png[2],
+                        fmt="png")
+            return meta
         try:
             with Image.open(io.BytesIO(payload)) as im:
                 meta.update(width=im.width, height=im.height,

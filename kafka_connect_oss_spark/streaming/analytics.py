@@ -315,6 +315,41 @@ def _session_func(gap_ms: int):
     return fn
 
 
+#: reserved key for terminal-flush sentinel events (see session_flush_ts)
+SESSION_FLUSH_USER = -1
+
+
+def session_flush_ts(last_ts, gap_ms: int = 30 * 60 * 1000,
+                     watermark_delay_ms: int = 2 * 3600 * 1000,
+                     margin_ms: int = 60 * 1000):
+    """Terminal-flush timestamp for a BOUNDED sessionize replay.
+
+    Append-mode sessionization withholds sessions still open at
+    end-of-stream: their ``last_event + gap`` timeout never falls behind
+    the watermark, so a bounded replay under-emits (r07 probe: 600 of
+    954,650 sessions withheld). The fix needs no operator change —
+    watermarks are global, so ONE sentinel event at the returned
+    timestamp (``last real event + gap + watermark delay + margin``),
+    appended as the final input under the reserved ``SESSION_FLUSH_USER``
+    key, drives the watermark past every open session's timeout and
+    flushes 100% of real sessions. The sentinel's own open session is the
+    only one withheld; drop ``user_id = SESSION_FLUSH_USER`` at the sink.
+    Callers materialize the sentinel in their stream's own schema (e.g.
+    one extra parquet file for a file-source replay) —
+    tests/test_streaming_analytics.py::test_sessionize_terminal_flush
+    shows the pattern and pins emitted == golden.
+
+    For UNBOUNDED production streams this is a non-issue by construction:
+    the watermark keeps advancing with real traffic, so every session
+    eventually closes; the sentinel is only for bounded replays/backfills
+    that need the tail.
+    """
+    import datetime
+
+    return last_ts + datetime.timedelta(
+        milliseconds=gap_ms + watermark_delay_ms + margin_ms)
+
+
 def sessionize(records: DataFrame, gap_ms: int = 30 * 60 * 1000,
                watermark: str = "2 hours") -> DataFrame:
     """Per-user session windows (gap timeout) as a custom stateful operator.
@@ -325,6 +360,10 @@ def sessionize(records: DataFrame, gap_ms: int = 30 * 60 * 1000,
     reference's per-writer state machine (TopicPartitionWriter.java:179-212)
     maps onto the same (key -> state row, timeout) shape with
     (topic, partition) keys.
+
+    Bounded replays: sessions still open at end-of-stream are withheld by
+    append-mode semantics — see ``session_flush_ts`` for the sentinel
+    pattern that flushes them.
     """
     return (records
             .select("user_id", "ts")

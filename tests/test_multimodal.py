@@ -46,6 +46,34 @@ def test_real_wav_decode_stdlib():
     assert meta["fmt"] == "wav"
 
 
+def _tiny_png(w: int, h: int) -> bytes:
+    """Valid RGB PNG built with stdlib only (zlib IDAT, CRC'd chunks) —
+    the vendored byte fixture that lets the real image-decode path run
+    in-sandbox without Pillow (r07 VERDICT item 8)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_real_png_decode_runs_in_sandbox():
+    """decode_real('image', ...) works on PNG bytes with or without
+    Pillow: the IHDR metadata fallback is stdlib-only, and Pillow (when
+    present) must agree on the same fixture."""
+    meta = MM.decode_real("image", _tiny_png(37, 21))
+    assert (meta["width"], meta["height"], meta["channels"]) == (37, 21, 3)
+    assert meta["fmt"] == "png"
+    with pytest.raises(NotImplementedError):
+        MM.decode_real("image", b"not-an-image")
+
+
 def test_real_image_decode_pillow():
     """Skip-gated like the spark-avro jar test: runs wherever Pillow is
     installed (the production escape hatch), skips in this container."""

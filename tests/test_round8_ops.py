@@ -76,6 +76,26 @@ def test_incremental_hot_shingle_cap_bounds_candidates(spark):
     assert uncapped[0].status == "dup_near"
 
 
+def test_ngram_pair_cap_guard(spark):
+    """max_pairs_per_block: a block owing more pairs than the cap fails
+    fast with the block named; at or under the cap results are the
+    unguarded ones."""
+    import pytest as _pt
+
+    rows = [(i, "en", "s", "w x y z") for i in range(1, 5)]  # C(4,2)=6
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string")
+    with _pt.raises(ValueError, match="en"):
+        dedup.ngram_jaccard_pairs(df, ["lang", "source"], threshold=0.0,
+                                  max_pairs_per_block=5)
+    capped = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, ["lang", "source"], threshold=0.0,
+        max_pairs_per_block=6).collect()))
+    plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, ["lang", "source"], threshold=0.0).collect()))
+    assert capped == plain and len(plain) == 6
+
+
 def test_snapshot_diff_all_statuses(spark):
     old = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")

@@ -86,6 +86,55 @@ def test_sessionize_matches_batch_sessionization(spark, sf_dir, tmp_path):
     assert len(missing) == len(users_missing)
 
 
+def test_sessionize_terminal_flush(spark, sf_dir, tmp_path):
+    """A bounded replay with one session_flush_ts sentinel appended as
+    the final file emits EVERY real session (r07 probe withheld the open
+    tail); emitted set == batch-golden set exactly."""
+    import glob
+    import shutil
+
+    ensure_package_on_executors(spark)
+    gap_ms = 30 * 60 * 1000
+    rec = sink_records(spark, sf_dir).select("user_id", "ts")
+    mx = rec.agg(F.max("ts")).collect()[0][0]
+
+    sd = tmp_path / "stream"
+    sd.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", str(sd / "events.parquet"))
+    far = A.session_flush_ts(mx, gap_ms=gap_ms)
+    sent = spark.createDataFrame(
+        [(10 ** 9, far, A.SESSION_FLUSH_USER, "sentinel", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string")
+    sent.coalesce(1).write.parquet(str(tmp_path / "sent"))
+    shutil.copy(glob.glob(str(tmp_path / "sent" / "*.parquet"))[0],
+                str(sd / "events.parquet_sentinel"))
+
+    stream = events_file_stream(spark, str(sd), max_files_per_trigger=1)
+    _run_to_memory(A.sessionize(stream, gap_ms=gap_ms), "sessflush",
+                   tmp_path, timeout=300)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.sql(
+               "SELECT * FROM sessflush WHERE user_id >= 0").collect()}
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    golden = (rec
+              .withColumn("prev", F.lag("ts").over(w))
+              .withColumn("brk", (F.col("prev").isNull() | (
+                  F.unix_micros("ts") - F.unix_micros("prev")
+                  > gap_ms * 1000)).cast("int"))
+              .withColumn("sid", F.sum("brk").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .groupBy("user_id", "sid")
+              .agg(F.min("ts").alias("session_start"),
+                   F.max("ts").alias("session_end"),
+                   F.count(F.lit(1)).alias("n_events")))
+    golden_rows = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                   for r in golden.collect()}
+    assert got == golden_rows
+
+
 def test_streaming_range_join_matches_batch(spark, sf_dir, tmp_path):
     # the built-in stream-stream join with an event-time range constraint
     # must reproduce the batch range_join exactly on the same data
