@@ -139,6 +139,8 @@ HEADLINE += [
     "sim_hybrid_rrf_topk",
     "dedup_semantic_flags",
     "corpus_cluster_quota_sample",
+    # round-8 operators
+    "corpus_snapshot_diff",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -110,10 +110,20 @@ SHOWCASE = {
     "dedup_incremental_status": (
         "append-batch classification, fully lazy ONE-job plan (r7 "
         "lifecycle — no cache/count/checkpoint pre-jobs): exact layer "
-        "exchanges only (id, md5-digest) pairs; near layer bands the "
-        "increment against base reps collapsed one-per-distinct-"
-        "content, verification join only on surviving candidates; at "
-        "deploy scale base_sig is a precomputed bucketed table"),
+        "exchanges only (id, md5-digest) pairs; near layer (r8 EXACT "
+        "recall rewrite) joins increment shingle hashes against the "
+        "base-rep inverted index — posting lists grouped one row per "
+        "distinct shingle with the hot-shingle df cap as a HAVING on "
+        "the same aggregate, base reps collapsed one-per-distinct-"
+        "content, verification join only on surviving candidate pairs; "
+        "at deploy scale the postings table is bucketed by shingle "
+        "hash so the base side never re-shuffles per batch"),
+    "corpus_snapshot_diff": (
+        "snapshot lineage audit (r8): each side collapses to (id, "
+        "16-byte md5) narrow projections over the scan; ONE full-outer "
+        "SortMergeJoin keyed by id (~24 bytes/row both sides) — with "
+        "both snapshots' digest frames written bucketed by id the join "
+        "plans with zero Exchange (operators/bucketing.py)"),
     "text_novelty_score": (
         "JOIN-FREE form: the (id, hash) explode staged lazily once "
         "(Scan ExistingRDD below both aggregates, r7 lifecycle); "
@@ -180,6 +190,37 @@ def main() -> None:
                 if KEEP.search(ln) or ln.startswith("==")]
         out += [f"## {name}", "", f"**Check:** {claim}", "", "```",
                 tree, "", *kept[:60], "```", ""]
+
+    # non-registry plan: ivf_assign's large-K broadcast-join path (r8) —
+    # forced below threshold so the section shows the >4096-centroid shape
+    from kafka_connect_oss_spark.operators import similarity
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
+    df = similarity.ivf_assign(emb, cents, literal_max_k=2)
+    plan = df._jdf.queryExecution().explainString(jmode)
+    tree, details = plan.split("\n\n", 1)[0], plan
+    kept = [ln for ln in details.splitlines()
+            if KEEP.search(ln) or ln.startswith("==")]
+    out += [
+        "## ivf_assign — large-K broadcast-join path (r8, no registry "
+        "query)", "",
+        "**Check:** above IVF_LITERAL_MAX_K (4096) the centroids ship "
+        "as a broadcast RELATION, not inlined literals (a ~50 MB SQL "
+        "expression at K=100k x d=32 — the Catalyst analysis cliff, "
+        "probe: 7.2/17.8/35.0s wall at K=512/2048/4096 on 500 rows for "
+        "the literal form vs 6.9s join form at K=4096, and the join "
+        "path completes K=65536; scripts/probe_r08.py): "
+        "BroadcastNestedLoopJoin (corpus never shuffles for the join) "
+        "-> per-pair dot -> partial max(struct(dd, -cid)) BEFORE the "
+        "exchange, so the one Exchange carries exactly one row per "
+        "vector, never K. Below the threshold the r07 zero-join "
+        "literal plan is emitted byte-identically (forced here with "
+        "literal_max_k=2 to show the large-K shape; parity + plan "
+        "pinned by test_round8_ops). Consumed by semdedup_flags' "
+        "~100k-cluster production knob.", "", "```",
+        tree, "", *kept[:60], "```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
