@@ -76,6 +76,48 @@ def test_incremental_hot_shingle_cap_bounds_candidates(spark):
     assert uncapped[0].status == "dup_near"
 
 
+def test_ingest_lifecycle_compact_classify_recompact_audit(
+        spark, sf_dir, tmp_path_factory):
+    """The full append-mostly lifecycle the r08 pieces compose: compact
+    dedup state from the accepted corpus -> classify an arriving batch
+    against the tables -> append only the kept arrivals -> snapshot_diff
+    audits exactly those ids as 'added' (nothing removed/changed) ->
+    re-compaction classifies the NEXT batch identically to the
+    in-memory operator on the grown corpus."""
+    from kafka_connect_oss_spark.operators import bucketing as B
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    loc = tmp_path_factory.mktemp("lifec")
+    B.ensure_database(spark, "lifec", str(loc))
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.where(F.col("doc_id") % 3 == 0)
+        inc1 = docs.where(F.col("doc_id") % 3 == 1)
+        dedup.compact_base_tables(base, "lifec.s1", n_buckets=4)
+
+        st1 = dedup.incremental_dedup_status_from_tables(
+            spark, "lifec.s1", inc1)
+        kept_ids = {r.doc_id for r in
+                    st1.where(F.col("status") == "kept").collect()}
+        kept = inc1.where(F.col("doc_id").isin(list(kept_ids)))
+        corpus2 = base.unionByName(kept)
+
+        audit = {r.doc_id: r.status
+                 for r in dedup.snapshot_diff(base, corpus2).collect()}
+        assert {i for i, s in audit.items() if s == "added"} == kept_ids
+        assert all(s in ("added", "unchanged") for s in audit.values())
+
+        dedup.compact_base_tables(corpus2, "lifec.s2", n_buckets=4)
+        inc2 = docs.where(F.col("doc_id") % 3 == 2)
+        got = sorted(map(tuple, dedup.incremental_dedup_status_from_tables(
+            spark, "lifec.s2", inc2).collect()))
+        expect = sorted(map(tuple, dedup.incremental_dedup_status(
+            corpus2, inc2).collect()))
+        assert got == expect
+    finally:
+        spark.sql("DROP DATABASE lifec CASCADE")
+
+
 def test_ngram_pair_cap_guard(spark):
     """max_pairs_per_block: a block owing more pairs than the cap fails
     fast with the block named; at or under the cap results are the
