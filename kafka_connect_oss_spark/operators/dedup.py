@@ -586,6 +586,151 @@ def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
                     .otherwise(F.lit("changed")).alias("status")))
 
 
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", ngram: int = 3,
+                      threshold: float = 0.5,
+                      hot_shingle_df_cap: int | None =
+                      HOT_SHINGLE_DF_CAP) -> DataFrame:
+    """Overlap-coefficient near-dup pairs: containment = |A ∩ B| /
+    min(|A|, |B|) over the two docs' distinct word-n-gram shingle sets —
+    equivalently max(C(A→B), C(B→A)) of Broder's directional containment
+    (Broder 1997, "On the resemblance and containment of documents").
+
+    The asymmetric-duplication detector the symmetric tiers miss: a
+    short document fully quoted inside a much longer one has containment
+    1.0 but jaccard |A|/|B| → arbitrarily small, so no jaccard threshold
+    catches it without flooding the output. In a training corpus this is
+    the quote/boilerplate-wrapper/subset-page family. Consumers recover
+    direction by comparing the two docs' sizes: the smaller shingle set
+    is the contained side.
+
+    Candidate generation is the EXACT inverted-shingle-index join of the
+    incremental tier (not minhash banding — banding's s-curve is keyed
+    to jaccard and systematically misses exactly the high-containment /
+    low-jaccard pairs this operator exists for): any pair with
+    containment > 0 shares a shingle, so recall is exact up to the one
+    documented bound — shingles whose representative-level document
+    frequency exceeds ``hot_shingle_df_cap`` are excluded, so a pair
+    whose ONLY shared shingles are hotter than the cap is missed. The
+    cap is what bounds the posting self-join on a 100 TB corpus
+    (cost ~ Σ_shingle min(df, cap)²  instead of Σ df²).
+
+    Identity groups are collapsed first (md5 reps, as in the LSH tier):
+    a mega-cluster of identical pages contributes ONE posting row per
+    shingle; its own pairs (containment exactly 1.0, empty shingle sets
+    excluded) come from the salt-grid intra join and cross pairs inherit
+    the representatives' verified score — bit-identical to the unguarded
+    computation whenever the cap doesn't bind (identical text ⇒
+    identical shingle set ⇒ identical containment).
+
+    Scale posture: postings and verification shuffle BIGINT hashes and
+    ids only (strings never leave the shingle codegen stage); the
+    grouped index is bounded per key by the cap; exact set intersection
+    runs only on candidate survivors. Shingle sets are staged via
+    lifecycle.stage_local (GC-released, no CacheManager pinning).
+
+    Returns (id_a, id_b, containment) with id_a < id_b, containment
+    rounded to 4 (identical double math in the DuckDB oracle).
+    """
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
+    groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"),
+                                        F.count(F.lit(1)).alias("gn"))
+    members = stage_local(keyed.join(groups, "_tmd5")
+                          .select(id_col, "_tmd5", "rep", "gn"))
+    rep_docs = docs.join(groups.select(F.col("rep").alias(id_col)),
+                         id_col, "semi")
+
+    posts = shingle_hash_pairs(rep_docs, text_col, ngram, id_col)
+    idx = posts.groupBy("_h").agg(F.collect_list(id_col).alias("_ids"))
+    if hot_shingle_df_cap is not None:
+        idx = idx.where(F.expr("size(_ids)") <= hot_shingle_df_cap)
+    cand = (posts.join(idx, "_h")
+            .select(F.col(id_col).alias("id_a"),
+                    F.explode("_ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .distinct())
+
+    sig = stage_local(shingle_set_frame(rep_docs, text_col, ngram, id_col))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("hh").alias("h_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("hh").alias("h_b"))
+    rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("inter",
+                             F.expr("size(array_intersect(h_a, h_b))"))
+                 .withColumn("containment", R.fround(
+                     F.col("inter") /
+                     F.least(F.expr("size(h_a)"), F.expr("size(h_b)")), 4))
+                 .where(F.col("containment") >= threshold)
+                 .select("id_a", "id_b", "containment"))
+    cross = _expand_rep_pairs(rep_pairs, members, id_col, "containment")
+
+    rep_sizes = sig.select(F.col(id_col).alias("rep"),
+                           F.expr("size(hh)").alias("_nsh"))
+    intra = (_salted_intra_pairs(members, "_tmd5", id_col)
+             .join(members.where(F.col(id_col) == F.col("rep"))
+                   .select("_tmd5", "rep"), "_tmd5")
+             .join(rep_sizes, "rep")
+             .where(F.col("_nsh") > 0)
+             .select("id_a", "id_b",
+                     F.lit(1.0).alias("containment")))
+    return cross.unionByName(intra)
+
+
+def lsh_recall_eval(docs: DataFrame, block_cols: list[str],
+                    text_col: str = "text", id_col: str = "doc_id",
+                    ngram: int = 3, threshold: float = 0.08) -> DataFrame:
+    """Measured recall of the minhash-banded candidate tier against exact
+    ground truth, bucketed by jaccard — the monitoring operator that turns
+    the banding s-curve from a docstring claim into a per-corpus number.
+
+    The banded LSH tier's recall is probabilistic by design
+    (1-(1-J^2)^N_BANDS with 2-row bands — see ``N_BANDS``); whether that
+    trade is ACCEPTABLE depends on the corpus's jaccard distribution,
+    which drifts as sources change. A 100 TB pipeline runs this on a
+    blocked sample per ingest epoch and alarms when a bucket's measured
+    recall departs from the curve (a skew in shingle length or a hash
+    regression shows up here first).
+
+    Ground truth = the blocked exact tier (``ngram_jaccard_pairs`` within
+    ``block_cols``) — the affordable exact baseline at scale; measured
+    recall is therefore recall ON the blocked sample, the standard
+    monitoring-by-sampling posture. A truth pair counts as CAUGHT iff its
+    two docs' 8-slot minhash signatures agree on at least one 2-slot band
+    — exactly the band join's collision predicate, checked here by two id
+    joins onto the (small) truth set instead of materializing the global
+    candidate pair set: no pair explosion, cost ~ |truth| + one signature
+    pass. Identity pairs (jaccard 1.0) have identical signatures and are
+    trivially caught, mirroring the production tier's rep-collapse
+    guarantee.
+
+    Returns one row per jaccard bucket (j_lo = floor(jaccard*10)/10):
+    (j_lo, n_true, n_caught, recall), recall rounded to 4.
+    """
+    truth = ngram_jaccard_pairs(docs, list(block_cols), text_col, id_col,
+                                ngram, threshold)
+    sig = signature_frame(docs, text_col, ngram, id_col)
+    ms_a = sig.select(F.col(id_col).alias("id_a"),
+                      F.col("msig").alias("ms_a"))
+    ms_b = sig.select(F.col(id_col).alias("id_b"),
+                      F.col("msig").alias("ms_b"))
+    collide = " OR ".join(
+        f"(element_at(ms_a, {2 * b + 1}) = element_at(ms_b, {2 * b + 1})"
+        f" AND element_at(ms_a, {2 * b + 2}) = element_at(ms_b, {2 * b + 2}))"
+        for b in range(N_BANDS))
+    return (truth.join(ms_a, "id_a").join(ms_b, "id_b")
+            .withColumn("_caught",
+                        F.when(F.expr(collide), F.lit(1)).otherwise(F.lit(0)))
+            .withColumn("j_lo", F.floor(F.col("jaccard") * 10) / 10)
+            .groupBy("j_lo")
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.sum("_caught").alias("n_caught"))
+            .select("j_lo", "n_true", "n_caught",
+                    R.fround(F.col("n_caught") /
+                             F.col("n_true").cast("double"), 4)
+                    .alias("recall")))
+
+
 def connectivity_edges(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", ngram: int = 3,
                        jaccard_threshold: float = 0.3) -> DataFrame:

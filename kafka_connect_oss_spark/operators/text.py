@@ -1188,3 +1188,82 @@ def dsir_importance_oracle_sql(table_expr: str, target_source: str = "src0",
            CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            ROUND(COALESCE(s._s, 0.0), 6) AS log_weight
     FROM {table_expr} d LEFT JOIN scored s ON d.{id_col} = s.{id_col}"""
+
+
+def tfidf_salient_terms(docs: DataFrame, k: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """Top-``k`` salient terms per source by corpus TF-IDF — the
+    per-source vocabulary profile (which terms characterize a source's
+    contribution to the mixture): classic smoothed tf-idf
+
+        score(source, term) = tf * (ln((N + 1) / (df + 1)) + 1)
+
+    with tf = total occurrences of the term in the source's documents,
+    df = number of distinct documents (corpus-wide) containing the term,
+    N = corpus document count (sklearn's smooth-idf formula, public).
+
+    Shape: word-count aggregations only — one (doc, term) combine (map-
+    side partial), a term-keyed df aggregate, a (source, term) tf
+    aggregate, the N literal from a broadcast 1-row frame, then a per-
+    source top-k window over the (small) per-source term profiles. No
+    UDFs, no driver collect; the widest shuffle carries (doc_id, term,
+    count) — strictly lighter than the token explode it follows.
+
+    Determinism across engines: tf/df/N are exact integers; ln is the
+    one float op and the score is rounded to 4 before the rank order
+    (score DESC, term ASC), the same accepted-ulp posture as the BM25
+    retrieval oracle. Returns (source, term, tf, df, score, rank).
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    per_doc = (_fan_out(docs)
+               .selectExpr(id_col, source_col, f"explode({tok}) AS term")
+               .groupBy(source_col, id_col, "term")
+               .agg(F.count(F.lit(1)).alias("_c")))
+    term_df = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    source_tf = per_doc.groupBy(source_col, "term").agg(
+        F.sum("_c").alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (source_tf.join(term_df, "term").crossJoin(F.broadcast(n))
+              .withColumn("score", R.fround(
+                  F.col("tf") *
+                  (F.log((F.col("_n") + 1) /
+                         (F.col("df") + 1).cast("double")) + 1), 4)))
+    w = (Window.partitionBy(source_col)
+         .orderBy(F.col("score").desc(), F.col("term")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(source_col, "term", "tf", "df", "score", "rank"))
+
+
+def tfidf_salient_terms_oracle_sql(table_expr: str, k: int = 5,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   source_col: str = "source") -> str:
+    """DuckDB oracle for tfidf_salient_terms — identical integer counts,
+    identical double formula, rounded before the rank order."""
+    dtok = X.sql_tokens(text_col, "duckdb")
+    score = (f"round(tf * (ln((_n + 1) / CAST(df + 1 AS DOUBLE)) + 1), 4)")
+    return f"""WITH ex AS (
+      SELECT {id_col}, {source_col}, UNNEST({dtok}) AS term
+      FROM {table_expr}),
+    pd AS (SELECT {source_col}, {id_col}, term,
+                  CAST(COUNT(*) AS BIGINT) AS _c
+           FROM ex GROUP BY {source_col}, {id_col}, term),
+    tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM pd GROUP BY term),
+    stf AS (SELECT {source_col}, term, CAST(SUM(_c) AS BIGINT) AS tf
+            FROM pd GROUP BY {source_col}, term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM {table_expr}),
+    sc AS (SELECT {source_col}, term, tf, df, {score} AS score
+           FROM stf JOIN tdf USING (term) CROSS JOIN n)
+    SELECT {source_col}, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY {source_col}
+              ORDER BY score DESC, term) AS rank FROM sc)
+    WHERE rank <= {k}"""

@@ -1610,3 +1610,101 @@ def corpus_cluster_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (part.withColumn("rk", F.row_number().over(w2))
             .where(F.col("rk") <= _CLUSTER_QUOTA)
             .select("cid", "doc_id", "quality", "rk"))
+
+
+# --------------------------------------------------------------------------
+# round-9 additions: containment tier, LSH recall monitoring, tf-idf profile
+# --------------------------------------------------------------------------
+
+#: overlap-coefficient threshold for the synthetic corpus (containment >=
+#: jaccard always, so this sits above JACCARD_DEMO to keep the pair set
+#: near-dup-shaped rather than everything-sharing-a-shingle)
+CONTAINMENT_DEMO = 0.3
+
+
+def _containment_oracle() -> str:
+    # mirrors operators/dedup.containment_pairs: posting-index candidates
+    # with the hot-shingle df cap, exact set-intersection verify. The
+    # Spark side collapses identity groups and applies the cap at
+    # REPRESENTATIVE level; the oracle runs uncollapsed with the cap on
+    # raw postings — identical results whenever n_docs <= cap (true at
+    # every oracle SF: the cap can bind on neither side), same
+    # collapse-is-invisible argument as the LSH-pairs oracle.
+    hh = H.shingle_hashes(_DSH3, "duckdb")
+    cont = round_sql("inter / CAST(mn AS DOUBLE)", 4)
+    return f"""WITH tok AS (SELECT doc_id, {hh} AS hh FROM documents),
+    sized AS (SELECT doc_id, hh FROM tok WHERE len(hh) > 0),
+    post AS (SELECT doc_id, unnest(hh) AS h FROM sized),
+    idx AS (SELECT h, list(doc_id) AS ids FROM post
+            GROUP BY h HAVING len(list(doc_id)) <= {dedup.HOT_SHINGLE_DF_CAP}),
+    cand AS (SELECT DISTINCT p.doc_id AS id_a, u.id_b AS id_b
+             FROM post p JOIN (SELECT h, unnest(ids) AS id_b FROM idx) u
+               USING (h)
+             WHERE p.doc_id < u.id_b),
+    ver AS (SELECT id_a, id_b, len(list_intersect(a.hh, b.hh)) AS inter,
+                   least(len(a.hh), len(b.hh)) AS mn
+            FROM cand JOIN sized a ON a.doc_id = cand.id_a
+                      JOIN sized b ON b.doc_id = cand.id_b)
+    SELECT id_a, id_b, {cont} AS containment
+    FROM ver WHERE {cont} >= {CONTAINMENT_DEMO}"""
+
+
+@register("dedup_containment_pairs", _containment_oracle())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (max-direction Broder containment) near-dup
+    pairs (operators/dedup.containment_pairs): the asymmetric-duplication
+    tier — a short doc quoted inside a long one scores 1.0 here while its
+    jaccard vanishes. Exact inverted-shingle-index candidates (not
+    banding, whose s-curve is keyed to jaccard and misses exactly these
+    pairs), hot-shingle df cap, verify on survivors only."""
+    return dedup.containment_pairs(load_table(spark, sf_dir, "documents"),
+                                   threshold=CONTAINMENT_DEMO)
+
+
+def _lsh_recall_oracle() -> str:
+    jac = round_sql("inter / CAST(la + lb - inter AS DOUBLE)", 4)
+    collide = " OR ".join(
+        f"(sa.m{2 * b} = sb.m{2 * b} AND sa.m{2 * b + 1} = sb.m{2 * b + 1})"
+        for b in range(dedup.N_BANDS))
+    hh = H.shingle_hashes(_DSH3, "duckdb")
+    return f"""WITH {_sig_cte()},
+    btok AS (SELECT doc_id, lang, source, {hh} AS bh FROM documents),
+    truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.bh, b.bh)) AS inter,
+                     len(a.bh) AS la, len(b.bh) AS lb
+              FROM btok a JOIN btok b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+    tj AS (SELECT id_a, id_b, {jac} AS jaccard FROM truth
+           WHERE {jac} >= {JACCARD_DEMO}),
+    flag AS (SELECT floor(jaccard * 10) / 10 AS j_lo,
+                    CASE WHEN {collide} THEN 1 ELSE 0 END AS caught
+             FROM tj JOIN sig sa ON sa.doc_id = tj.id_a
+                     JOIN sig sb ON sb.doc_id = tj.id_b)
+    SELECT j_lo, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           {round_sql('SUM(caught) / CAST(COUNT(*) AS DOUBLE)', 4)} AS recall
+    FROM flag GROUP BY j_lo"""
+
+
+@register("dedup_lsh_recall_eval", _lsh_recall_oracle())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH recall monitor (operators/dedup.lsh_recall_eval):
+    measured candidate recall vs the blocked exact tier, bucketed by
+    jaccard decile — the operator that turns the N_BANDS s-curve claim
+    into a per-corpus number a 100 TB pipeline can alarm on. Caught is
+    decided by the band-collision predicate via two id joins onto the
+    truth set; no global candidate pair set is materialized."""
+    return dedup.lsh_recall_eval(load_table(spark, sf_dir, "documents"),
+                                 block_cols=["lang", "source"],
+                                 threshold=JACCARD_DEMO)
+
+
+@register("text_tfidf_salient_terms",
+          TXT.tfidf_salient_terms_oracle_sql("documents"))
+def text_tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source salient-vocabulary profile (operators/text.
+    tfidf_salient_terms): top-5 terms per source by smoothed corpus
+    tf-idf — word-count-shaped aggregations + a per-source top-k window;
+    the one float op (ln) is rounded before ranking, the BM25 posture."""
+    return TXT.tfidf_salient_terms(load_table(spark, sf_dir, "documents"))
