@@ -1623,16 +1623,23 @@ CONTAINMENT_DEMO = 0.3
 
 
 def _containment_oracle() -> str:
-    # mirrors operators/dedup.containment_pairs: posting-index candidates
-    # with the hot-shingle df cap, exact set-intersection verify. The
-    # Spark side collapses identity groups and applies the cap at
-    # REPRESENTATIVE level; the oracle runs uncollapsed with the cap on
-    # raw postings — identical results whenever n_docs <= cap (true at
-    # every oracle SF: the cap can bind on neither side), same
-    # collapse-is-invisible argument as the LSH-pairs oracle.
+    # full mirror of operators/dedup.containment_pairs INCLUDING the
+    # identity-group collapse: postings and the hot-shingle df cap are
+    # computed at REPRESENTATIVE level (one posting row per distinct
+    # text), exactly where the Spark side applies them, then rep pairs
+    # expand back to member pairs and intra-group pairs emit containment
+    # 1.0 (empty-shingle groups excluded). The r08 oracle capped raw
+    # uncollapsed postings instead — identical only while no shingle's
+    # raw df crosses the cap (r08 ADVICE flagged the divergence on
+    # boilerplate-heavy corpora); this form binds the cap identically on
+    # both engines at any SF.
     hh = H.shingle_hashes(_DSH3, "duckdb")
     cont = round_sql("inter / CAST(mn AS DOUBLE)", 4)
-    return f"""WITH tok AS (SELECT doc_id, {hh} AS hh FROM documents),
+    return f"""WITH m AS (SELECT doc_id, md5(text) AS tm FROM documents),
+    g AS (SELECT tm, MIN(doc_id) AS rep FROM m GROUP BY tm),
+    rd AS (SELECT g.rep AS doc_id, d.text
+           FROM g JOIN documents d ON d.doc_id = g.rep),
+    tok AS (SELECT doc_id, {hh} AS hh FROM rd),
     sized AS (SELECT doc_id, hh FROM tok WHERE len(hh) > 0),
     post AS (SELECT doc_id, unnest(hh) AS h FROM sized),
     idx AS (SELECT h, list(doc_id) AS ids FROM post
@@ -1644,9 +1651,19 @@ def _containment_oracle() -> str:
     ver AS (SELECT id_a, id_b, len(list_intersect(a.hh, b.hh)) AS inter,
                    least(len(a.hh), len(b.hh)) AS mn
             FROM cand JOIN sized a ON a.doc_id = cand.id_a
-                      JOIN sized b ON b.doc_id = cand.id_b)
-    SELECT id_a, id_b, {cont} AS containment
-    FROM ver WHERE {cont} >= {CONTAINMENT_DEMO}"""
+                      JOIN sized b ON b.doc_id = cand.id_b),
+    rp AS (SELECT id_a, id_b, {cont} AS containment
+           FROM ver WHERE {cont} >= {CONTAINMENT_DEMO}),
+    mem AS (SELECT m.doc_id, g.rep FROM m JOIN g USING (tm))
+    SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+           greatest(ma.doc_id, mb.doc_id) AS id_b, rp.containment
+    FROM rp JOIN mem ma ON ma.rep = rp.id_a
+            JOIN mem mb ON mb.rep = rp.id_b
+    UNION ALL
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS containment
+    FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+    JOIN sized s ON s.doc_id = a.rep"""
 
 
 @register("dedup_containment_pairs", _containment_oracle())

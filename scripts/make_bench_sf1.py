@@ -44,7 +44,10 @@ try:
                          env=env, capture_output=True, text=True,
                          timeout=7200)
     sys.stderr.write(res.stderr[-2000:])
-    line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+    # a dead bench must not silently package a stale BENCH_DETAIL.json
+    # from a prior run as this round's sf1 artifact (r08 ADVICE)
+    if res.returncode != 0:
+        raise SystemExit(f"bench.py exited {res.returncode}")
     with open(detail_path) as f:
         detail = json.load(f)
 finally:

@@ -1,0 +1,137 @@
+"""Round-9 operator tests: containment tier semantics (the asymmetric
+quote-in-long-doc case + hot-shingle-cap behavior + identity-group
+expansion), LSH recall-eval planted-pair golden, tf-idf analytic golden.
+
+These are the named tests the r08 verdict required for the three
+operators registered in the r08 snapshot commit (dedup_containment_pairs,
+dedup_lsh_recall_eval, text_tfidf_salient_terms)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators import dedup
+from kafka_connect_oss_spark.operators import text as TXT
+
+# a 4-word quote: 3-gram shingle set = {"q1 q2 q3", "q2 q3 q4"} (2 shingles)
+_QUOTE = "q1 q2 q3 q4"
+# the quote embedded contiguously in a much longer page: the quote's
+# shingles are a strict subset of the page's
+_PAGE = "w1 w2 w3 w4 w5 w6 w7 w8 " + _QUOTE + " w9 w10 w11 w12 w13 w14"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.containment for r in df.collect()}
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The docstring's asymmetric case: a short doc fully quoted inside a
+    long one has containment exactly 1.0 while its jaccard is far below
+    any near-dup threshold — the pair the symmetric tiers miss."""
+    docs = spark.createDataFrame(
+        [(1, _QUOTE), (2, _PAGE)], "doc_id long, text string")
+    got = _pairs(dedup.containment_pairs(docs, threshold=0.5))
+    assert got == {(1, 2): 1.0}
+    # the same pair's jaccard: 2 shared shingles of 2 and 19 -> 2/19,
+    # below even the permissive demo threshold — the exact tier with a
+    # jaccard >= 0.3 cut yields NO pair on this corpus
+    jac = dedup.ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit("b")), ["blk"], threshold=0.3)
+    assert jac.count() == 0
+
+
+def test_containment_hot_shingle_cap_semantics(spark):
+    """Shingles whose representative-level df exceeds the cap are excluded
+    from candidate generation: with cap=1 every shared shingle (df=2) is
+    hot, so the quote pair is missed — the documented deterministic miss
+    mode; cap=None (and the default cap, far above df=2) restore it."""
+    docs = spark.createDataFrame(
+        [(1, _QUOTE), (2, _PAGE)], "doc_id long, text string")
+    capped = dedup.containment_pairs(docs, threshold=0.5,
+                                     hot_shingle_df_cap=1)
+    assert capped.count() == 0
+    for kw in ({"hot_shingle_df_cap": None}, {}):
+        assert _pairs(dedup.containment_pairs(
+            docs, threshold=0.5, **kw)) == {(1, 2): 1.0}
+
+
+def test_containment_identity_group_expansion(spark):
+    """Identity groups collapse to one representative for candidate
+    generation, then expand back: a clone of the quote doc pairs with the
+    page at the representative's containment AND with its twin at exactly
+    1.0 (intra pair); empty-shingle docs (< ngram words) never pair."""
+    docs = spark.createDataFrame(
+        [(1, _QUOTE), (2, _PAGE), (3, _QUOTE), (4, "too short"),
+         (5, "too short")],
+        "doc_id long, text string")
+    got = _pairs(dedup.containment_pairs(docs, threshold=0.5))
+    assert got == {(1, 2): 1.0,   # rep pair
+                   (2, 3): 1.0,   # expanded cross pair (clone x page)
+                   (1, 3): 1.0}   # intra identity pair
+    # docs 4/5 are identical but have zero 3-gram shingles -> no pair,
+    # mirroring the LSH tier's NULL-jaccard drop
+
+
+def test_lsh_recall_eval_planted_pairs_golden(spark):
+    """Planted-pair golden within one block key: an identical pair is
+    trivially caught (identical signatures -> every band collides, the
+    j_lo=1.0 bucket reads recall 1.0); every truth bucket's n_true matches
+    the exact blocked tier; and each truth pair's caught flag agrees with
+    the REAL band join (membership in lsh_candidate_pairs at the same
+    threshold) — the collide predicate is pinned to the production tier,
+    not re-derived."""
+    rows = [
+        # block (en, web): planted identical pair + a partial-overlap pair
+        (1, "en", "web", "a b c d e f g h"),
+        (2, "en", "web", "a b c d e f g h"),
+        (3, "en", "web", "a b c d e f x y z"),
+        # different block: shares text with doc 1 but must NOT be a truth
+        # pair (blocking excludes cross-block pairs from ground truth)
+        (4, "de", "wiki", "a b c d e f g h"),
+        (5, "en", "web", "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string")
+    thr = 0.08
+    got = {r.j_lo: (r.n_true, r.n_caught, r.recall)
+           for r in dedup.lsh_recall_eval(
+               docs, ["lang", "source"], threshold=thr).collect()}
+
+    truth = dedup.ngram_jaccard_pairs(
+        docs, ["lang", "source"], threshold=thr)
+    caught_pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(
+        docs, jaccard_threshold=thr).select("id_a", "id_b").collect()}
+    expect = {}
+    for r in truth.collect():
+        j_lo = math.floor(r.jaccard * 10) / 10
+        n_true, n_caught, _ = expect.get(j_lo, (0, 0, None))
+        n_true += 1
+        n_caught += int((r.id_a, r.id_b) in caught_pairs)
+        expect[j_lo] = (n_true, n_caught, round(n_caught / n_true, 4))
+    assert got == expect
+    # the planted identical pair: identical signatures, trivially caught
+    assert got[1.0] == (1, 1, 1.0)
+    # cross-block clone (1,4) is NOT ground truth
+    assert sum(n for n, _, _ in got.values()) == truth.count()
+
+
+def test_tfidf_salient_terms_analytic_golden(spark):
+    """Hand-computed smoothed tf-idf on a 3-doc corpus: N=3, df(apple)=2,
+    df(banana)=2, df(cherry)=1; score = tf * (ln((N+1)/(df+1)) + 1)
+    rounded to 4 before the (score DESC, term ASC) rank."""
+    docs = spark.createDataFrame(
+        [(1, "s1", "apple apple banana"),
+         (2, "s1", "apple cherry"),
+         (3, "s2", "banana banana")],
+        "doc_id long, source string, text string")
+    got = [(r.source, r.term, r.tf, r.df, r.score, r.rank)
+           for r in TXT.tfidf_salient_terms(docs)
+           .orderBy("source", "rank").collect()]
+    idf_2 = math.log(4 / 3) + 1          # df=2
+    idf_1 = math.log(4 / 2) + 1          # df=1
+    assert got == [
+        ("s1", "apple", 3, 2, round(3 * idf_2, 4), 1),
+        ("s1", "cherry", 1, 1, round(1 * idf_1, 4), 2),
+        ("s1", "banana", 1, 2, round(1 * idf_2, 4), 3),
+        ("s2", "banana", 2, 2, round(2 * idf_2, 4), 1),
+    ]
