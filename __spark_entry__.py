@@ -94,9 +94,12 @@ DRIVER_WINDOW: list[str] = [
     "q3_shipping_priority", "q5_nation_revenue",
     "r1_interleaved_commit_files", "r3_partition_change_rotation",
     "range_join_purchase_errors", "text_quality_score", "text_stats",
-    # (3) the r09 cache->stage_local re-planned LSH family
+    # (3) the r09 cache->stage_local re-planned LSH family, plus
+    # dedup_incremental_status whose classifier gained the inc-id
+    # exclusion anti-joins (replay-idempotence for the r09 in-stream
+    # state refresh; a no-op under the disjoint-ids batch contract)
     "dedup_minhash_lsh_pairs", "dedup_cleaned_corpus", "dedup_clusters",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "dedup_incremental_status",
     # (4) round-9 new operators (seated at registration)
 ]
 

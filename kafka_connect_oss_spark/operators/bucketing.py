@@ -40,6 +40,19 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     w.saveAsTable(table)
 
 
+def table_n_buckets(spark: SparkSession, table: str) -> int:
+    """Bucket count of an existing bucketed table (from the catalog).
+
+    Appends to a bucketed table must re-declare the identical spec;
+    reading the count from the catalog instead of trusting the caller
+    removes the mismatched-n_buckets footgun from incremental folds.
+    """
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name.strip() == "Num Buckets":
+            return int(row.data_type)
+    raise ValueError(f"{table} is not bucketed")
+
+
 def ensure_database(spark: SparkSession, name: str, location: str) -> None:
     """Create (if absent) a database whose tables live under `location` —
     keeps bucketed-table storage off the default warehouse path."""

@@ -429,7 +429,8 @@ def run_windowed_topk(records: DataFrame, out_path: str,
 def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
                           out_path: str, checkpoint: str,
                           text_col: str = "text", id_col: str = "doc_id",
-                          ngram: int = 3, jaccard_threshold: float = 0.3):
+                          ngram: int = 3, jaccard_threshold: float = 0.3,
+                          refresh_state: bool = False):
     """Streaming form of the per-ingest dedup contract: every micro-batch
     is one increment, classified against the COMPACTED base state
     (``dedup.compact_base_tables``) with
@@ -442,32 +443,60 @@ def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
     Contract (same one-directional shape as the batch operator, per
     micro-batch): ``dup_exact``/``dup_near`` are judged against the
     compacted base plus earlier arrivals WITHIN the batch (exact layer
-    only); near-dups BETWEEN batches surface at the next compaction,
-    which rebuilds the state tables from base + kept arrivals. That
-    keeps per-batch state READ-ONLY — restarts and retries are
-    idempotent: foreachBatch may replay a batch after a failure, so the
-    sink writes ``partitionBy(batch_id)`` with dynamic partition
-    overwrite — a replay rewrites ONLY its own batch_id partition with
-    the same deterministic rows instead of appending duplicates (a
-    plain append here double-counted replays; r07 ADVICE). No unbounded
-    dedup state accumulates in the stream itself.
+    only); with ``refresh_state=False`` near-dups BETWEEN batches
+    surface at the next offline compaction, which rebuilds the state
+    tables from base + kept arrivals. That keeps per-batch state
+    READ-ONLY — restarts and retries are idempotent: foreachBatch may
+    replay a batch after a failure, so the sink writes
+    ``partitionBy(batch_id)`` with dynamic partition overwrite — a
+    replay rewrites ONLY its own batch_id partition with the same
+    deterministic rows instead of appending duplicates (a plain append
+    here double-counted replays; r07 ADVICE). No unbounded dedup state
+    accumulates in the stream itself.
+
+    ``refresh_state=True`` (r09) closes the between-batches gap IN the
+    stream: after a batch's statuses commit, its kept docs fold into
+    the bucketed state tables (``dedup.fold_accepted_into_state`` —
+    increment-sized appends, content-idempotent), so batch N+1 is
+    judged against base plus every prior batch's accepted docs — the
+    same answer an offline recompaction after every batch would give,
+    without stopping the stream. Replays stay idempotent end-to-end:
+    the fold appends nothing the second time (digest anti-join), and
+    the classifier excludes state rows contributed by the replaying
+    batch itself (``_classify_increment``'s inc-id anti-joins), so the
+    rewritten statuses are bit-identical to the first run's. Dedup
+    state now grows with the accepted corpus — that is the contract
+    (it is the corpus's dedup index, living in tables, not in
+    stream-internal state).
 
     At deploy scale the classification cost per batch is
     increment-driven: the base side is three bucketed scans (see
     ``compact_base_tables``), so a small batch classifies in one small
-    job regardless of corpus size.
+    job regardless of corpus size; the fold adds three increment-sized
+    appends.
     """
-    from kafka_connect_oss_spark.operators.dedup import \
-        incremental_dedup_status_from_tables
+    from kafka_connect_oss_spark.operators.dedup import (
+        fold_accepted_into_state, incremental_dedup_status_from_tables)
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         status = incremental_dedup_status_from_tables(
             batch.sparkSession, state_prefix, batch, text_col, id_col,
             ngram, jaccard_threshold)
+        if refresh_state:
+            # statuses feed two consumers (the sink write + the fold's
+            # kept filter): one materialization, GC-released
+            status = stage_local(status)
         (status.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(out_path))
+        if refresh_state:
+            kept = batch.join(
+                status.where(F.col("status") == "kept").select(id_col),
+                id_col, "semi")
+            fold_accepted_into_state(batch.sparkSession, state_prefix,
+                                     kept, text_col, id_col, ngram)
 
     return (stream_docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)

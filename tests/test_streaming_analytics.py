@@ -390,3 +390,149 @@ def test_run_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path,
         assert after == before
     finally:
         spark.sql("DROP DATABASE sdedupstate CASCADE")
+
+
+def test_fold_accepted_into_state_equals_recompaction(spark, sf_dir,
+                                                      tmp_path_factory):
+    """dedup.fold_accepted_into_state (increment-sized appends) must leave
+    the state tables content-equal to a full compact_base_tables over
+    base + kept, and a second fold of the same docs must append nothing
+    (content idempotency)."""
+    from kafka_connect_oss_spark.operators import bucketing as B
+    from kafka_connect_oss_spark.operators import dedup
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    loc = tmp_path_factory.mktemp("foldst")
+    B.ensure_database(spark, "foldst", str(loc))
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.where(F.col("doc_id") % 3 == 0)
+        inc = docs.where(F.col("doc_id") % 3 == 1)
+        dedup.compact_base_tables(base, "foldst.f", n_buckets=4)
+
+        st = dedup.incremental_dedup_status_from_tables(spark, "foldst.f",
+                                                        inc)
+        kept_ids = [r.doc_id for r in
+                    st.where(F.col("status") == "kept").collect()]
+        kept = inc.where(F.col("doc_id").isin(kept_ids))
+        dedup.fold_accepted_into_state(spark, "foldst.f", kept)
+
+        # reference: full recompaction over the grown corpus. hh/msig
+        # array ORDER is task-layout-dependent and semantically inert
+        # (every consumer is set-wise: array_intersect / explode), so
+        # rows canonicalize arrays to sorted before comparing.
+        dedup.compact_base_tables(base.unionByName(kept), "foldst.g",
+                                  n_buckets=4)
+
+        def canon(table):
+            return sorted(
+                tuple(str(sorted(v)) if isinstance(v, list) else str(v)
+                      for v in r)
+                for r in spark.table(table).collect())
+
+        for t in ["digests", "sig", "postings"]:
+            assert canon(f"foldst.f_{t}") == canon(f"foldst.g_{t}"), t
+
+        # and the contract that matters: both states classify a fresh
+        # increment identically
+        probe = docs.where(F.col("doc_id") % 3 == 2)
+        got_cls = sorted(map(tuple, dedup.incremental_dedup_status_from_tables(
+            spark, "foldst.f", probe).collect()))
+        exp_cls = sorted(map(tuple, dedup.incremental_dedup_status_from_tables(
+            spark, "foldst.g", probe).collect()))
+        assert got_cls == exp_cls
+
+        # refold of the same docs is a no-op (digest anti-join gate)
+        dedup.fold_accepted_into_state(spark, "foldst.f", kept)
+        for t in ["digests", "sig", "postings"]:
+            assert (spark.table(f"foldst.f_{t}").count()
+                    == spark.table(f"foldst.g_{t}").count()), t
+    finally:
+        spark.sql("DROP DATABASE foldst CASCADE")
+
+
+def test_run_incremental_dedup_refresh_state_across_epochs(
+        spark, sf_dir, tmp_path, tmp_path_factory):
+    """The r09 in-stream state-refresh story end-to-end: N micro-batches
+    with refresh_state=True, then MORE arrivals in a later epoch — every
+    batch's statuses must equal the batch operator run against base plus
+    all previously-ACCEPTED arrivals (the exact answer per-batch offline
+    recompaction would give), and a full checkpoint-wipe replay over the
+    already-folded state must reproduce the identical output."""
+    import glob
+    import shutil
+
+    from kafka_connect_oss_spark.operators import bucketing as B
+    from kafka_connect_oss_spark.operators import dedup
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    loc = tmp_path_factory.mktemp("rfrst")
+    B.ensure_database(spark, "rfrst", str(loc))
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.where(F.col("doc_id") % 4 == 0)
+        dedup.compact_base_tables(base, "rfrst.s", n_buckets=4)
+
+        stream_dir = tmp_path / "chunks"
+        stream_dir.mkdir()
+
+        def drop_chunk(i, pred):
+            part = tmp_path / f"part{i}"
+            docs.where(pred).coalesce(1).write.parquet(str(part))
+            src = glob.glob(str(part / "*.parquet"))[0]
+            shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+        drop_chunk(0, F.col("doc_id") % 4 == 1)
+        drop_chunk(1, F.col("doc_id") % 4 == 2)
+
+        schema = spark.read.parquet(str(stream_dir)).schema
+        out, ck = tmp_path / "status_out", tmp_path / "ck"
+
+        def run_epoch():
+            sdf = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(str(stream_dir)))
+            q = A.run_incremental_dedup(sdf, "rfrst.s", str(out), str(ck),
+                                        refresh_state=True)
+            q.awaitTermination(300)
+
+        run_epoch()                      # epoch 1: two micro-batches
+        drop_chunk(2, F.col("doc_id") % 4 == 3)
+        run_epoch()                      # epoch 2: one more batch
+
+        got = spark.read.parquet(str(out))
+        batch_ids = sorted(r.batch_id for r in
+                           got.select("batch_id").distinct().collect())
+        assert len(batch_ids) == 3
+
+        # serial reference: batch operator on a corpus grown by each
+        # batch's kept docs, in commit order
+        corpus = base
+        for bid in batch_ids:
+            rows = got.where(F.col("batch_id") == bid)
+            chunk_ids = [r.doc_id for r in rows.select("doc_id").collect()]
+            chunk = docs.where(F.col("doc_id").isin(chunk_ids))
+            expect = dedup.incremental_dedup_status(corpus, chunk)
+            assert (sorted(map(tuple, rows.drop("batch_id").collect()))
+                    == sorted(map(tuple, expect.collect()))), bid
+            kept_ids = [r.doc_id for r in expect
+                        .where(F.col("status") == "kept").collect()]
+            corpus = corpus.unionByName(
+                chunk.where(F.col("doc_id").isin(kept_ids)))
+
+        # replay idempotency ON TOP of already-folded state: wipe the
+        # checkpoint so every batch reprocesses; the classifier's inc-id
+        # exclusion + the fold's digest gate must leave output AND state
+        # unchanged
+        before = sorted(map(tuple, got.collect()))
+        n_state = {t: spark.table(f"rfrst.s_{t}").count()
+                   for t in ["digests", "sig", "postings"]}
+        shutil.rmtree(str(ck))
+        run_epoch()
+        after = sorted(map(tuple,
+                           spark.read.parquet(str(out)).collect()))
+        assert after == before
+        for t, n in n_state.items():
+            assert spark.table(f"rfrst.s_{t}").count() == n, t
+    finally:
+        spark.sql("DROP DATABASE rfrst CASCADE")
