@@ -71,19 +71,40 @@ def decode_real(modality: str, payload: bytes) -> dict:
     """
     import io
 
-    def _png_header_meta(p: bytes):
-        """(width, height, channels) from a PNG IHDR, stdlib-only — the
-        metadata this catalog path needs requires no pixel codec (PNG
-        spec: 8-byte signature, IHDR first chunk; color type 0/2/3/4/6 ->
-        1/3/1/2/4 channels). Returns None for non-PNG bytes."""
+    def _image_header_meta(p: bytes):
+        """(fmt, width, height, channels) from the image header,
+        stdlib-only — the metadata this catalog path needs requires no
+        pixel codec. Three public container formats whose headers carry
+        the dimensions in fixed positions:
+
+        * PNG (spec: 8-byte signature, IHDR first chunk; color type
+          0/2/3/4/6 -> 1/3/1/2/4 channels);
+        * BMP ("BM" + BITMAPINFOHEADER: int32-LE width at 18, int32-LE
+          height at 22 — negative height means top-down rows, the
+          magnitude is the pixel height; uint16-LE bit count at 28 ->
+          channels for the common 8/24/32-bit forms);
+        * GIF ("GIF87a"/"GIF89a" + uint16-LE logical-screen size;
+          palette-indexed RGB -> 3 channels).
+
+        Returns None for anything else (r09; PNG-only in r08)."""
         import struct
 
-        if len(p) < 26 or p[:8] != b"\x89PNG\r\n\x1a\n" \
-                or p[12:16] != b"IHDR":
-            return None
-        w, h, _depth, ctype = struct.unpack(">IIBB", p[16:26])
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-        return None if channels is None else (w, h, channels)
+        if len(p) >= 26 and p[:8] == b"\x89PNG\r\n\x1a\n" \
+                and p[12:16] == b"IHDR":
+            w, h, _depth, ctype = struct.unpack(">IIBB", p[16:26])
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+            return None if channels is None else ("png", w, h, channels)
+        if len(p) >= 30 and p[:2] == b"BM":
+            w, h = struct.unpack("<ii", p[18:26])
+            bits = struct.unpack("<H", p[28:30])[0]
+            channels = {8: 1, 24: 3, 32: 4}.get(bits)
+            if channels is None or w <= 0 or h == 0:
+                return None
+            return ("bmp", w, abs(h), channels)
+        if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", p[6:10])
+            return ("gif", w, h, 3)
+        return None
 
     meta = {"byte_len": len(payload), "fmt": FORMATS[modality],
             "width": None, "height": None, "channels": None,
@@ -92,13 +113,14 @@ def decode_real(modality: str, payload: bytes) -> dict:
         try:
             from PIL import Image
         except ImportError as ex:
-            png = _png_header_meta(payload)
-            if png is None:
+            hdr = _image_header_meta(payload)
+            if hdr is None:
                 raise NotImplementedError(
                     "real image decoding requires Pillow (the pure-"
-                    "Python fallback reads PNG headers only)") from ex
-            meta.update(width=png[0], height=png[1], channels=png[2],
-                        fmt="png")
+                    "Python fallback reads PNG/BMP/GIF headers only)"
+                ) from ex
+            meta.update(fmt=hdr[0], width=hdr[1], height=hdr[2],
+                        channels=hdr[3])
             return meta
         try:
             with Image.open(io.BytesIO(payload)) as im:

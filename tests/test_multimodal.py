@@ -74,6 +74,61 @@ def test_real_png_decode_runs_in_sandbox():
         MM.decode_real("image", b"not-an-image")
 
 
+def _tiny_bmp(w: int, h: int, bits: int = 24, top_down: bool = False) -> bytes:
+    """Valid uncompressed BMP built with stdlib only (BITMAPINFOHEADER,
+    BI_RGB) — the r09 vendored fixture for the Pillow-absent branch."""
+    import struct
+
+    row = ((w * bits // 8) + 3) & ~3  # rows pad to 4 bytes
+    pixels = b"\x40" * (row * h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, bits, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0,
+                         14 + 40)
+    return header + info + pixels
+
+
+def _tiny_gif(w: int, h: int) -> bytes:
+    """Valid GIF89a built with stdlib only (2-color palette, minimal
+    LZW-coded single image, trailer)."""
+    import struct
+
+    screen = struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # global 2-color table
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    img = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    # LZW min code size 2; a single clear+EOI block is a valid (empty)
+    # data stream for header-metadata purposes
+    lzw = b"\x02" + bytes([1, 0x44]) + b"\x00"
+    return b"GIF89a" + screen + palette + img + lzw + b";"
+
+
+def test_real_bmp_gif_decode_runs_in_sandbox():
+    """r09: the stdlib header fallback covers BMP (incl. top-down
+    negative-height and 32-bit forms) and GIF, so the real-decode path
+    exercises three public container formats in-sandbox without Pillow.
+    Pillow (when installed) takes precedence on the same bytes and
+    agrees on dimensions — pinned in test_real_image_decode_pillow's
+    environment."""
+    try:
+        import PIL  # noqa: F401  (Pillow decodes pixels; channel
+        has_pil = True            # conventions differ for palette GIFs)
+    except ImportError:
+        has_pil = False
+
+    meta = MM.decode_real("image", _tiny_bmp(19, 7))
+    assert (meta["fmt"], meta["width"], meta["height"]) == ("bmp", 19, 7)
+    td = MM.decode_real("image", _tiny_bmp(5, 3, bits=32, top_down=True))
+    assert (td["fmt"], td["width"], td["height"]) == ("bmp", 5, 3)
+    gif = MM.decode_real("image", _tiny_gif(41, 13))
+    assert (gif["fmt"], gif["width"], gif["height"]) == ("gif", 41, 13)
+    if not has_pil:  # the fallback's documented channel mapping
+        assert (meta["channels"], td["channels"], gif["channels"]) \
+            == (3, 4, 3)
+        # 16-bit BMP (channel mapping ambiguous) stays undecodable
+        with pytest.raises(NotImplementedError):
+            MM.decode_real("image", _tiny_bmp(4, 4, bits=16))
+
+
 def test_real_image_decode_pillow():
     """Skip-gated like the spark-avro jar test: runs wherever Pillow is
     installed (the production escape hatch), skips in this container."""
