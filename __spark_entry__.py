@@ -101,6 +101,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh_pairs", "dedup_cleaned_corpus", "dedup_clusters",
     "dedup_simhash_pairs", "dedup_incremental_status",
     # (4) round-9 new operators (seated at registration)
+    "corpus_leakage_safe_split", "pack_efficiency_report",
+    "text_bigram_nll", "text_vocab_stats", "sim_embedding_outliers",
+    "sim_centroid_drift",
 ]
 
 

@@ -1210,3 +1210,43 @@ def semdedup_flags(embeddings: DataFrame, n_centroids: int = 16,
             .join(dup_ids.withColumn("_d", F.lit(True)), id_col, "left")
             .select(id_col, "cid",
                     F.coalesce("_d", F.lit(False)).alias("is_dup")))
+
+
+def leakage_safe_split(docs: DataFrame, bounds: tuple[tuple[str, int], ...],
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ngram: int = 3,
+                       jaccard_threshold: float = 0.3) -> DataFrame:
+    """Train/val/test assignment at NEAR-DUP-CLUSTER granularity: every
+    member of a connected near-dup component receives the split of its
+    cluster representative, so a document can never leak into val/test
+    while a near-copy of it sits in train — the eval-integrity failure
+    plain per-doc hashing (``corpus_split_assign``) cannot prevent
+    (near-dup train/test contamination inflates benchmarks; the reason
+    public corpora dedup BEFORE splitting).
+
+    ``bounds`` = cumulative-percentage split table, e.g.
+    (("train", 98), ("val", 99), ("test", 100)): a cluster whose hash
+    slot falls in [0,98) is train, etc. The slot hashes the CLUSTER id
+    (the component's minimum doc id) through the shared engine-portable
+    base hash, so assignment is deterministic, reproducible across
+    engines, and independent of row order.
+
+    Scale: the connected-components pass (``connectivity_edges`` +
+    ``dedup_clusters`` — collapsed star edges, one job per CC round)
+    dominates; the split itself is one narrow projection on the labels.
+    Singleton docs are their own cluster (slot = hash of their own id).
+
+    Returns (id_col, cluster_id, split).
+    """
+    labels = dedup_clusters(
+        docs, connectivity_edges(docs, text_col, id_col, ngram,
+                                 jaccard_threshold),
+        id_col=id_col)
+    slot = F.expr(H.base_hash(
+        "concat('lsplit:', CAST(cluster_id AS STRING))", "spark")) % 100
+    assign = None
+    for name, hi in bounds:
+        cond = slot < hi
+        assign = (F.when(cond, F.lit(name)) if assign is None
+                  else assign.when(cond, F.lit(name)))
+    return labels.select(id_col, "cluster_id", assign.alias("split"))

@@ -49,3 +49,79 @@ def pack_sequences(docs: DataFrame, budget_tokens: int = 4096,
         "n_tokens",
         (F.col("cum_before") - pack * budget_tokens).cast("long")
         .alias("offset_in_pack"))
+
+
+def pack_efficiency(docs: DataFrame, budget_tokens: int = 4096,
+                    n_shards: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-shard packing-efficiency report over the ``pack_sequences``
+    layout — the dataloader-planning numbers (how many fixed-budget
+    sequences a shard yields, how full the tail is, how often documents
+    straddle pack boundaries and will be split by the tokenizer):
+
+      n_docs / total_tokens   exact layout totals
+      n_packs                 ceil(total/budget) realized packs
+      fill_ratio              total_tokens / (n_packs * budget) — in
+                              concat-and-split packing only the LAST
+                              pack of a shard can be partial, so this
+                              is the tail-waste metric
+      n_boundary_docs         docs crossing >= 1 pack boundary
+      frag_rate               mean fragments per doc, fragments =
+                              boundaries crossed + 1 (empty docs: 1)
+
+    Same single cumsum-window shuffle as the layout itself, then one
+    shard-level aggregate (n_shards output rows). All inputs exact
+    integers; the two ratios round once.
+
+    Returns (shard, n_docs, total_tokens, n_packs, fill_ratio,
+    n_boundary_docs, frag_rate).
+    """
+    laid = pack_sequences(docs, budget_tokens, n_shards, text_col, id_col)
+    # last token's pack minus first token's pack = boundaries crossed
+    frags = (F.floor((F.col("offset_in_pack")
+                      + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                     / budget_tokens) + 1).cast("long")
+    per_doc = laid.select("shard", "n_tokens", frags.alias("_frags"))
+    n_packs = F.ceil(F.sum("n_tokens") / F.lit(float(budget_tokens)))
+    return (per_doc.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 n_packs.cast("long").alias("n_packs"),
+                 F.expr(f"CAST(round(SUM(n_tokens) / (CAST(CEIL("
+                        f"SUM(n_tokens) / CAST({budget_tokens} AS DOUBLE))"
+                        f" AS DOUBLE) * {budget_tokens}), 4) AS DOUBLE)")
+                 .alias("fill_ratio"),
+                 F.sum(F.when(F.col("_frags") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_boundary_docs"),
+                 F.expr("CAST(round(SUM(_frags) / CAST(COUNT(*) AS DOUBLE)"
+                        ", 4) AS DOUBLE)").alias("frag_rate")))
+
+
+def pack_efficiency_oracle_sql(table_expr: str, budget_tokens: int = 4096,
+                               n_shards: int = 8, text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    tok = f"len(list_filter(string_split({text_col}, ' '), tt -> tt <> ''))"
+    return f"""WITH t AS (
+      SELECT {id_col}, {id_col} % {n_shards} AS shard,
+             CAST({tok} AS BIGINT) AS n_tokens
+      FROM {table_expr}),
+    c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before FROM t),
+    d AS (SELECT shard, n_tokens,
+                 (cum_before + GREATEST(n_tokens - 1, 0))
+                   // {budget_tokens}
+                 - cum_before // {budget_tokens} + 1 AS frags
+          FROM c)
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(CEIL(SUM(n_tokens) / CAST({budget_tokens} AS DOUBLE))
+                AS BIGINT) AS n_packs,
+           ROUND(SUM(n_tokens) / (CEIL(SUM(n_tokens)
+                 / CAST({budget_tokens} AS DOUBLE)) * {budget_tokens}), 4)
+             AS fill_ratio,
+           CAST(SUM(CASE WHEN frags > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary_docs,
+           ROUND(SUM(frags) / CAST(COUNT(*) AS DOUBLE), 4) AS frag_rate
+    FROM d GROUP BY shard"""

@@ -781,3 +781,158 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     return (fused.select(id_col, "rank_a", "rank_b",
                          R.fround(rrf, 6).alias("rrf"))
             .orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k))
+
+
+# --------------------------------------------------------------------------
+# round-9: embedding-space corpus QC (outliers, centroid drift)
+# --------------------------------------------------------------------------
+
+#: fixed milli-grid quantization step for the QC operators below: floor
+#: (x * 1000) — a GLOBAL grid (unlike SQ8's per-vector min/max), so codes
+#: are comparable across vectors and every cross-row aggregate runs on
+#: exact BIGINTs. floor of an identical double is identical on both
+#: engines, making centroid math engine-exact by construction instead of
+#: praying over float summation order.
+_MILLI = 1000
+
+
+def _milli_codes(vec_col: str) -> str:
+    return (f"transform(cast({vec_col} as array<double>), "
+            f"x -> CAST(floor(x * {_MILLI}) AS BIGINT))")
+
+
+def embedding_outliers(embeddings: DataFrame, k: int = 5,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       group_col: str = "label") -> DataFrame:
+    """Top-``k`` embedding outliers per group: vectors farthest (L2) from
+    their group's centroid — the corpus-QC operator that surfaces
+    mislabeled / out-of-distribution / corrupted vectors before they
+    poison ANN structures or SemDeDup clustering (public technique:
+    centroid-distance pruning, e.g. the D4 recipe's prototype distance,
+    Tirumala et al. 2023).
+
+    Engine-exact math on the milli-grid: components quantize to BIGINT
+    codes (floor(x*1000) — identical doubles floor identically), group
+    centroids are floor(sum/n) BIGINTs, per-vector squared distance is
+    an exact integer sum, and the single float op (sqrt of an exact
+    integer) is IEEE-identical before the final round.
+
+    Scale shape: one posexplode -> (group, dim) partial-agg shuffle
+    (64 x groups output rows), centroids broadcast back, per-vector
+    integer distance agg, salted-free per-group top-k window (groups x
+    k output). No all-pairs anything; distance work is one pass.
+
+    Returns (group_col, id_col, dist, rank) with dist = L2 in original
+    units rounded to 4, rank by (dist DESC, id).
+    """
+    from pyspark.sql.window import Window
+
+    rows = embeddings.select(
+        group_col, id_col,
+        F.posexplode(F.expr(_milli_codes(vec_col))).alias("_p", "_v"))
+    cent = (rows.groupBy(group_col, "_p")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(group_col, "_p",
+                    F.expr("CAST(floor(CAST(_s AS DOUBLE) / _n) AS BIGINT)")
+                    .alias("_c")))
+    d2 = (rows.join(F.broadcast(cent), [group_col, "_p"])
+          .groupBy(group_col, id_col)
+          .agg(F.sum((F.col("_v") - F.col("_c"))
+                     * (F.col("_v") - F.col("_c"))).alias("_d2")))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_d2").desc(), F.col(id_col))
+    return (d2.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(group_col, id_col,
+                    R.fround(F.sqrt(F.col("_d2").cast("double"))
+                             / _MILLI, 4).alias("dist"),
+                    "rank"))
+
+
+def embedding_outliers_oracle_sql(table_expr: str, k: int = 5,
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  group_col: str = "label") -> str:
+    idx = f"range(1, len({vec_col})+1)"
+    codes = (f"list_transform({idx}, i -> CAST(floor(CAST({vec_col}[i] AS "
+             f"DOUBLE) * {_MILLI}) AS BIGINT))")
+    return f"""WITH rows_ AS (
+      SELECT {group_col}, {id_col}, UNNEST({idx}) AS p,
+             UNNEST({codes}) AS v
+      FROM {table_expr}),
+    cent AS (SELECT {group_col}, p,
+                    CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                      AS c
+             FROM rows_ GROUP BY {group_col}, p),
+    d2 AS (SELECT r.{group_col}, r.{id_col},
+                  SUM((r.v - cent.c) * (r.v - cent.c)) AS d2
+           FROM rows_ r JOIN cent
+             ON r.{group_col} = cent.{group_col} AND r.p = cent.p
+           GROUP BY r.{group_col}, r.{id_col})
+    SELECT {group_col}, {id_col},
+           ROUND(sqrt(CAST(d2 AS DOUBLE)) / {_MILLI}, 4) AS dist,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY {group_col}
+              ORDER BY d2 DESC, {id_col}) AS rank FROM d2)
+    WHERE rank <= {k}"""
+
+
+def centroid_drift(embeddings: DataFrame, epoch_expr: str,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   group_col: str = "label") -> DataFrame:
+    """Per-group centroid drift between two ingest epochs: L1 distance
+    between the group's milli-grid centroids computed on epoch 0 vs
+    epoch 1 rows (``epoch_expr`` must evaluate to 0/1) — the
+    distribution-shift monitor a 100 TB embedding pipeline alarms on
+    (an embedding-model regression or a source-mix change moves
+    centroids long before downstream metrics notice).
+
+    Same engine-exact integer machinery as ``embedding_outliers``;
+    drift is an exact-integer L1 rounded once at the end. One
+    (group, epoch, dim) partial-agg shuffle, output rows = groups.
+
+    Returns (group_col, n_0, n_1, l1_drift) for groups present in both
+    epochs, drift in original units rounded to 4.
+    """
+    rows = embeddings.select(
+        group_col, F.expr(epoch_expr).cast("int").alias("_e"),
+        F.posexplode(F.expr(_milli_codes(vec_col))).alias("_p", "_v"))
+    cent = (rows.groupBy(group_col, "_e", "_p")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(group_col, "_e", "_p",
+                    F.expr("CAST(floor(CAST(_s AS DOUBLE) / _n) AS BIGINT)")
+                    .alias("_c"), F.col("_n")))
+    a = cent.where(F.col("_e") == 0).select(
+        group_col, "_p", F.col("_c").alias("_ca"), F.col("_n").alias("_na"))
+    b = cent.where(F.col("_e") == 1).select(
+        group_col, "_p", F.col("_c").alias("_cb"), F.col("_n").alias("_nb"))
+    return (a.join(b, [group_col, "_p"])
+            .groupBy(group_col)
+            .agg(F.max("_na").alias("n_0"), F.max("_nb").alias("n_1"),
+                 R.fround(F.sum(F.abs(F.col("_ca") - F.col("_cb")))
+                          .cast("double") / _MILLI, 4).alias("l1_drift")))
+
+
+def centroid_drift_oracle_sql(table_expr: str, epoch_sql: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              group_col: str = "label") -> str:
+    idx = f"range(1, len({vec_col})+1)"
+    codes = (f"list_transform({idx}, i -> CAST(floor(CAST({vec_col}[i] AS "
+             f"DOUBLE) * {_MILLI}) AS BIGINT))")
+    return f"""WITH rows_ AS (
+      SELECT {group_col}, CAST({epoch_sql} AS INT) AS e,
+             UNNEST({idx}) AS p, UNNEST({codes}) AS v
+      FROM {table_expr}),
+    cent AS (SELECT {group_col}, e, p,
+                    CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                      AS c, COUNT(*) AS n
+             FROM rows_ GROUP BY {group_col}, e, p)
+    SELECT a.{group_col}, MAX(a.n) AS n_0, MAX(b.n) AS n_1,
+           ROUND(CAST(SUM(abs(a.c - b.c)) AS DOUBLE) / {_MILLI}, 4)
+             AS l1_drift
+    FROM cent a JOIN cent b
+      ON a.{group_col} = b.{group_col} AND a.p = b.p
+     AND a.e = 0 AND b.e = 1
+    GROUP BY a.{group_col}"""

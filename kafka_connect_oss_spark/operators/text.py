@@ -1267,3 +1267,123 @@ def tfidf_salient_terms_oracle_sql(table_expr: str, k: int = 5,
               PARTITION BY {source_col}
               ORDER BY score DESC, term) AS rank FROM sc)
     WHERE rank <= {k}"""
+
+
+def bigram_nll(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-likelihood under the CORPUS bigram
+    language model with add-1 (Laplace) smoothing:
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+    c(w1 w2) = corpus bigram count, c(w1 ·) = corpus count of w1 as a
+    bigram context, V = corpus vocabulary size. The order-sensitive
+    sibling of ``unigram_nll``'s CCNet-style perplexity filter: token
+    SALAD with plausible unigrams (shuffled text, keyword stuffing, bad
+    OCR segment order) scores near the unigram model but far under the
+    bigram model — the standard next rung of the perplexity-filter
+    ladder before a real LM (public n-gram LM technique, e.g.
+    Chen & Goodman 1996 smoothing study).
+
+    Scale shape: word-count aggregations only — one (w1,w2) corpus
+    count (map-side combine), context counts derived FROM that result
+    (a second tiny agg over vocabulary-sized data, never a second
+    corpus pass), a 1-row V broadcast, one bigram->model join (AQE
+    broadcasts a vocabulary-sized model), one per-doc mean. Documents
+    with < 2 tokens emit no row.
+
+    Returns (id_col, n_bigrams, nll) in nats rounded to 4.
+    """
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    big = (f"CASE WHEN size({tok}) < 2 THEN array() "
+           f"ELSE transform(sequence(1, size({tok}) - 1), "
+           f"i -> concat(element_at({tok}, i), ' ', "
+           f"element_at({tok}, i + 1))) END")
+    pairs = _fan_out(docs).select(
+        F.col(id_col), F.explode(F.expr(big)).alias("_b"))
+    bc = pairs.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_bc"))
+    cc = (bc.groupBy(F.substring_index("_b", " ", 1).alias("_w1"))
+          .agg(F.sum("_bc").alias("_cc")))
+    v = (_fan_out(docs)
+         .select(F.explode(F.expr(tok)).alias("_w"))
+         .agg(F.countDistinct("_w").cast("double").alias("_v")))
+    return (pairs
+            .join(bc, "_b")
+            .join(cc, F.substring_index(pairs["_b"], " ", 1) == cc["_w1"])
+            .crossJoin(F.broadcast(v))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 R.fround(F.avg(-F.log((F.col("_bc") + 1)
+                                       / (F.col("_cc") + F.col("_v")))), 4)
+                 .alias("nll")))
+
+
+def bigram_nll_oracle_sql(table_expr: str, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    big = (f"CASE WHEN len({dtok}) < 2 THEN [] "
+           f"ELSE list_transform(range(1, len({dtok})), "
+           f"i -> {dtok}[i] || ' ' || {dtok}[i + 1]) END")
+    return f"""WITH pairs AS (
+      SELECT {id_col}, UNNEST({big}) AS b FROM {table_expr}),
+    bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS bc FROM pairs GROUP BY b),
+    cc AS (SELECT split_part(b, ' ', 1) AS w1, SUM(bc) AS cc
+           FROM bc GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT UNNEST({dtok}) AS w FROM {table_expr}))
+    SELECT p.{id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((bc.bc + 1) / (cc.cc + v.v))), 4) AS nll
+    FROM pairs p JOIN bc ON p.b = bc.b
+    JOIN cc ON split_part(p.b, ' ', 1) = cc.w1
+    CROSS JOIN v
+    GROUP BY p.{id_col}"""
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """Per-source vocabulary-richness profile: total token occurrences,
+    distinct types, type-token ratio, and hapax share (fraction of the
+    source's types occurring exactly once) — the classic lexical
+    diversity screen for mixture design (a source whose TTR collapses is
+    boilerplate/template-dominated; one whose hapax share explodes is
+    OCR noise or ID-string soup).
+
+    Word-count shape end-to-end: one (source, term) count with map-side
+    combine, then a source-level aggregate over vocabulary-sized rows.
+    All counts exact integers; the two ratios round once.
+
+    Returns (source_col, n_tokens, n_types, ttr, hapax_share).
+    """
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    tf = (_fan_out(docs)
+          .select(source_col, F.explode(F.expr(tok)).alias("_w"))
+          .groupBy(source_col, "_w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_tf")))
+    return (tf.groupBy(source_col)
+            .agg(F.sum("_tf").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 R.fround(F.count(F.lit(1))
+                          / F.sum("_tf").cast("double"), 4).alias("ttr"),
+                 R.fround(F.sum(F.when(F.col("_tf") == 1, 1).otherwise(0))
+                          / F.count(F.lit(1)).cast("double"), 4)
+                 .alias("hapax_share")))
+
+
+def vocab_stats_oracle_sql(table_expr: str, text_col: str = "text",
+                           source_col: str = "source") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH tf AS (
+      SELECT {source_col}, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT {source_col}, UNNEST({dtok}) AS w FROM {table_expr})
+      GROUP BY {source_col}, w)
+    SELECT {source_col}, SUM(tf) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 4) AS ttr,
+           ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_share
+    FROM tf GROUP BY {source_col}"""

@@ -13,6 +13,7 @@ from kafka_connect_oss_spark.functions.rounding import fround, round_sql
 from kafka_connect_oss_spark.functions import text as X
 from kafka_connect_oss_spark.functions import vectors as V
 from kafka_connect_oss_spark.operators import dedup, similarity
+from kafka_connect_oss_spark.operators import packing as PK
 from kafka_connect_oss_spark.operators import sketches as SK
 from kafka_connect_oss_spark.operators import text as TXT
 from kafka_connect_oss_spark.registry import LAZY_ORACLES, register
@@ -1725,3 +1726,116 @@ def text_tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf-idf — word-count-shaped aggregations + a per-source top-k window;
     the one float op (ln) is rounded before ranking, the BM25 posture."""
     return TXT.tfidf_salient_terms(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# round-9 additions: leakage-safe split, packing efficiency, bigram LM,
+# vocabulary profile, embedding-space QC (outliers + drift)
+# --------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    # the dedup_clusters recursive-CTE labels + the cluster-id hash split
+    jac = round_sql("inter / CAST(la + lb - inter AS DOUBLE)", 4)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 + m{2*b+1} "
+        f"AS band_key FROM sig" for b in range(dedup.N_BANDS))
+    slot = (H.base_hash("'lsplit:' || CAST(cluster_id AS VARCHAR)",
+                        "duckdb") + " % 100")
+    case = " ".join(
+        f"WHEN slot < {hi} THEN '{name}'" for name, hi in _SPLIT_BOUNDS)
+    return f"""WITH RECURSIVE {_sig_cte()},
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    ver AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.hh, sb.hh)) AS inter,
+                   len(sa.hh) AS la, len(sb.hh) AS lb
+            FROM cand
+            JOIN hsh sa ON sa.doc_id = cand.id_a
+            JOIN hsh sb ON sb.doc_id = cand.id_b),
+    pairs AS (SELECT id_a, id_b FROM ver WHERE {jac} >= {JACCARD_DEMO}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk (node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node)
+    SELECT doc_id, cluster_id, CASE {case} END AS split
+    FROM (SELECT doc_id, cluster_id, {slot} AS slot FROM lab)"""
+
+
+@register("corpus_leakage_safe_split", _leakage_split_oracle())
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split at near-dup-CLUSTER granularity
+    (operators/dedup.leakage_safe_split): every member of a connected
+    near-dup component gets its cluster representative's split, so a
+    near-copy of a test doc can never sit in train — the contamination
+    mode corpus_split_assign's per-doc hash cannot prevent. CC labels
+    from the collapsed connectivity_edges graph; split = portable hash
+    of the cluster id against the same 98/1/1 bounds."""
+    return dedup.leakage_safe_split(load_table(spark, sf_dir, "documents"),
+                                    _SPLIT_BOUNDS,
+                                    jaccard_threshold=JACCARD_DEMO)
+
+
+@register("pack_efficiency_report",
+          PK.pack_efficiency_oracle_sql("documents", _PACK_BUDGET,
+                                        _PACK_SHARDS))
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader-planning report over the pack_training_sequences layout
+    (operators/packing.pack_efficiency): per shard — realized packs,
+    tail fill ratio, boundary-straddling docs, mean fragments per doc.
+    Same one cumsum-window shuffle as the layout; n_shards output rows."""
+    return PK.pack_efficiency(load_table(spark, sf_dir, "documents"),
+                              budget_tokens=_PACK_BUDGET,
+                              n_shards=_PACK_SHARDS)
+
+
+@register("text_bigram_nll", TXT.bigram_nll_oracle_sql("documents"))
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean NLL under the corpus bigram LM with add-1 smoothing
+    (operators/text.bigram_nll) — the order-sensitive rung of the
+    perplexity-filter ladder above text_unigram_nll: shuffled-token
+    salad with plausible unigrams scores high here. Word-count shuffles
+    only; context counts derive from the bigram counts, never a second
+    corpus pass."""
+    return TXT.bigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_vocab_stats", TXT.vocab_stats_oracle_sql("documents"))
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile (operators/text.vocab_stats):
+    token/type totals, type-token ratio, hapax share — the mixture-design
+    screen for boilerplate collapse (TTR -> 0) and OCR/ID noise (hapax
+    -> 1). One word-count aggregate + a vocabulary-sized rollup."""
+    return TXT.vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("sim_embedding_outliers",
+          similarity.embedding_outliers_oracle_sql("embeddings"))
+def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 centroid-distance outliers per label group
+    (operators/similarity.embedding_outliers): the corpus-QC pass that
+    surfaces mislabeled / OOD / corrupted vectors before they poison ANN
+    or SemDeDup structures (prototype-distance pruning, D4 / Tirumala et
+    al. 2023). Engine-exact milli-grid integer math end-to-end; one
+    (group, dim) partial-agg shuffle + broadcast centroids."""
+    return similarity.embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_centroid_drift",
+          similarity.centroid_drift_oracle_sql("embeddings", "vec_id % 2"))
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L1 drift between two ingest epochs (vec_id
+    parity as the demo epoch key; operators/similarity.centroid_drift) —
+    the embedding distribution-shift monitor a 100 TB pipeline alarms on
+    before downstream metrics move. Exact-integer centroids on the
+    milli-grid; one (group, epoch, dim) shuffle, groups-sized output."""
+    return similarity.centroid_drift(
+        load_table(spark, sf_dir, "embeddings"), "vec_id % 2")

@@ -135,3 +135,108 @@ def test_tfidf_salient_terms_analytic_golden(spark):
         ("s1", "banana", 1, 2, round(1 * idf_2, 4), 3),
         ("s2", "banana", 2, 2, round(2 * idf_2, 4), 1),
     ]
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    """All members of a near-dup connected component receive ONE split
+    (no near-dup can straddle train/test); singletons hash their own id."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(1, base), (2, base + " w9"),              # near-dup pair
+            (3, base), (4, "p q r s t u v w"),         # 3 ~ 1 (identical)
+            (5, "aa bb cc dd ee ff gg hh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.cluster_id, r.split)
+           for r in dedup.leakage_safe_split(
+               docs, (("train", 98), ("val", 99), ("test", 100)),
+               jaccard_threshold=0.3).collect()}
+    assert len(got) == 5
+    # docs 1,2,3 form one component labeled by its min id
+    assert got[1][0] == got[2][0] == got[3][0] == 1
+    assert got[1][1] == got[2][1] == got[3][1]
+    assert got[4][0] == 4 and got[5][0] == 5
+    assert all(s in ("train", "val", "test") for _, s in got.values())
+
+
+def test_pack_efficiency_analytic(spark):
+    """Hand-computed layout, 1 shard, budget 5: docs of 3/4/2/6 tokens in
+    id order -> cumsum 0,3,7,9; total 15 -> 3 packs, fill 1.0; doc 2
+    (offset 3, 4 tokens) and doc 8 (offset 4 of pack 1, 6 tokens) cross
+    boundaries; fragments 1+2+1+2 = 6 -> frag_rate 1.5."""
+    from kafka_connect_oss_spark.operators.packing import pack_efficiency
+
+    rows = [(0, "a b c"), (2, "d e f g"), (4, "h i"), (8, "j k l m n o")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pack_efficiency(docs, budget_tokens=5, n_shards=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.shard, r.n_docs, r.total_tokens, r.n_packs) == (0, 4, 15, 3)
+    assert r.fill_ratio == 1.0
+    assert r.n_boundary_docs == 2
+    assert r.frag_rate == 1.5
+
+
+def test_bigram_nll_analytic(spark):
+    """Hand-computed add-1 bigram model: corpus 'a b a b' + 'a b c'
+    -> bigram counts (a b)=3? no: doc1 bigrams (a b),(b a),(a b);
+    doc2 (a b),(b c). c(a b)=3, c(b a)=1, c(b c)=1; contexts a·=3, b·=2;
+    V=3. doc2 nll = -(ln(4/6) + ln(2/5)) / 2."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.nll)
+           for r in TXT.bigram_nll(docs).collect()}
+    V = 4.0  # vocabulary is {a, b, c, x}
+    exp2 = round(-(math.log(4 / (3 + V)) + math.log(2 / (2 + V))) / 2, 4)
+    exp1 = round(-(math.log(4 / (3 + V)) + math.log(2 / (2 + V))
+                   + math.log(4 / (3 + V))) / 3, 4)
+    assert got[2] == (2, exp2)
+    assert got[1] == (3, exp1)
+    assert 3 not in got  # single-token doc emits no row
+
+
+def test_vocab_stats_analytic(spark):
+    """s1: tokens a a b -> 3 tokens, 2 types, ttr 0.6667, hapax {b} 0.5."""
+    docs = spark.createDataFrame(
+        [(1, "s1", "a a b"), (2, "s2", "x y")],
+        "doc_id long, source string, text string")
+    got = {r.source: (r.n_tokens, r.n_types, r.ttr, r.hapax_share)
+           for r in TXT.vocab_stats(docs).collect()}
+    assert got["s1"] == (3, 2, round(2 / 3, 4), 0.5)
+    assert got["s2"] == (2, 2, 1.0, 1.0)
+
+
+def test_embedding_outliers_analytic(spark):
+    """Three clustered vectors + one far point in group 0: the far point
+    ranks first with its exact centroid distance (milli-grid math)."""
+    from kafka_connect_oss_spark.operators import similarity
+
+    rows = [(1, [0.0, 0.0], 0), (2, [0.002, 0.0], 0),
+            (3, [0.004, 0.0], 0), (4, [3.0, 4.0], 0),
+            (5, [1.0, 1.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = [(r.label, r.vec_id, r.dist, r.rank)
+           for r in similarity.embedding_outliers(emb, k=2)
+           .orderBy("label", "rank").collect()]
+    # group 0 milli codes: (0,0) (2,0) (4,0) (3000,4000); centroid =
+    # floor(3006/4), floor(4000/4) = (751, 1000)
+    import math as _m
+    d4 = round(_m.sqrt((3000 - 751) ** 2 + (4000 - 1000) ** 2) / 1000, 4)
+    d1 = round(_m.sqrt(751 ** 2 + 1000 ** 2) / 1000, 4)
+    assert got[0] == (0, 4, d4, 1)
+    assert got[1] == (0, 1, d1, 2)
+    assert got[2] == (1, 5, 0.0, 1)
+
+
+def test_centroid_drift_analytic(spark):
+    """Epoch 0 vectors {(0,0),(1,1)} vs epoch 1 {(2,0)} in one group:
+    centroids (500,500) vs (2000,0) -> L1 = (1500+500)/1000 = 2.0."""
+    from kafka_connect_oss_spark.operators import similarity
+
+    rows = [(0, [0.0, 0.0], 7), (2, [1.0, 1.0], 7), (1, [2.0, 0.0], 7),
+            (3, [5.0, 5.0], 9)]  # group 9 only in epoch 1 -> dropped
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = [(r.label, r.n_0, r.n_1, r.l1_drift)
+           for r in similarity.centroid_drift(emb, "vec_id % 2").collect()]
+    assert got == [(7, 2, 1, 2.0)]
