@@ -103,7 +103,7 @@ DRIVER_WINDOW: list[str] = [
     # (4) round-9 new operators (seated at registration)
     "corpus_leakage_safe_split", "pack_efficiency_report",
     "text_bigram_nll", "text_vocab_stats", "sim_embedding_outliers",
-    "sim_centroid_drift",
+    "sim_centroid_drift", "sim_ann_sq8_adc_topk", "dedup_cluster_stats",
 ]
 
 

@@ -141,6 +141,16 @@ HEADLINE += [
     "corpus_cluster_quota_sample",
     # round-8 operators
     "corpus_snapshot_diff",
+    # round-9 operators (incl. the three registered in the r08 snapshot)
+    "dedup_containment_pairs",
+    "dedup_lsh_recall_eval",
+    "text_tfidf_salient_terms",
+    "corpus_leakage_safe_split",
+    "pack_efficiency_report",
+    "text_bigram_nll",
+    "text_vocab_stats",
+    "sim_embedding_outliers",
+    "sim_centroid_drift",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -1250,3 +1250,39 @@ def leakage_safe_split(docs: DataFrame, bounds: tuple[tuple[str, int], ...],
         assign = (F.when(cond, F.lit(name)) if assign is None
                   else assign.when(cond, F.lit(name)))
     return labels.select(id_col, "cluster_id", assign.alias("split"))
+
+
+def cluster_size_stats(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ngram: int = 3,
+                       jaccard_threshold: float = 0.3) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup-health monitor: one
+    row per observed component size with how many clusters have it and
+    what share of the corpus they hold. The numbers an ingest pipeline
+    alarms on (a boilerplate outbreak shows up as mass shifting from
+    size 1 into a few giant components long before storage graphs move;
+    singleton share ~1.0 means dedup is buying nothing).
+
+    Built on the collapsed connectivity graph + CC labels
+    (``connectivity_edges`` / ``dedup_clusters``), then two label-keyed
+    word-count-shaped aggregates (labels -> sizes -> histogram) and a
+    1-row corpus-count broadcast for the share. Output rows = distinct
+    component sizes (<= sqrt(2 * corpus) of them).
+
+    Returns (cluster_size, n_clusters, n_docs, doc_share) with
+    doc_share rounded to 4.
+    """
+    labels = dedup_clusters(
+        docs, connectivity_edges(docs, text_col, id_col, ngram,
+                                 jaccard_threshold), id_col=id_col)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .withColumn("n_docs",
+                        (F.col("cluster_size") * F.col("n_clusters"))
+                        .cast("long"))
+            .crossJoin(F.broadcast(total))
+            .select("cluster_size", "n_clusters", "n_docs",
+                    R.fround(F.col("n_docs") / F.col("_t"), 4)
+                    .alias("doc_share")))

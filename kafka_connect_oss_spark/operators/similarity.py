@@ -936,3 +936,64 @@ def centroid_drift_oracle_sql(table_expr: str, epoch_sql: str,
       ON a.{group_col} = b.{group_col} AND a.p = b.p
      AND a.e = 0 AND b.e = 1
     GROUP BY a.{group_col}"""
+
+
+def sq8_adc_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over SQ8 codes (the ADC pattern of the
+    FAISS family, scalar-quantization form): the QUERY stays full
+    precision while every corpus vector scores from its int8 code —
+    dequantize x̂_i = mn + code_i * (mx - mn) / 255, rank by
+    cosine(query, x̂). The SQ sibling of ``pq_adc_topk``: at 100 TB the
+    scan reads the 4x-smaller code table (+ two floats per row) instead
+    of raw vectors; dequantization lives in the projection, so the
+    bandwidth saving is real and no second copy of the corpus exists.
+
+    Codes here are derived in-plan by the same formula
+    ``quantize_embeddings`` persists, so scores are bit-identical to
+    scoring the stored codes. Engine-exact: mn/mx/floor/clamp identical,
+    dequant + normalize + dot are identical-order left folds, one round
+    before the rank. Plan: narrow projection, 1-row broadcast query,
+    TakeOrdered top-k — zero shuffles.
+
+    Returns (id_col, cosine_adc) — the reconstruction-space cosine,
+    rounded to 6, top-k by (cosine_adc DESC, id).
+    """
+    vec = f"cast({vec_col} as array<double>)"
+    mn, mx = f"array_min({vec})", f"array_max({vec})"
+    codes = (f"transform({vec}, x -> CAST(least(255.0, greatest(0.0, "
+             f"floor(CASE WHEN {mx} = {mn} THEN 0.0 "
+             f"ELSE (x - {mn}) * 255.0 / ({mx} - {mn}) END))) AS INT))")
+    xhat = (f"transform({codes}, c -> {mn} + CAST(c AS DOUBLE) * "
+            f"(CASE WHEN {mx} = {mn} THEN 0.0 "
+            f"ELSE ({mx} - {mn}) / 255.0 END))")
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    scored = (_fan_out(embeddings)
+              .withColumn("_nv", F.expr(V.normalized_sql(xhat, "spark")))
+              .crossJoin(F.broadcast(query))
+              .select(id_col,
+                      R.fround(V.dot(F.col("_nv"), F.col("qv")), 6)
+                      .alias("cosine_adc")))
+    return scored.orderBy(F.col("cosine_adc").desc(), F.col(id_col)).limit(k)
+
+
+def sq8_adc_topk_oracle_sql(table_expr: str, norm_q_cte: str, k: int = 10,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> str:
+    vec = f"CAST({vec_col} AS DOUBLE[])"
+    mn, mx = f"list_min({vec})", f"list_max({vec})"
+    codes = (f"list_transform({vec}, x -> CAST(least(255.0, greatest(0.0, "
+             f"floor(CASE WHEN {mx} = {mn} THEN 0.0 "
+             f"ELSE (x - {mn}) * 255.0 / ({mx} - {mn}) END))) AS INT))")
+    xhat = (f"list_transform({codes}, c -> {mn} + CAST(c AS DOUBLE) * "
+            f"(CASE WHEN {mx} = {mn} THEN 0.0 "
+            f"ELSE ({mx} - {mn}) / 255.0 END))")
+    nv = V.normalized_sql(xhat, "duckdb")
+    return f"""WITH {norm_q_cte},
+    d AS (SELECT {id_col}, {nv} AS nv FROM {table_expr})
+    SELECT d.{id_col},
+           ROUND(list_dot_product(d.nv, q.qv), 6) AS cosine_adc
+    FROM d, q
+    ORDER BY cosine_adc DESC, d.{id_col} LIMIT {k}"""

@@ -1839,3 +1839,63 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-grid; one (group, epoch, dim) shuffle, groups-sized output."""
     return similarity.centroid_drift(
         load_table(spark, sf_dir, "embeddings"), "vec_id % 2")
+
+
+@register("sim_ann_sq8_adc_topk",
+          similarity.sq8_adc_topk_oracle_sql("embeddings", _NORM_Q))
+def sim_ann_sq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric-distance top-k (operators/similarity.sq8_adc_topk):
+    full-precision query vs int8-coded corpus, cosine in reconstruction
+    space — the scalar-quantization sibling of sim_ann_pq_topk; at scale
+    the scan reads the 4x-smaller code table. Narrow projection + 1-row
+    broadcast query + TakeOrdered; zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.sq8_adc_topk(emb, q, k=10)
+
+
+def _cluster_stats_oracle() -> str:
+    jac = round_sql("inter / CAST(la + lb - inter AS DOUBLE)", 4)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 + m{2*b+1} "
+        f"AS band_key FROM sig" for b in range(dedup.N_BANDS))
+    return f"""WITH RECURSIVE {_sig_cte()},
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    ver AS (SELECT id_a, id_b,
+                   len(list_intersect(sa.hh, sb.hh)) AS inter,
+                   len(sa.hh) AS la, len(sb.hh) AS lb
+            FROM cand
+            JOIN hsh sa ON sa.doc_id = cand.id_a
+            JOIN hsh sb ON sb.doc_id = cand.id_b),
+    pairs AS (SELECT id_a, id_b FROM ver WHERE {jac} >= {JACCARD_DEMO}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk (node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM lab GROUP BY cluster_id),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM documents)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(cluster_size * COUNT(*) / t, 4) AS doc_share
+    FROM sizes CROSS JOIN tot
+    GROUP BY cluster_size, t"""
+
+
+@register("dedup_cluster_stats", _cluster_stats_oracle())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (operators/dedup.
+    cluster_size_stats): n_clusters / corpus share per component size —
+    the dedup-health monitor (boilerplate outbreaks shift mass from
+    size-1 into giant components). CC labels from the collapsed graph,
+    then two label-keyed aggregates; output rows = distinct sizes."""
+    return dedup.cluster_size_stats(load_table(spark, sf_dir, "documents"),
+                                    jaccard_threshold=JACCARD_DEMO)

@@ -150,6 +150,51 @@ SHOWCASE = {
     "text_token_entropy": (
         "single word-count aggregate keyed (id, token) with map-side "
         "combine, then an id-keyed entropy fold — no second corpus scan"),
+    "dedup_containment_pairs": (
+        "r09: exact inverted-shingle-index candidates (posting lists "
+        "grouped one row per shingle, hot-df cap as HAVING), verify "
+        "join only on survivors, identity groups collapsed before "
+        "hashing — BIGINT hashes and ids on every exchange, text never "
+        "shuffles; rep-pair expansion + salted intra pairs reuse the "
+        "staged members frame (Scan ExistingRDD below both branches)"),
+    "dedup_lsh_recall_eval": (
+        "r09 recall monitor: truth = blocked exact tier (quadratic only "
+        "within (lang,source)); caught decided by TWO id joins of the "
+        "8-slot signatures onto the small truth set — the global "
+        "banded candidate pair set is never materialized"),
+    "text_tfidf_salient_terms": (
+        "word-count shapes only: (source,id,term) combine map-side, "
+        "term-df and source-tf aggregates over vocabulary-sized rows, "
+        "1-row N broadcast, per-source top-k window over per-source "
+        "term profiles (WindowGroupLimit partial+final)"),
+    "corpus_leakage_safe_split": (
+        "r09: CC labels from the COLLAPSED connectivity graph (star "
+        "edges, no intra-group pair explosion), split = narrow "
+        "portable-hash projection on the labels — no extra shuffle "
+        "beyond the CC loop itself"),
+    "pack_efficiency_report": (
+        "one cumsum window on the shard key (the layout's own single "
+        "shuffle) + one shard-level partial-agg rollup — n_shards "
+        "output rows, fragments derived in-expression, no second scan"),
+    "text_bigram_nll": (
+        "bigram word-count aggregate (map-side combined); context "
+        "counts derived FROM the bigram counts (vocabulary-sized "
+        "second agg, not a second corpus pass); 1-row V broadcast; "
+        "UNFORCED model join (AQE broadcasts while the model fits); "
+        "per-doc partial avg map-side"),
+    "text_vocab_stats": (
+        "one (source, term) word-count aggregate with map-side "
+        "combine, then a source-level rollup over vocabulary-sized "
+        "rows — two exchanges total, both post-combine"),
+    "sim_embedding_outliers": (
+        "r09 engine-exact QC: posexplode -> (label, dim) partial-agg "
+        "shuffle (64 x labels rows), centroids BROADCAST back, exact "
+        "integer distance agg, per-label top-k via WindowGroupLimit "
+        "(partial + final — heap pushdown, no global sort)"),
+    "sim_centroid_drift": (
+        "one (label, epoch, dim) partial-agg shuffle; epoch centroids "
+        "self-join on labels-sized frames; exact-integer L1 — output "
+        "rows = labels"),
 }
 
 KEEP = re.compile(

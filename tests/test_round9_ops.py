@@ -240,3 +240,38 @@ def test_centroid_drift_analytic(spark):
     got = [(r.label, r.n_0, r.n_1, r.l1_drift)
            for r in similarity.centroid_drift(emb, "vec_id % 2").collect()]
     assert got == [(7, 2, 1, 2.0)]
+
+
+def test_sq8_adc_topk_reconstruction_space(spark):
+    """ADC scores in reconstruction space: codes round-trip through the
+    same formula quantize_embeddings persists, the query stays full
+    precision, and for vectors SQ8 represents exactly (components on the
+    code grid) the ADC cosine equals the exact cosine."""
+    from kafka_connect_oss_spark.operators import similarity
+
+    # grid-exact vectors: components in {0, mx/255*k}: mn=0, step chosen
+    # so dequantization reproduces them exactly
+    rows = [(0, [1.0, 0.0]),            # query
+            (1, [1.0, 0.0]),            # identical -> cosine 1.0
+            (2, [0.0, 1.0]),            # orthogonal -> 0.0
+            (3, [1.0, 1.0])]            # 45 degrees -> ~0.7071
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.query_vector(spark, emb, 0)
+    got = [(r.vec_id, r.cosine_adc)
+           for r in similarity.sq8_adc_topk(emb, q, k=4).collect()]
+    assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
+    assert got[2] == (3, round(math.sqrt(0.5), 6))
+    assert got[3] == (2, 0.0)
+
+
+def test_cluster_size_stats_analytic(spark):
+    """5 docs: one identical pair + one near-dup chained to it (component
+    of 3) + two singletons -> histogram {3: 1 cluster, 1: 2 clusters}."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(1, base), (2, base), (3, base + " w9"),
+            (4, "p q r s t u v w"), (5, "aa bb cc dd ee ff gg hh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.cluster_size: (r.n_clusters, r.n_docs, r.doc_share)
+           for r in dedup.cluster_size_stats(
+               docs, jaccard_threshold=0.3).collect()}
+    assert got == {3: (1, 3, 0.6), 1: (2, 2, 0.4)}
