@@ -34,6 +34,19 @@ rely on lineage-based recovery. ``SPARK_GRAFT_LIFECYCLE=lineage`` switches
 every call site to a plain lazy ``persist(MEMORY_AND_DISK)`` that keeps
 full lineage (at the cost of CacheManager entries living until the session
 or an operator-level release drops them).
+
+Release latency (r09 measurement): "GC-released" means the JVM
+ContextCleaner drops a checkpointed RDD once ITS JVM-side reference is
+garbage-collected — with a large driver heap a full GC can be many
+invocations away, so a session invoking stage_local-heavy operators in a
+tight loop accumulates block storage between GCs (measured ~372 MiB per
+``dedup_multi_signal`` invocation at sf1; the oldest blocks survived five
+invocations before a collection cycle freed them). The storage level is
+MEMORY_AND_DISK, so accumulation degrades to disk spill rather than
+failure, and any single job's working set is unaffected. Long-running
+services that loop operators should set the standard public knob
+``spark.cleaner.periodicGC.interval`` (default 30min) to match their
+invocation cadence — it exists for exactly this pattern.
 """
 
 from __future__ import annotations

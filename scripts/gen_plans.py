@@ -195,6 +195,14 @@ SHOWCASE = {
         "one (label, epoch, dim) partial-agg shuffle; epoch centroids "
         "self-join on labels-sized frames; exact-integer L1 — output "
         "rows = labels"),
+    "sim_ann_sq8_adc_topk": (
+        "SQ8 asymmetric scoring: dequantize-in-projection (codes never "
+        "materialize a second corpus copy), 1-row broadcast query, "
+        "TakeOrderedAndProject top-k — zero shuffles end to end"),
+    "dedup_cluster_stats": (
+        "CC labels (collapsed star-edge graph) -> two label-keyed "
+        "partial aggregates (labels -> sizes -> histogram) + a 1-row "
+        "corpus-count broadcast — output rows = distinct sizes"),
 }
 
 KEEP = re.compile(
