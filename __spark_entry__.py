@@ -104,6 +104,8 @@ DRIVER_WINDOW: list[str] = [
     "corpus_leakage_safe_split", "pack_efficiency_report",
     "text_bigram_nll", "text_vocab_stats", "sim_embedding_outliers",
     "sim_centroid_drift", "sim_ann_sq8_adc_topk", "dedup_cluster_stats",
+    "corpus_curriculum_order", "dedup_minhash_est_calibration",
+    "corpus_quality_dup_profile",
 ]
 
 

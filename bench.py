@@ -151,6 +151,11 @@ HEADLINE += [
     "text_vocab_stats",
     "sim_embedding_outliers",
     "sim_centroid_drift",
+    "sim_ann_sq8_adc_topk",
+    "dedup_cluster_stats",
+    "corpus_curriculum_order",
+    "dedup_minhash_est_calibration",
+    "corpus_quality_dup_profile",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -1286,3 +1286,60 @@ def cluster_size_stats(docs: DataFrame, text_col: str = "text",
             .select("cluster_size", "n_clusters", "n_docs",
                     R.fround(F.col("n_docs") / F.col("_t"), 4)
                     .alias("doc_share")))
+
+
+def minhash_calibration(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3
+                        ) -> DataFrame:
+    """MinHash-estimator calibration over the banded candidate pairs: for
+    each possible signature agreement count (0..N_MINHASH matching
+    slots), how many candidate pairs show it and what their mean EXACT
+    jaccard is. E[matching slots / N] = J (Broder 1997), so this table
+    is the live check that the sketch is an unbiased jaccard estimator
+    ON THIS CORPUS — a hash regression, a shingle-length skew, or a
+    vocabulary collapse shows up as the est->exact curve bending away
+    from the diagonal (the companion monitor to ``lsh_recall_eval``,
+    which watches the banding's recall rather than the estimator's
+    bias).
+
+    Runs at REPRESENTATIVE level (identity groups collapsed, as in the
+    LSH tier): intra-group pairs are excluded by design — they agree on
+    all slots with jaccard exactly 1.0 and carry no calibration signal,
+    while a clone mega-group would otherwise flood the est=N bucket
+    quadratically. Candidates come from the production band join, so
+    the histogram describes exactly the pair population the LSH tier
+    verifies. All bucket keys and counts are exact integers; mean_exact
+    rounds once.
+
+    Returns (est_slots, n_pairs, mean_exact) — one row per observed
+    agreement count.
+    """
+    keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
+    groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"))
+    rep_docs = docs.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "semi")
+    sig = stage_local(signature_frame(rep_docs, text_col, ngram, id_col))
+    bands = minhash_band_keys(sig, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    F.col("hh").alias("h_a"), F.col("msig").alias("ms_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    F.col("hh").alias("h_b"), F.col("msig").alias("ms_b"))
+    est = " + ".join(
+        f"(CASE WHEN element_at(ms_a, {i + 1}) = element_at(ms_b, {i + 1}) "
+        f"THEN 1 ELSE 0 END)" for i in range(N_MINHASH))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("est_slots", F.expr(f"CAST({est} AS INT)"))
+            .withColumn("inter", F.expr("size(array_intersect(h_a, h_b))"))
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.expr("size(h_a)") + F.expr("size(h_b)")
+                         - F.col("inter")))
+            .groupBy("est_slots")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 R.fround(F.avg("jaccard"), 4).alias("mean_exact")))

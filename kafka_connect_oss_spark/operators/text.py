@@ -1387,3 +1387,78 @@ def vocab_stats_oracle_sql(table_expr: str, text_col: str = "text",
            ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_share
     FROM tf GROUP BY {source_col}"""
+
+
+def curriculum_order(docs: DataFrame, n_bands: int = 4, n_shards: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic curriculum layout: documents ordered
+    highest-quality-band first, hash-shuffled within a band, sharded the
+    way ``pack_sequences`` shards — the data-ordering counterpart of
+    packing (public curriculum-learning recipe: coarse quality phases,
+    random order inside a phase, Bengio et al. 2009 lineage).
+
+    band = floor(quality * n_bands) clamped (quality ∈ [0,1] from
+    ``quality_score``, exactly-1.0 docs land in the top band);
+    shard = portable hash of the doc id (NOT id mod — adjacent ids
+    spread across shards); pos_in_shard = row_number within the shard
+    ordered (band DESC, shuffle-hash, id). The dataloader reads shards
+    round-robin, so the realized global order interleaves shards while
+    every shard individually descends through the curriculum — the
+    same contract a range-partitioned sorted write would give, with
+    the window partitioned BY SHARD so no single-task global sort
+    exists at any scale.
+
+    Determinism: band from exact rounded quality, shuffle key and
+    shard from the shared engine-portable hash — byte-stable across
+    engines, restarts, and partitionings.
+
+    Returns (id_col, shard, band, pos_in_shard).
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    band = F.expr(f"CAST(least({n_bands - 1}, "
+                  f"floor(quality * {n_bands})) AS INT)")
+    skey = F.expr(H.base_hash(
+        f"concat('curr:', CAST({id_col} AS STRING))", "spark"))
+    base = q.select(id_col, band.alias("band"),
+                    F.pmod(skey, F.lit(n_shards)).cast("int").alias("shard"),
+                    skey.alias("_sk"))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("band").desc(), F.col("_sk"), F.col(id_col)))
+    return (base.withColumn("pos_in_shard",
+                            F.row_number().over(w).cast("long"))
+            .select(id_col, "shard", "band", "pos_in_shard"))
+
+
+def curriculum_order_oracle_sql(table_expr: str, n_bands: int = 4,
+                                n_shards: int = 8, text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    n_tok = "len(t)"
+    distinct_ratio = (f"(len(list_distinct(t)) "
+                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
+    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
+                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
+    from kafka_connect_oss_spark.functions.rounding import round_sql
+    quality = round_sql(
+        f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * "
+        f"{distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} "
+        f"> 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)
+    skey = H.base_hash(f"'curr:' || CAST({id_col} AS VARCHAR)", "duckdb")
+    return f"""WITH tok AS (
+      SELECT {id_col}, {dtok} AS t FROM {table_expr}),
+    q AS (SELECT {id_col}, {quality} AS quality FROM tok),
+    b AS (SELECT {id_col},
+                 CAST(least({n_bands - 1},
+                            floor(quality * {n_bands})) AS INT) AS band,
+                 CAST({skey} % {n_shards} AS INT) AS shard,
+                 {skey} AS sk
+          FROM q)
+    SELECT {id_col}, shard, band,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard
+               ORDER BY band DESC, sk, {id_col}) AS BIGINT) AS pos_in_shard
+    FROM b"""

@@ -1899,3 +1899,123 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     then two label-keyed aggregates; output rows = distinct sizes."""
     return dedup.cluster_size_stats(load_table(spark, sf_dir, "documents"),
                                     jaccard_threshold=JACCARD_DEMO)
+
+
+@register("corpus_curriculum_order",
+          TXT.curriculum_order_oracle_sql("documents"))
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum layout (operators/text.curriculum_order):
+    quality-band-descending, hash-shuffled within band, positioned
+    within hash shards — the data-ordering counterpart of packing. The
+    rank window is partitioned BY SHARD (no single-task global sort at
+    any scale); dataloaders read shards round-robin."""
+    return TXT.curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_calibration_oracle() -> str:
+    ms = ", ".join(f"{e} AS m{i}" for i, e in
+                   enumerate(H.minhash_signature("hh", "duckdb")))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(m{2*b} AS BIGINT) * 2147483648 + m{2*b+1} "
+        f"AS band_key FROM sig" for b in range(dedup.N_BANDS))
+    est = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.N_MINHASH))
+    return f"""WITH m AS (SELECT doc_id, md5(text) AS tm FROM documents),
+    g AS (SELECT tm, MIN(doc_id) AS rep FROM m GROUP BY tm),
+    rd AS (SELECT g.rep AS doc_id, d.text
+           FROM g JOIN documents d ON d.doc_id = g.rep),
+    tok AS (SELECT doc_id, {_DSH3} AS sh FROM rd),
+    hsh AS (SELECT doc_id, sh, {H.shingle_hashes('sh', 'duckdb')} AS hh
+            FROM tok),
+    sig AS (SELECT doc_id, hh, {ms} FROM hsh),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    scored AS (SELECT CAST({est} AS INT) AS est_slots,
+                      len(list_intersect(sa.hh, sb.hh))
+                        / CAST(len(sa.hh) + len(sb.hh)
+                               - len(list_intersect(sa.hh, sb.hh))
+                               AS DOUBLE) AS jaccard
+               FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+                         JOIN sig sb ON sb.doc_id = cand.id_b)
+    SELECT est_slots, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {round_sql('AVG(jaccard)', 4)} AS mean_exact
+    FROM scored GROUP BY est_slots"""
+
+
+@register("dedup_minhash_est_calibration", _minhash_calibration_oracle())
+def dedup_minhash_est_calibration(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """MinHash-estimator calibration table (operators/dedup.
+    minhash_calibration): per signature-agreement count, candidate-pair
+    volume and mean exact jaccard — the live unbiasedness check of the
+    sketch (E[slots/N] = J, Broder 1997), companion to
+    dedup_lsh_recall_eval's recall curve. Representative-level, over
+    exactly the band-join candidate population the LSH tier verifies."""
+    return dedup.minhash_calibration(load_table(spark, sf_dir,
+                                                "documents"))
+
+
+_QPROFILE_BANDS = 4
+
+
+def _quality_dup_profile_oracle() -> str:
+    dtok = X.sql_tokens("text", "duckdb")
+    n_tok = "len(t)"
+    distinct_ratio = (f"(len(list_distinct(t)) "
+                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
+    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
+                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
+    quality = round_sql(
+        f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * "
+        f"{distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} "
+        f"> 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)
+    return f"""WITH tok AS (SELECT doc_id, text, {dtok} AS t FROM documents),
+    q AS (SELECT doc_id, text, {quality} AS quality FROM tok),
+    d AS (SELECT doc_id, quality,
+                 CAST(least({_QPROFILE_BANDS - 1},
+                            floor(quality * {_QPROFILE_BANDS})) AS INT)
+                   AS band,
+                 doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS is_dup
+          FROM q)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           {round_sql("SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 4)}
+             AS dup_rate
+    FROM d GROUP BY band"""
+
+
+@register("corpus_quality_dup_profile", _quality_dup_profile_oracle())
+def corpus_quality_dup_profile(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Quality-band x exact-duplicate cross profile: per fixed quality
+    band, the corpus count and exact-dup rate — the curation
+    cross-check ('are the dups concentrated in the junk band, or am I
+    about to dedup away my best data?'). One md5 window + one band
+    groupBy; fixed bands (not data-dependent quantiles) so the shape is
+    a plain aggregate at any scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = TXT.quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy(F.md5("text"))
+    dup = docs.select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"))
+    band = F.expr(f"CAST(least({_QPROFILE_BANDS - 1}, "
+                  f"floor(quality * {_QPROFILE_BANDS})) AS INT)")
+    return (q.join(dup, "doc_id")
+            .select(band.alias("band"), "is_dup")
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .cast("long").alias("n_dups"),
+                 fround(F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                        / F.count(F.lit(1)).cast("double"), 4)
+                 .alias("dup_rate")))

@@ -203,6 +203,19 @@ SHOWCASE = {
         "CC labels (collapsed star-edge graph) -> two label-keyed "
         "partial aggregates (labels -> sizes -> histogram) + a 1-row "
         "corpus-count broadcast — output rows = distinct sizes"),
+    "corpus_curriculum_order": (
+        "quality projection (narrow codegen) -> ONE window partitioned "
+        "BY SHARD (hash-spread, no single-task global sort at any "
+        "scale) — the dataloader's per-shard curriculum positions"),
+    "dedup_minhash_est_calibration": (
+        "rep collapse -> staged signature (one materialization under "
+        "band keys + both verify sides) -> band equi-join candidates "
+        "-> integer slot-agreement buckets; histogram output rows <= "
+        "N_MINHASH+1"),
+    "corpus_quality_dup_profile": (
+        "one md5-partition window (the exact-dup flag) + one fixed-"
+        "band groupBy — fixed bands, not data-dependent quantiles, so "
+        "the shape stays a plain aggregate at any corpus size"),
 }
 
 KEEP = re.compile(
