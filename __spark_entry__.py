@@ -105,7 +105,8 @@ DRIVER_WINDOW: list[str] = [
     "text_bigram_nll", "text_vocab_stats", "sim_embedding_outliers",
     "sim_centroid_drift", "sim_ann_sq8_adc_topk", "dedup_cluster_stats",
     "corpus_curriculum_order", "dedup_minhash_est_calibration",
-    "corpus_quality_dup_profile",
+    "corpus_quality_dup_profile", "dedup_span_coverage",
+    "corpus_domain_profile", "text_gopher_quality_flags",
 ]
 
 

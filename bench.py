@@ -156,6 +156,9 @@ HEADLINE += [
     "corpus_curriculum_order",
     "dedup_minhash_est_calibration",
     "corpus_quality_dup_profile",
+    "dedup_span_coverage",
+    "corpus_domain_profile",
+    "text_gopher_quality_flags",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

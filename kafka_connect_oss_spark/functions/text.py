@@ -47,3 +47,22 @@ def sql_bpe_token_count(text_expr: str, dialect: str) -> str:
     if dialect == "spark":
         return f"size(regexp_extract_all({text_expr}, '{BPE_TOKEN_PATTERN}', 0))"
     return f"len(regexp_extract_all({text_expr}, '{BPE_TOKEN_PATTERN}'))"
+
+
+def sql_quality_duckdb(tokens_expr: str) -> str:
+    """DuckDB rendering of the quality_score composite (rounded 4) over a
+    tokens expression — the single source for every oracle that embeds
+    per-doc quality (curriculum order, quality-dup profile, domain
+    profile), mirroring operators/text.quality_score exactly."""
+    from kafka_connect_oss_spark.functions.rounding import round_sql
+
+    n_tok = f"len({tokens_expr})"
+    distinct_ratio = (f"(len(list_distinct({tokens_expr})) "
+                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
+    stop_ratio = (f"({sql_count_matching(tokens_expr, QUALITY_STOPWORDS, 'duckdb')}"
+                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
+    return round_sql(
+        f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * "
+        f"{distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} "
+        f"> 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)

@@ -1436,17 +1436,7 @@ def curriculum_order_oracle_sql(table_expr: str, n_bands: int = 4,
                                 n_shards: int = 8, text_col: str = "text",
                                 id_col: str = "doc_id") -> str:
     dtok = X.sql_tokens(text_col, "duckdb")
-    n_tok = "len(t)"
-    distinct_ratio = (f"(len(list_distinct(t)) "
-                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
-    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
-                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
-    from kafka_connect_oss_spark.functions.rounding import round_sql
-    quality = round_sql(
-        f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
-        f"ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * "
-        f"{distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} "
-        f"> 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)
+    quality = X.sql_quality_duckdb("t")
     skey = H.base_hash(f"'curr:' || CAST({id_col} AS VARCHAR)", "duckdb")
     return f"""WITH tok AS (
       SELECT {id_col}, {dtok} AS t FROM {table_expr}),
@@ -1462,3 +1452,253 @@ def curriculum_order_oracle_sql(table_expr: str, n_bands: int = 4,
                PARTITION BY shard
                ORDER BY band DESC, sk, {id_col}) AS BIGINT) AS pos_in_shard
     FROM b"""
+
+
+def span_coverage(docs: DataFrame, size: int = 120, stride: int = 80,
+                  min_docs: int = 2, min_len: int = 40,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Per-document duplicated-substring coverage: the fraction of each
+    document's characters lying inside a chunk whose text recurs in
+    >= ``min_docs`` DISTINCT documents — the per-doc DECISION signal of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": cut or down-weight docs that are
+    mostly duplicated text). ``duplicate_spans`` locates the recurring
+    spans themselves; this op scores the documents they cover.
+
+    Shape: one chunk explode (narrow, ~size/stride replication, staged
+    once via stage_local since it feeds both the span-frequency agg and
+    the hit join), one 16-byte-md5 shuffle to find recurring spans, one
+    md5-keyed join back, then a PER-DOCUMENT window (partition rows
+    bounded by len/stride) that merges overlapping chunk intervals
+    gaps-and-islands style — no global sort, no all-pairs, output exactly
+    one row per input document. At 100 TB every stage keys on either the
+    16-byte digest or the doc id.
+
+    Returns (id_col, dup_chars, dup_coverage) — dup_coverage in [0, 1],
+    1.0 = the whole document is cross-doc duplicated text.
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    keyed = stage_local(
+        chunk_documents(docs, size=size, stride=stride,
+                        text_col=text_col, id_col=id_col)
+        .where(F.col("chunk_len") >= min_len)
+        .select(F.md5("chunk_text").alias("span_md5"), F.col(id_col),
+                F.col("chunk_id"), F.col("chunk_len")))
+    dup = (keyed.groupBy("span_md5")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("span_md5"))
+    hits = (keyed.join(dup, "span_md5")
+            .select(id_col,
+                    F.expr(f"CAST(chunk_id AS BIGINT) * {stride} + 1")
+                    .alias("_s"),
+                    F.expr(f"CAST(chunk_id AS BIGINT) * {stride} "
+                           f"+ chunk_len").alias("_e")))
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = (F.max("_e")
+                .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    brk = hits.withColumn(
+        "_brk", F.when(F.col("_s") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0))
+    isl = brk.withColumn(
+        "_isl", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_doc = (isl.groupBy(id_col, "_isl")
+               .agg((F.max("_e") - F.min("_s") + 1).alias("_len"))
+               .groupBy(id_col)
+               .agg(F.sum("_len").cast("long").alias("dup_chars")))
+    return (docs.select(id_col, F.length(text_col).alias("_nc"))
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long")
+                    .alias("dup_chars"),
+                    R.fround(F.coalesce(F.col("dup_chars"), F.lit(0))
+                             / F.greatest(F.col("_nc"), F.lit(1))
+                             .cast("double"), 4)
+                    .alias("dup_coverage")))
+
+
+def span_coverage_oracle_sql(table_expr: str, size: int = 120,
+                             stride: int = 80, min_docs: int = 2,
+                             min_len: int = 40, text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    from kafka_connect_oss_spark.functions.rounding import round_sql
+    chunks = chunk_documents_oracle_sql(table_expr, size, stride,
+                                        text_col, id_col)
+    return f"""WITH chunks AS ({chunks}),
+    keyed AS (SELECT md5(chunk_text) AS span_md5, {id_col}, chunk_id,
+                     chunk_len
+              FROM chunks WHERE chunk_len >= {min_len}),
+    dup AS (SELECT span_md5 FROM keyed
+            GROUP BY span_md5
+            HAVING COUNT(DISTINCT {id_col}) >= {min_docs}),
+    hits AS (SELECT k.{id_col},
+                    CAST(k.chunk_id AS BIGINT) * {stride} + 1 AS s,
+                    CAST(k.chunk_id AS BIGINT) * {stride} + k.chunk_len
+                      AS e
+             FROM keyed k JOIN dup d USING (span_md5)),
+    brk AS (SELECT {id_col}, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY {id_col} ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+            FROM hits),
+    isl AS (SELECT {id_col}, s, e,
+                   SUM(b) OVER (PARTITION BY {id_col} ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM brk),
+    merged AS (SELECT {id_col}, island, MAX(e) - MIN(s) + 1 AS clen
+               FROM isl GROUP BY {id_col}, island),
+    agg AS (SELECT {id_col}, SUM(clen) AS dup_chars
+            FROM merged GROUP BY {id_col})
+    SELECT t.{id_col},
+           CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           {round_sql(f"COALESCE(a.dup_chars, 0) / CAST(greatest(length(t.{text_col}), 1) AS DOUBLE)", 4)}
+             AS dup_coverage
+    FROM {table_expr} t LEFT JOIN agg a ON a.{id_col} = t.{id_col}"""
+
+
+def domain_profile(docs: DataFrame, text_col: str = "text",
+                   source_col: str = "source", lang_col: str = "lang",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-source curation profile: volume, language spread, mean
+    quality, exact-duplicate rate — the per-domain audit table of web
+    corpus pipelines (CCNet / RefinedWeb lineage: curation decisions are
+    made per source/domain, so the first question of any corpus review
+    is "which domains carry the junk and the dups?").
+
+    Shape: one corpus-wide md5 window (the exact-dup flag), one id-keyed
+    join of the quality projection, then ONE aggregate keyed by source —
+    output rows = distinct sources. avg(quality) sums doubles whose
+    addends are already rounded rationals; the final round-4 absorbs
+    summation-order epsilon on both engines.
+
+    Returns (source_col, n_docs, total_chars, n_langs, mean_quality,
+    dup_rate).
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    w = Window.partitionBy(F.md5(text_col))
+    base = docs.select(
+        id_col, source_col, lang_col,
+        F.length(text_col).alias("_nc"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("_dup"))
+    return (base.join(q, id_col)
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_nc").cast("long").alias("total_chars"),
+                 F.countDistinct(lang_col).cast("long").alias("n_langs"),
+                 R.fround(F.avg("quality"), 4).alias("mean_quality"),
+                 R.fround(F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+                          / F.count(F.lit(1)).cast("double"), 4)
+                 .alias("dup_rate")))
+
+
+def domain_profile_oracle_sql(table_expr: str, text_col: str = "text",
+                              source_col: str = "source",
+                              lang_col: str = "lang",
+                              id_col: str = "doc_id") -> str:
+    from kafka_connect_oss_spark.functions.rounding import round_sql
+    dtok = X.sql_tokens(text_col, "duckdb")
+    quality = X.sql_quality_duckdb("t")
+    return f"""WITH tok AS (
+      SELECT {id_col}, {source_col}, {lang_col}, {text_col}, {dtok} AS t
+      FROM {table_expr}),
+    q AS (SELECT {id_col}, {source_col}, {lang_col},
+                 length({text_col}) AS nc, {quality} AS quality,
+                 {id_col} <> MIN({id_col}) OVER (
+                     PARTITION BY md5({text_col})) AS is_dup
+          FROM tok)
+    SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT {lang_col}) AS BIGINT) AS n_langs,
+           {round_sql('AVG(quality)', 4)} AS mean_quality,
+           {round_sql("SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 4)}
+             AS dup_rate
+    FROM q GROUP BY {source_col}"""
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A — public recipe) as per-doc
+    boolean flags plus the composite pass: word count in [50, 100000],
+    mean word length in [3, 10], symbol-to-word ratio ('#' chars +
+    '...' ellipses) <= 0.1, >= 80% of words containing an alphabetic
+    character, and >= 2 stopword hits. Unlike ``quality_score`` (a
+    graded composite), these are the hard accept/reject gates a corpus
+    pipeline applies before any scoring.
+
+    Pure projection — no shuffle, no UDF; every ratio is int/int IEEE
+    division computed identically on both engines, NULL-guarded to
+    false for empty documents.
+
+    Returns (id_col, n_words, flag_word_count, flag_mean_word_len,
+    flag_symbol_ratio, flag_alpha_words, flag_stopwords, pass_gopher).
+    """
+    tok = X.sql_tokens(text_col, "spark")
+    n = f"size({tok})"
+    mean_len = (f"(aggregate({tok}, 0, (acc, x) -> acc + length(x)) "
+                f"/ CAST(nullif({n}, 0) AS DOUBLE))")
+    alpha_frac = (f"(size(filter({tok}, x -> x rlike '[A-Za-z]')) "
+                  f"/ CAST(nullif({n}, 0) AS DOUBLE))")
+    n_stop = X.sql_count_matching(tok, X.QUALITY_STOPWORDS, "spark")
+    sym = (f"((length({text_col}) - length(replace({text_col}, '#', ''))) "
+           f"+ (length({text_col}) "
+           f"- length(replace({text_col}, '...', ''))) / 3)")
+    sym_ratio = f"({sym} / CAST(nullif({n}, 0) AS DOUBLE))"
+    return docs.select(
+        id_col,
+        F.expr(n).cast("long").alias("n_words"),
+        F.expr(f"{n} BETWEEN 50 AND 100000").alias("flag_word_count"),
+        F.expr(f"coalesce({mean_len} >= 3.0 AND {mean_len} <= 10.0, "
+               f"false)").alias("flag_mean_word_len"),
+        F.expr(f"coalesce({sym_ratio} <= 0.1, false)")
+        .alias("flag_symbol_ratio"),
+        F.expr(f"coalesce({alpha_frac} >= 0.8, false)")
+        .alias("flag_alpha_words"),
+        F.expr(f"{n_stop} >= 2").alias("flag_stopwords"),
+        F.expr(
+            f"({n} BETWEEN 50 AND 100000) "
+            f"AND coalesce({mean_len} >= 3.0 AND {mean_len} <= 10.0, false) "
+            f"AND coalesce({sym_ratio} <= 0.1, false) "
+            f"AND coalesce({alpha_frac} >= 0.8, false) "
+            f"AND {n_stop} >= 2").alias("pass_gopher"))
+
+
+def gopher_quality_flags_oracle_sql(table_expr: str,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id") -> str:
+    n = "len(t)"
+    mean_len = (f"(list_sum(list_transform(t, x -> length(x))) "
+                f"/ CAST(nullif({n}, 0) AS DOUBLE))")
+    alpha_frac = (f"(len(list_filter(t, x -> regexp_matches(x, "
+                  f"'[A-Za-z]'))) / CAST(nullif({n}, 0) AS DOUBLE))")
+    n_stop = X.sql_count_matching("t", X.QUALITY_STOPWORDS, "duckdb")
+    sym = (f"((length({text_col}) - length(replace({text_col}, '#', ''))) "
+           f"+ (length({text_col}) "
+           f"- length(replace({text_col}, '...', ''))) / 3)")
+    sym_ratio = f"({sym} / CAST(nullif({n}, 0) AS DOUBLE))"
+    return f"""WITH tok AS (
+      SELECT {id_col}, {text_col}, {X.sql_tokens(text_col, 'duckdb')} AS t
+      FROM {table_expr})
+    SELECT {id_col},
+           CAST({n} AS BIGINT) AS n_words,
+           {n} BETWEEN 50 AND 100000 AS flag_word_count,
+           COALESCE({mean_len} >= 3.0 AND {mean_len} <= 10.0, FALSE)
+             AS flag_mean_word_len,
+           COALESCE({sym_ratio} <= 0.1, FALSE) AS flag_symbol_ratio,
+           COALESCE({alpha_frac} >= 0.8, FALSE) AS flag_alpha_words,
+           {n_stop} >= 2 AS flag_stopwords,
+           ({n} BETWEEN 50 AND 100000)
+             AND COALESCE({mean_len} >= 3.0 AND {mean_len} <= 10.0, FALSE)
+             AND COALESCE({sym_ratio} <= 0.1, FALSE)
+             AND COALESCE({alpha_frac} >= 0.8, FALSE)
+             AND {n_stop} >= 2 AS pass_gopher
+    FROM tok"""

@@ -1964,16 +1964,7 @@ _QPROFILE_BANDS = 4
 
 def _quality_dup_profile_oracle() -> str:
     dtok = X.sql_tokens("text", "duckdb")
-    n_tok = "len(t)"
-    distinct_ratio = (f"(len(list_distinct(t)) "
-                      f"/ CAST(nullif({n_tok}, 0) AS DOUBLE))")
-    stop_ratio = (f"({X.sql_count_matching('t', X.QUALITY_STOPWORDS, 'duckdb')}"
-                  f" / CAST(nullif({n_tok}, 0) AS DOUBLE))")
-    quality = round_sql(
-        f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN CAST(0.4 AS DOUBLE) "
-        f"ELSE CAST(0.0 AS DOUBLE) END) + CAST(0.3 AS DOUBLE) * "
-        f"{distinct_ratio} + CAST(0.3 AS DOUBLE) * (CASE WHEN {stop_ratio} "
-        f"> 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)", 4)
+    quality = X.sql_quality_duckdb("t")
     return f"""WITH tok AS (SELECT doc_id, text, {dtok} AS t FROM documents),
     q AS (SELECT doc_id, text, {quality} AS quality FROM tok),
     d AS (SELECT doc_id, quality,
@@ -2019,3 +2010,33 @@ def corpus_quality_dup_profile(spark: SparkSession,
                  fround(F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
                         / F.count(F.lit(1)).cast("double"), 4)
                  .alias("dup_rate")))
+
+
+@register("dedup_span_coverage", TXT.span_coverage_oracle_sql("documents"))
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage (operators/text.
+    span_coverage): fraction of each doc's characters inside chunk spans
+    recurring in >=2 distinct docs — the Lee et al. 2021 exact-substring
+    dedup decision signal. duplicate_spans locates the boilerplate; this
+    scores the documents it covers. One md5 shuffle + one md5 join + a
+    per-doc interval-merge window; one output row per document."""
+    return TXT.span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_domain_profile", TXT.domain_profile_oracle_sql("documents"))
+def corpus_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation audit (operators/text.domain_profile): docs,
+    chars, language spread, mean quality, exact-dup rate per source —
+    the CCNet/RefinedWeb-style per-domain table that decides which
+    sources carry junk or duplication. One md5 window + one id join +
+    one source-keyed aggregate; output rows = distinct sources."""
+    return TXT.domain_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_gopher_quality_flags",
+          TXT.gopher_quality_flags_oracle_sql("documents"))
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set hard gates (operators/text.gopher_quality_flags;
+    Rae et al. 2021 Appendix A): per-doc boolean accept/reject flags +
+    composite pass. Pure projection, int/int ratios, no shuffle."""
+    return TXT.gopher_quality_flags(load_table(spark, sf_dir, "documents"))

@@ -216,6 +216,18 @@ SHOWCASE = {
         "one md5-partition window (the exact-dup flag) + one fixed-"
         "band groupBy — fixed bands, not data-dependent quantiles, so "
         "the shape stays a plain aggregate at any corpus size"),
+    "dedup_span_coverage": (
+        "staged chunk explode (one materialization feeds the span-"
+        "frequency agg AND the hit join) -> 16-byte-md5 shuffles only "
+        "-> PER-DOC interval-merge window (partition rows bounded by "
+        "len/stride, no global sort) -> one row per input document"),
+    "corpus_domain_profile": (
+        "one corpus md5 window + id-keyed quality join + ONE source-"
+        "keyed aggregate — output rows = distinct sources"),
+    "text_gopher_quality_flags": (
+        "pure projection: zero Exchange, zero Window, single "
+        "WholeStageCodegen span over the scan — the hard-gate filters "
+        "stay scan-side at any scale"),
 }
 
 KEEP = re.compile(

@@ -335,3 +335,54 @@ def test_quality_dup_profile_analytic(spark):
                       .alias("is_dup"))
     j = {r.doc_id: r.is_dup for r in dup.collect()}
     assert j == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_span_coverage_analytic(spark):
+    """Hand-computed chunk grid (size=4, stride=2, min_len=3): one shared
+    4-char span covers [1,4] of each 8-char doc (coverage 0.5); two
+    identical docs merge overlapping chunk intervals to full coverage;
+    a doc with no cross-doc span scores exactly 0."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdxyzw"), (3, "qqqq"),
+         (4, "mnopst"), (5, "mnopst")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.dup_chars, r.dup_coverage)
+           for r in TXT.span_coverage(
+               docs, size=4, stride=2, min_docs=2, min_len=3).collect()}
+    # docs 1,2 share only the chunk "abcd" at start 1 -> 4 of 8 chars
+    # docs 4,5 are clones: chunks [1,4],[3,6],[5,6] merge to [1,6] = all 6
+    assert got == {1: (4, 0.5), 2: (4, 0.5), 3: (0, 0.0),
+                   4: (6, 1.0), 5: (6, 1.0)}
+
+
+def test_domain_profile_analytic(spark):
+    """Two sources: one carries a clone pair (dup_rate 0.5), languages
+    counted distinct per source, totals exact."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "s1"), (2, "a b c d", "en", "s1"),
+         (3, "x y z", "de", "s1"), (4, "k l m n o", "es", "s2")],
+        "doc_id long, text string, lang string, source string")
+    got = {r.source: (r.n_docs, r.total_chars, r.n_langs, r.dup_rate)
+           for r in TXT.domain_profile(docs).collect()}
+    assert got == {"s1": (3, 19, 2, round(1 / 3, 4)),
+                   "s2": (1, 9, 1, 0.0)}
+
+
+def test_gopher_flags_analytic(spark):
+    """Each rule gates exactly as specified: a 60-word clean doc passes
+    all five; a 10-word doc fails the count gate; a symbol-heavy doc
+    fails the symbol-ratio gate; an empty doc fails everything."""
+    clean = " ".join(["the", "and"] * 5 + [f"word{i:02d}" for i in range(50)])
+    short = "the and " + " ".join(f"w{i}" for i in range(8))
+    symbols = " ".join(["the", "and"] + ["###"] * 58)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, short), (3, symbols), (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in TXT.gopher_quality_flags(docs).collect()}
+    assert got[1].pass_gopher and got[1].flag_word_count \
+        and got[1].flag_mean_word_len and got[1].flag_symbol_ratio \
+        and got[1].flag_alpha_words and got[1].flag_stopwords
+    assert not got[2].flag_word_count and not got[2].pass_gopher
+    assert got[3].flag_word_count and not got[3].flag_symbol_ratio \
+        and not got[3].flag_alpha_words and not got[3].pass_gopher
+    assert got[4].n_words == 0 and not got[4].pass_gopher
