@@ -107,6 +107,11 @@ DRIVER_WINDOW: list[str] = [
     "corpus_curriculum_order", "dedup_minhash_est_calibration",
     "corpus_quality_dup_profile", "dedup_span_coverage",
     "corpus_domain_profile", "text_gopher_quality_flags",
+    # (5) spare-seat pre-rotation of the r07-attested family (2 rounds
+    # stale at r09 judging, would be 3 at r10): the five most central
+    # ops by blast radius, so r10's rotation obligation shrinks to 43
+    "dedup_multi_signal", "dedup_semantic_flags", "multimodal_near_dup",
+    "corpus_decontaminated", "sim_ann_ivf_kmeans_topk",
 ]
 
 
