@@ -502,3 +502,62 @@ def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
             .option("checkpointLocation", checkpoint)
             .foreachBatch(sink)
             .trigger(availableNow=True).start())
+
+
+def run_ingest_qc(stream_docs: DataFrame, out_path: str, checkpoint: str,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Per-micro-batch corpus QC telemetry: every batch appends ONE row
+    (batch_id, n_docs, mean_quality, gopher_pass_rate, exact_dup_rate)
+    to ``out_path`` — the ingest-time quality-drift monitor a
+    training-data pipeline runs NEXT TO the sink (the reference commits
+    bytes per batch, OSSSinkTask.java:160-175; this commits the batch's
+    quality fingerprint). A drifting source — scores sliding, gate pass
+    rate collapsing, clone floods — shows up batch-over-batch in this
+    time series long before it shows up in a trained model.
+
+    Stateless by design: each row describes ONLY its own batch (mean
+    quality_score, Gopher composite pass rate, within-batch exact-dup
+    rate), so the stream holds zero cross-batch state and replays are
+    idempotent the same way the dedup sink's are — dynamic partition
+    overwrite keyed by batch_id rewrites the replayed batch's row with
+    identical deterministic values instead of appending a duplicate.
+    Cross-batch dedup telemetry belongs to ``run_incremental_dedup``'s
+    status stream, which judges against the compacted corpus state.
+
+    Scale: one narrow projection (quality + gates are scan-side
+    expressions), one md5 window within the batch, one single-row
+    aggregate — per-batch cost is linear in the batch, independent of
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators.text import (gopher_quality_flags,
+                                                        quality_score)
+    from kafka_connect_oss_spark.functions.rounding import fround
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        q = quality_score(batch, text_col, id_col).select(id_col, "quality")
+        g = (gopher_quality_flags(batch, text_col, id_col)
+             .select(id_col, "pass_gopher"))
+        w = Window.partitionBy(F.md5(text_col))
+        d = batch.select(
+            id_col,
+            (F.col(id_col) != F.min(id_col).over(w)).alias("_dup"))
+        row = (q.join(g, id_col).join(d, id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    fround(F.avg("quality"), 4).alias("mean_quality"),
+                    fround(F.avg(F.when(F.col("pass_gopher"), 1.0)
+                                 .otherwise(0.0)), 4)
+                    .alias("gopher_pass_rate"),
+                    fround(F.avg(F.when(F.col("_dup"), 1.0)
+                                 .otherwise(0.0)), 4)
+                    .alias("exact_dup_rate")))
+        (row.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
+
+    return (stream_docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())

@@ -536,3 +536,71 @@ def test_run_incremental_dedup_refresh_state_across_epochs(
             assert spark.table(f"rfrst.s_{t}").count() == n, t
     finally:
         spark.sql("DROP DATABASE rfrst CASCADE")
+
+
+def test_run_ingest_qc_matches_batch_and_replays_idempotent(
+        spark, sf_dir, tmp_path):
+    """Each micro-batch's QC row equals the same stats computed in batch
+    on that chunk; a checkpoint-wipe replay leaves the output unchanged
+    (dynamic partition overwrite, same deterministic values)."""
+    import glob
+    import shutil
+
+    from kafka_connect_oss_spark.functions.rounding import fround
+    from kafka_connect_oss_spark.operators.text import (gopher_quality_flags,
+                                                        quality_score)
+    from kafka_connect_oss_spark.sources.batch import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream_dir = tmp_path / "qc_chunks"
+    stream_dir.mkdir()
+    # uneven split so the two QC rows are distinguishable by n_docs
+    chunks = [docs.where(F.col("doc_id") % 4 == 0),
+              docs.where(F.col("doc_id") % 4 != 0)]
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"qcp{i}"))
+        src = glob.glob(str(tmp_path / f"qcp{i}" / "*.parquet"))[0]
+        shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    out, ck = tmp_path / "qc_out", tmp_path / "qc_ck"
+    A.run_ingest_qc(sdf, str(out), str(ck)).awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+
+    def golden(chunk):
+        q = quality_score(chunk).select("doc_id", "quality")
+        g = gopher_quality_flags(chunk).select("doc_id", "pass_gopher")
+        w = Window.partitionBy(F.md5("text"))
+        d = chunk.select(
+            "doc_id",
+            (F.col("doc_id") != F.min("doc_id").over(w)).alias("_dup"))
+        return (q.join(g, "doc_id").join(d, "doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     fround(F.avg("quality"), 4).alias("mean_quality"),
+                     fround(F.avg(F.when(F.col("pass_gopher"), 1.0)
+                                  .otherwise(0.0)), 4)
+                     .alias("gopher_pass_rate"),
+                     fround(F.avg(F.when(F.col("_dup"), 1.0)
+                                  .otherwise(0.0)), 4)
+                     .alias("exact_dup_rate")).collect()[0])
+
+    # batch ids follow file arrival order (c0 then c1 with
+    # maxFilesPerTrigger=1); match each row by its n_docs instead of
+    # assuming order
+    by_n = {r.n_docs: r for r in got.collect()}
+    for chunk in chunks:
+        e = golden(chunk)
+        r = by_n[e.n_docs]
+        assert (r.mean_quality, r.gopher_pass_rate, r.exact_dup_rate) == \
+            (e.mean_quality, e.gopher_pass_rate, e.exact_dup_rate)
+
+    before = sorted(map(tuple, got.collect()))
+    shutil.rmtree(str(ck))
+    A.run_ingest_qc(sdf, str(out), str(ck)).awaitTermination(180)
+    after = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    assert after == before
