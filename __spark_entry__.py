@@ -107,11 +107,19 @@ DRIVER_WINDOW: list[str] = [
     "corpus_curriculum_order", "dedup_minhash_est_calibration",
     "corpus_quality_dup_profile", "dedup_span_coverage",
     "corpus_domain_profile", "text_gopher_quality_flags",
-    # (5) spare-seat pre-rotation of the r07-attested family (2 rounds
-    # stale at r09 judging, would be 3 at r10): the five most central
-    # ops by blast radius, so r10's rotation obligation shrinks to 43
-    "dedup_multi_signal", "dedup_semantic_flags", "multimodal_near_dup",
-    "corpus_decontaminated", "sim_ann_ivf_kmeans_topk",
+    # (5) round-9 second-batch operators (never attested -> MUST be
+    # seated; each displaces one r07-attested pre-rotation spare, which
+    # returns to r10's rotation obligation — new-op seating outranks
+    # staleness pre-rotation because the guard invariant is absolute
+    # while staleness is a round-granular budget)
+    "sim_ann_ivfpq_topk", "corpus_semantic_decontam",
+    "text_zipf_profile", "corpus_shard_manifest",
+    # (6) spare-seat pre-rotation of the r07-attested family (2 rounds
+    # stale at r09 judging): the most central op by blast radius keeps
+    # its seat; dedup_semantic_flags / multimodal_near_dup /
+    # corpus_decontaminated / sim_ann_ivf_kmeans_topk yielded theirs to
+    # the (5) block and rejoin the r10 obligation list
+    "dedup_multi_signal",
 ]
 
 

@@ -125,3 +125,70 @@ def pack_efficiency_oracle_sql(table_expr: str, budget_tokens: int = 4096,
              AS n_boundary_docs,
            ROUND(SUM(frags) / CAST(COUNT(*) AS DOUBLE), 4) AS frag_rate
     FROM d GROUP BY shard"""
+
+
+def shard_manifest(docs: DataFrame, n_shards: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard manifest: hash-assign every document to a
+    shard and emit one audit row per shard — the dataset-side analog of
+    the reference connector's file-commit record (OSSSinkTask commits a
+    named object per (partition, offset-range); a corpus publisher
+    commits a manifest row per shard) and the standard "dataset card"
+    sidecar big corpora ship (WebDataset/HF dataset manifests).
+
+    The content digest is an ORDER-INDEPENDENT fold — bit_xor of a
+    per-doc 60-bit hash over (id, text) — so the manifest is
+    byte-stable under any partitioning, task order, or speculative
+    re-execution, and two manifests diff shard-by-shard in O(n_shards):
+    the cheap change-detection handshake for incremental re-publishes
+    (corpus_snapshot_diff answers WHICH docs changed; the manifest
+    answers WHETHER a shard changed, without rescanning either side).
+
+    Shape: one narrow projection (hash, length) + one n_shards-group
+    aggregate with map-side combine — no window, no join; the shuffle
+    carries n_shards × 6 scalars per input partition.
+
+    Returns (shard, n_docs, total_chars, min_doc_id, max_doc_id,
+    content_digest).
+    """
+    from kafka_connect_oss_spark.functions import hashing as H
+
+    shard = F.pmod(
+        F.expr(H.base_hash(
+            f"concat('shard:', CAST({id_col} AS STRING))", "spark")),
+        F.lit(n_shards)).cast("int")
+    doc_h = F.expr(H.base_hash(
+        f"concat(CAST({id_col} AS STRING), ':', {text_col})", "spark"))
+    base = docs.select(
+        F.col(id_col), shard.alias("shard"),
+        F.length(text_col).cast("long").alias("_chars"),
+        doc_h.alias("_h"))
+    return (base.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+        F.expr("bit_xor(_h)").alias("content_digest")))
+
+
+def shard_manifest_oracle_sql(table_expr: str, n_shards: int = 8,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    from kafka_connect_oss_spark.functions import hashing as H
+
+    shard_expr = "'shard:' || CAST(" + id_col + " AS VARCHAR)"
+    shard = (f"({H.base_hash(shard_expr, 'duckdb')}"
+             f" % {n_shards} + {n_shards}) % {n_shards}")
+    doc_h = H.base_hash(
+        f"CAST({id_col} AS VARCHAR) || ':' || {text_col}", "duckdb")
+    return f"""WITH b AS (
+      SELECT CAST({shard} AS INT) AS shard,
+             CAST(length({text_col}) AS BIGINT) AS chars,
+             {id_col} AS did, {doc_h} AS h
+      FROM {table_expr})
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(chars) AS total_chars,
+           MIN(did) AS min_doc_id, MAX(did) AS max_doc_id,
+           bit_xor(h) AS content_digest
+    FROM b GROUP BY shard"""

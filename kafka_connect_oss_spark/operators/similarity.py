@@ -548,7 +548,8 @@ def _lit_vecs(cb_m: list[list[float]]) -> str:
 
 def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              pre_normalized: bool = False) -> DataFrame:
     """PQ build: quantize every vector to one code per subspace
     (argmin L2 against the literal codebook) — a PURE NARROW pass, no
     shuffle, no join: at 100 TB the encode is a projection over the scan
@@ -557,8 +558,12 @@ def pq_encode(embeddings: DataFrame, codebooks: list[list[list[float]]],
     The argmin evaluates the 16-distance array ONCE per row:
     zip_with(dists, 1..k, struct) + array_min picks (min dist, min j)
     lexicographically — first-occurrence tie-break, matching the oracle's
-    ORDER BY dist, j."""
-    df = with_normalized(embeddings, vec_col)
+    ORDER BY dist, j.
+
+    ``pre_normalized=True``: the input already carries the unit ``nv``
+    column (e.g. an ``ivf_assign(keep_nv=True)`` candidate frame) — skip
+    the normalize pass instead of re-deriving it."""
+    df = embeddings if pre_normalized else with_normalized(embeddings, vec_col)
     sub = len(codebooks[0][0])
     k = len(codebooks[0])
     for mi, cb_m in enumerate(codebooks):
@@ -638,6 +643,121 @@ def ann_ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
                       R.fround(V.dot(F.col("nv"), F.col("qv")), 6)
                       .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ann_ivfpq_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                   n_centroids: int = 16, nprobe: int = 4,
+                   m: int = PQ_M, k_codes: int = PQ_CODES,
+                   rerank_factor: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   centroids: DataFrame | None = None,
+                   codebooks: list[list[list[float]]] | None = None
+                   ) -> DataFrame:
+    """Composite IVF+PQ ANN — the "IVFx,PQy" index layout (Jégou,
+    Douze & Schmid, TPAMI 2011; the FAISS default for billion-vector
+    search), here in its shared-codebook / ``by_residual=False`` form:
+    PQ codes quantize the full normalized vector, so ONE codebook set
+    serves every inverted list (the residual-encoding variant swaps the
+    encode input for ``nv - cv`` and nothing else in the plan).
+
+    Three-stage funnel, each stage touching strictly less data:
+
+    1. **probe** — rank the K coarse centroids against the query
+       (broadcast, K rows), keep ``nprobe`` lists: the corpus scan
+       prunes to ~nprobe/K of the rows, and with the ``cid``-partitioned
+       physical layout (``ivf_assign`` docstring) that is FILE pruning,
+       not a filter.
+    2. **ADC over codes** — candidates are scored from their m one-byte
+       codes + the literal codebook lookup tables: the scan reads m
+       bytes/vector, never the full vector (the PQ memory-bound
+       property), all narrow codegen.
+    3. **exact re-rank** — only the top ``rerank_factor*k`` rows by
+       approximate score have their full vectors read for the exact
+       cosine; top-k of those is the answer.
+
+    Like the component operators, centroids and codebooks default to the
+    SQL-expressible seed stand-ins (lowest-id vectors), keeping the
+    whole index oracle-checkable; pass fitted ``kmeans_centroids`` /
+    ``pq_codebooks_kmeans`` models at deploy time — every plan shape
+    downstream of the models is identical.
+
+    Returns (id_col, cid, approx_score, cosine), top-k by exact cosine.
+    """
+    cents = (centroids if centroids is not None
+             else ivf_centroids(embeddings, n_centroids, vec_col, id_col))
+    cbs = (codebooks if codebooks is not None
+           else pq_codebooks(embeddings, m, k_codes, vec_col, id_col))
+    sub = len(cbs[0][0])
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col, keep_nv=True)
+    probe = (query.crossJoin(F.broadcast(cents))
+             .select(F.col("cid"),
+                     V.dot(F.col("qv"), F.col("cv")).alias("qcos"))
+             .orderBy(F.col("qcos").desc(), F.col("cid")).limit(nprobe)
+             .select("cid"))
+    cand = assigned.join(F.broadcast(probe), "cid")
+    enc = pq_encode(cand, cbs, vec_col, id_col, pre_normalized=True)
+    scored = enc.crossJoin(F.broadcast(query))
+    approx = None
+    for mi, cb_m in enumerate(cbs):
+        qsub = f"slice(qv, {mi * sub + 1}, {sub})"
+        term = F.expr(
+            f"aggregate(zip_with({qsub}, element_at({_lit_vecs(cb_m)}, "
+            f"code_{mi}), (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        approx = term if approx is None else approx + term
+    shortlist = (scored.withColumn("_approx", approx)
+                 .orderBy(F.col("_approx").desc(), F.col(id_col))
+                 .limit(rerank_factor * k))
+    return (shortlist.select(
+                id_col, "cid",
+                R.fround(F.col("_approx"), 6).alias("approx_score"),
+                R.fround(V.dot(F.col("nv"), F.col("qv")), 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def semantic_decontam(embeddings: DataFrame, benchmark: DataFrame,
+                      threshold: float = 0.95,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      bench_id_col: str = "bench_id",
+                      bench_vec_col: str = "bench_nv") -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every training
+    vector whose cosine against ANY held-out benchmark vector reaches
+    ``threshold`` — the semantic sibling of the n-gram
+    ``decontaminate``/``decontam_overlap`` family (the contamination
+    mode n-gram matching misses: paraphrases and translations of eval
+    items; public recipe line: GPT-3 App. C n-gram dedup → SemDeDup-era
+    embedding decontamination).
+
+    Scale shape: a benchmark is SMALL BY CONSTRUCTION (eval suites are
+    1e3–1e5 items, megabytes of vectors) while the train side is the
+    100 TB corpus — so the benchmark side is the broadcast relation and
+    the whole operator is ONE narrow pass over the corpus:
+    BroadcastNestedLoopJoin fan-out |B| per row, collapsed map-side by
+    the per-id max_by partial aggregate (each input partition owns its
+    ids — the exchange carries ONE row per train vector, never |B|;
+    the same partial-argmax shape as ``ivf_assign``'s join path). No
+    corpus shuffle, no pair materialization.
+
+    Ties (two benchmark rows at the same cosine) break to the LOWEST
+    benchmark id on both engines. Returns one row per train vector:
+    (id_col, best_bench_id, max_cosine, contaminated) — downstream
+    drops ``contaminated`` rows or routes them to an audit sink.
+    """
+    train = with_normalized(embeddings, vec_col)
+    scored = (train.crossJoin(F.broadcast(benchmark))
+              .select(id_col,
+                      F.col(bench_id_col),
+                      V.dot(F.col("nv"), F.col(bench_vec_col))
+                      .alias("_cos")))
+    best = (scored.groupBy(id_col).agg(
+        F.expr(f"max_by({bench_id_col}, struct(_cos, -{bench_id_col}))")
+        .alias("best_bench_id"),
+        F.max("_cos").alias("_max")))
+    # no orderBy: the output is corpus-sized — a global sort would be the
+    # single most expensive node in the plan; consumers filter or join it
+    return best.select(
+        id_col, "best_bench_id",
+        R.fround(F.col("_max"), 6).alias("max_cosine"),
+        (R.fround(F.col("_max"), 6) >= threshold).alias("contaminated"))
 
 
 def embedding_diversity(embeddings: DataFrame, group_col: str = "label",

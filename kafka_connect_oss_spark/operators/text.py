@@ -1389,6 +1389,75 @@ def vocab_stats_oracle_sql(table_expr: str, text_col: str = "text",
     FROM tf GROUP BY {source_col}"""
 
 
+def zipf_profile(docs: DataFrame, text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Per-source Zipf fit: least-squares slope of log(frequency) against
+    log(rank) over the source's term-frequency distribution, plus the
+    fit's R² — the distributional-health screen next to ``vocab_stats``
+    (natural text tracks Zipf's law with exponent ≈ 1, Zipf 1949 /
+    Piantadosi 2014 review; machine-generated boilerplate flattens the
+    curve, ID/hash soup steepens past ~1.5 — either tail is a
+    source-level red flag no per-doc filter sees).
+
+    zipf_slope = −cov(x,y)/var(x) with x = ln(rank), y = ln(tf);
+    r2 = cov²/(var(x)·var(y)), NULL when degenerate (single type, or
+    uniform tf where var(y) = 0 — both engines via nullif, no NaN
+    divergence).
+
+    Shape: one word-count shuffle (map-side combined), a per-source
+    rank window over VOCABULARY-sized rows (never corpus-sized), then
+    five scalar moments per source — the same cost envelope as
+    ``vocab_stats``. Ranks tie-break (tf DESC, term) so the fit is
+    byte-deterministic across engines and partitionings.
+
+    Returns (source_col, n_types, zipf_slope, r2).
+    """
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+
+    tok = X.sql_tokens(text_col, "spark")
+    tf = (_fan_out(docs)
+          .select(source_col, F.explode(F.expr(tok)).alias("_w"))
+          .groupBy(source_col, "_w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_tf")))
+    w = Window.partitionBy(source_col).orderBy(F.col("_tf").desc(), "_w")
+    xy = tf.select(
+        source_col,
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("_tf").cast("double")).alias("_y"))
+    agg = xy.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.covar_pop("_x", "_y").alias("_cov"),
+        F.var_pop("_x").alias("_vx"),
+        F.var_pop("_y").alias("_vy"))
+    return agg.select(
+        source_col, "n_types",
+        R.fround(-F.col("_cov") / F.expr("nullif(_vx, 0D)"), 4)
+        .alias("zipf_slope"),
+        R.fround(F.col("_cov") * F.col("_cov")
+                 / F.expr("nullif(_vx * _vy, 0D)"), 4).alias("r2"))
+
+
+def zipf_profile_oracle_sql(table_expr: str, text_col: str = "text",
+                            source_col: str = "source") -> str:
+    dtok = X.sql_tokens(text_col, "duckdb")
+    return f"""WITH tf AS (
+      SELECT {source_col}, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT {source_col}, UNNEST({dtok}) AS w FROM {table_expr})
+      GROUP BY {source_col}, w),
+    rk AS (SELECT {source_col}, tf, ROW_NUMBER() OVER (
+               PARTITION BY {source_col} ORDER BY tf DESC, w) AS r
+           FROM tf),
+    xy AS (SELECT {source_col}, ln(CAST(r AS DOUBLE)) AS x,
+                  ln(CAST(tf AS DOUBLE)) AS y FROM rk)
+    SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-covar_pop(x, y) / nullif(var_pop(x), 0), 4) AS zipf_slope,
+           ROUND(covar_pop(x, y) * covar_pop(x, y)
+                 / nullif(var_pop(x) * var_pop(y), 0), 4) AS r2
+    FROM xy GROUP BY {source_col}"""
+
+
 def curriculum_order(docs: DataFrame, n_bands: int = 4, n_shards: int = 8,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -2040,3 +2040,134 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rae et al. 2021 Appendix A): per-doc boolean accept/reject flags +
     composite pass. Pure projection, int/int ratios, no shuffle."""
     return TXT.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# round-9 second batch: composite ANN index, semantic decontamination,
+# Zipf source profile, shard manifest
+# --------------------------------------------------------------------------
+
+#: semantic-decontam demo threshold — p90 of max benchmark cosine on the
+#: synthetic embeddings (random unit vectors cluster near 0.28); production
+#: value is corpus-calibrated (paraphrase-level similarity)
+DECONTAM_COS_DEMO = 0.35
+
+
+def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4,
+                  m: int = similarity.PQ_M,
+                  k_codes: int = similarity.PQ_CODES, sub: int = 16,
+                  rerank: int = 40, k: int = 10) -> str:
+    """IVF probe -> PQ-ADC over the probed lists -> exact re-rank: the
+    _ivf_oracle candidate CTEs feeding the _pq_oracle code/ADC CTEs,
+    with `subs` (and so every PQ stage) restricted to probed rows."""
+    diff = "list_transform(list_zip(s.sv, c.cv), p -> p[1] - p[2])"
+    return f"""WITH {_NORM_E}, {_NORM_Q},
+    c AS (SELECT vec_id AS cid, nv AS cv FROM n
+          WHERE vec_id < {n_centroids}),
+    scored AS (SELECT e.vec_id, c.cid, list_dot_product(e.nv, c.cv) AS ccos
+               FROM n e CROSS JOIN c),
+    assigned AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY ccos DESC, cid) AS rn FROM scored) WHERE rn = 1),
+    probe AS (SELECT cid FROM (
+        SELECT c.cid, list_dot_product(q.qv, c.cv) AS qcos FROM q CROSS JOIN c
+        ORDER BY qcos DESC, c.cid LIMIT {nprobe})),
+    candid AS (SELECT a.vec_id, a.cid FROM assigned a
+               JOIN probe p USING (cid)),
+    ms AS (SELECT unnest(range(1, {m + 1})) AS m),
+    cb AS (SELECT ms.m, vec_id + 1 AS j,
+                  list_slice(nv, (ms.m - 1) * {sub} + 1, ms.m * {sub}) AS cv
+           FROM n, ms WHERE vec_id < {k_codes}),
+    subs AS (SELECT n.vec_id, ms.m,
+                    list_slice(nv, (ms.m - 1) * {sub} + 1, ms.m * {sub}) AS sv
+             FROM n JOIN candid USING (vec_id) CROSS JOIN ms),
+    dists AS (SELECT s.vec_id, s.m, c.j,
+                     list_dot_product({diff}, {diff}) AS dist
+              FROM subs s JOIN cb c USING (m)),
+    codes AS (SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+               ORDER BY dist, j) AS rn FROM dists) WHERE rn = 1),
+    adc AS (SELECT co.vec_id,
+                   list_sum(list(list_dot_product(
+                       list_slice(q.qv, (co.m - 1) * {sub} + 1,
+                                  co.m * {sub}), cb.cv) ORDER BY co.m))
+                   AS approx_raw
+            FROM codes co JOIN cb ON cb.m = co.m AND cb.j = co.j, q
+            GROUP BY co.vec_id),
+    short AS (SELECT vec_id, approx_raw FROM (
+        SELECT vec_id, approx_raw, ROW_NUMBER() OVER (
+               ORDER BY approx_raw DESC, vec_id) AS rn FROM adc)
+        WHERE rn <= {rerank})
+    SELECT e.vec_id, cd.cid,
+           {round_sql('short.approx_raw', 6)} AS approx_score,
+           {round_sql(_QDOT, 6)} AS cosine
+    FROM short JOIN n e USING (vec_id) JOIN candid cd USING (vec_id), q
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}"""
+
+
+@register("sim_ann_ivfpq_topk", _ivfpq_oracle())
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF+PQ index (operators/similarity.ann_ivfpq_topk —
+    Jégou et al. 2011, the FAISS "IVFx,PQy" layout): coarse probe prunes
+    the scan to nprobe/n_centroids of the corpus, ADC scores candidates
+    from m-byte codes, exact re-rank touches only rerank_factor*k full
+    vectors. Both models are the SQL-expressible seed stand-ins; fitted
+    kmeans_centroids / pq_codebooks_kmeans drop in unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.query_vector(spark, emb, 0)
+    return similarity.ann_ivfpq_topk(emb, q, k=10)
+
+
+@register(
+    "corpus_semantic_decontam",
+    f"""WITH {_NORM_E},
+    b AS (SELECT vec_id AS bench_id, nv AS bnv FROM n WHERE vec_id % 10 = 0),
+    t AS (SELECT vec_id, nv FROM n WHERE vec_id % 10 <> 0),
+    s AS (SELECT t.vec_id, b.bench_id,
+                 list_dot_product(t.nv, b.bnv) AS c
+          FROM t CROSS JOIN b),
+    best AS (SELECT vec_id, bench_id AS best_bench_id, c FROM (
+        SELECT vec_id, bench_id, c, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, bench_id) AS rn
+        FROM s) WHERE rn = 1)
+    SELECT vec_id, best_bench_id, {round_sql('c', 6)} AS max_cosine,
+           {round_sql('c', 6)} >= {DECONTAM_COS_DEMO} AS contaminated
+    FROM best""",
+)
+def corpus_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.semantic_decontam): every train vector scored
+    against the broadcast benchmark set, per-id max_by argmax — ONE
+    narrow corpus pass, no corpus shuffle; catches the paraphrase
+    contamination n-gram decontam misses. Benchmark here = the vec_id %
+    10 == 0 slice (a held-out eval suite is small by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = (similarity.with_normalized(
+                 emb.where(F.col("vec_id") % 10 == 0), fan_out=False)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("nv").alias("bench_nv")))
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    return similarity.semantic_decontam(train, bench,
+                                        threshold=DECONTAM_COS_DEMO)
+
+
+@register("text_zipf_profile", TXT.zipf_profile_oracle_sql("documents"))
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit (operators/text.zipf_profile): least-squares
+    slope + R² of the log-log rank/frequency curve — the
+    distributional-health screen beside vocab_stats (boilerplate
+    flattens the curve, ID soup steepens it). One word-count shuffle +
+    a vocabulary-sized rank window + five scalar moments per source."""
+    return TXT.zipf_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_shard_manifest", PK.shard_manifest_oracle_sql("documents"))
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest (operators/packing.shard_manifest):
+    hash-sharded corpus -> one audit row per shard with an
+    order-independent bit_xor content digest — the corpus publisher's
+    commit record (the dataset-side analog of the reference's per-file
+    commit, OSSSinkTask.java:196-208) and the O(n_shards) change
+    handshake for incremental re-publishes. One projection + one
+    n_shards-group aggregate."""
+    return PK.shard_manifest(load_table(spark, sf_dir, "documents"))

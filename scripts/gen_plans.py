@@ -228,6 +228,26 @@ SHOWCASE = {
         "pure projection: zero Exchange, zero Window, single "
         "WholeStageCodegen span over the scan — the hard-gate filters "
         "stay scan-side at any scale"),
+    "sim_ann_ivfpq_topk": (
+        "three-stage funnel: literal-centroid argmax assign (zero "
+        "shuffle), probe list broadcast (BroadcastHashJoin restricts "
+        "the scan to nprobe cids), PQ codes + ADC as narrow "
+        "projections over the candidates, two TakeOrderedAndProject "
+        "heaps (ADC shortlist, exact re-rank) — no global sort, no "
+        "corpus self-join"),
+    "corpus_semantic_decontam": (
+        "benchmark side broadcast (BroadcastNestedLoopJoin — the "
+        "corpus is NEVER shuffled), per-id max_by partial aggregate "
+        "collapses the |B| fan-out map-side: the only Exchange "
+        "carries one row per train vector"),
+    "text_zipf_profile": (
+        "word-count shuffle with map-side combine (partial "
+        "HashAggregate), rank Window over VOCABULARY-sized rows "
+        "partitioned by source, one five-moment aggregate per source"),
+    "corpus_shard_manifest": (
+        "one narrow hash+length projection + ONE n_shards-group "
+        "partial aggregate — zero Window, zero join; the Exchange "
+        "carries n_shards rows per input partition"),
 }
 
 KEEP = re.compile(
