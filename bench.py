@@ -159,6 +159,11 @@ HEADLINE += [
     "dedup_span_coverage",
     "corpus_domain_profile",
     "text_gopher_quality_flags",
+    # round-9 second batch
+    "sim_ann_ivfpq_topk",
+    "corpus_semantic_decontam",
+    "text_zipf_profile",
+    "corpus_shard_manifest",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
