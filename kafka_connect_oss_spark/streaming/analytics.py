@@ -561,3 +561,54 @@ def run_ingest_qc(stream_docs: DataFrame, out_path: str, checkpoint: str,
             .option("checkpointLocation", checkpoint)
             .foreachBatch(sink)
             .trigger(availableNow=True).start())
+
+
+def run_incremental_ivf(stream_emb: DataFrame, centroids: DataFrame,
+                        out_path: str, checkpoint: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Streaming IVF index maintenance: keep the ANN index CURRENT as
+    embeddings arrive, instead of re-building it per publish — the
+    index-side twin of ``run_incremental_dedup`` (state there: the
+    compacted corpus; state here: the coarse-quantizer postings) and
+    the streaming analog of the batch ``ivf_assign`` build.
+
+    Each micro-batch runs the SAME assignment the batch operator runs
+    (literal-centroid argmax below ``IVF_LITERAL_MAX_K``, broadcast-join
+    argmax above — zero shuffle of the batch either way) and appends
+    (vec_id, cid) postings to ``out_path`` partitioned by
+    (batch_id, cid). The centroid model is FROZEN while the stream runs
+    — exactly how production IVF serves (FAISS trains the coarse
+    quantizer once, then add() only appends postings); re-fitting is a
+    batch-side event that republishes the index, not a streaming
+    concern.
+
+    Layout/replay contract, same discipline as the dedup sink:
+
+    * ``cid`` is a physical partition column, so batch probes over the
+      accumulated index prune to the probed lists' files (the layout
+      claim in ``ivf_assign``'s docstring), reading nprobe/K of the
+      postings regardless of how many batches built them.
+    * ``batch_id`` is the OUTER partition + dynamic-partition-overwrite
+      key: a checkpoint-wipe replay rewrites each batch's partitions
+      with identical deterministic rows instead of double-inserting —
+      the offset-commit idempotence cycle of the reference
+      (OSSSinkTask.java:196-208) expressed as storage layout.
+
+    Per-batch cost is linear in the batch and independent of the
+    accumulated index size (the stream never reads ``out_path``).
+    """
+    from kafka_connect_oss_spark.operators.similarity import ivf_assign
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assign(batch, centroids, vec_col, id_col)
+        (assigned.select(id_col, "cid")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "cid").parquet(out_path))
+
+    return (stream_emb.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())

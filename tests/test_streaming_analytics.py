@@ -604,3 +604,46 @@ def test_run_ingest_qc_matches_batch_and_replays_idempotent(
     A.run_ingest_qc(sdf, str(out), str(ck)).awaitTermination(180)
     after = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
     assert after == before
+
+
+def test_run_incremental_ivf_matches_batch_and_replays_idempotent(
+        spark, sf_dir, tmp_path):
+    """Streaming the embeddings in chunks against a frozen centroid model
+    produces EXACTLY the batch ivf_assign postings over the full table;
+    a checkpoint-wipe replay leaves the accumulated index unchanged."""
+    import glob
+    import shutil
+
+    from kafka_connect_oss_spark.operators import similarity as SIM
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, 8)
+    stream_dir = tmp_path / "ivf_chunks"
+    stream_dir.mkdir()
+    chunks = [emb.where(F.col("vec_id") % 3 == k) for k in range(3)]
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"ivfp{i}"))
+        src = glob.glob(str(tmp_path / f"ivfp{i}" / "*.parquet"))[0]
+        shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    out, ck = tmp_path / "ivf_out", tmp_path / "ivf_ck"
+    A.run_incremental_ivf(sdf, cents, str(out), str(ck)).awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    want = {(r.vec_id, r.cid)
+            for r in SIM.ivf_assign(emb, cents).select("vec_id",
+                                                       "cid").collect()}
+    assert {(r.vec_id, r.cid) for r in got.collect()} == want
+    assert got.count() == len(want)  # one posting per vector, no dups
+    # three batches landed, each under its own partition
+    assert got.select("batch_id").distinct().count() == 3
+
+    before = sorted(map(tuple, got.collect()))
+    shutil.rmtree(str(ck))
+    A.run_incremental_ivf(sdf, cents, str(out), str(ck)).awaitTermination(180)
+    after = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    assert after == before
