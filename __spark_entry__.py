@@ -114,12 +114,13 @@ DRIVER_WINDOW: list[str] = [
     # while staleness is a round-granular budget)
     "sim_ann_ivfpq_topk", "corpus_semantic_decontam",
     "text_zipf_profile", "corpus_shard_manifest",
-    # (6) spare-seat pre-rotation of the r07-attested family (2 rounds
-    # stale at r09 judging): the most central op by blast radius keeps
-    # its seat; dedup_semantic_flags / multimodal_near_dup /
-    # corpus_decontaminated / sim_ann_ivf_kmeans_topk yielded theirs to
-    # the (5) block and rejoin the r10 obligation list
-    "dedup_multi_signal",
+    "corpus_blocklist_filter",
+    # note: the five r07-attested pre-rotation spares of the original
+    # r09 window (dedup_multi_signal, dedup_semantic_flags,
+    # multimodal_near_dup, corpus_decontaminated,
+    # sim_ann_ivf_kmeans_topk) all yielded their seats to the (5)
+    # block — new-op seating outranks staleness pre-rotation — and
+    # rejoin the r10 rotation obligation list
 ]
 
 

@@ -164,6 +164,7 @@ HEADLINE += [
     "corpus_semantic_decontam",
     "text_zipf_profile",
     "corpus_shard_manifest",
+    "corpus_blocklist_filter",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -1343,3 +1343,35 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text",
             .groupBy("est_slots")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  R.fround(F.avg("jaccard"), 4).alias("mean_exact")))
+
+
+def blocklist_filter(docs: DataFrame, blocklist: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     digest_col: str = "digest",
+                     broadcast_blocklist: bool = True) -> DataFrame:
+    """Opt-out / takedown compliance filter: drop every document whose
+    CONTENT digest appears on a blocklist — the removal stage a corpus
+    operator runs for rights-holder opt-outs and takedown requests
+    (public practice: robots/opt-out honoring in CommonCrawl-derived
+    sets, C4's blocklist pass, the ai.txt/noai opt-out convention).
+
+    Matching is by content digest, not document id, ON PURPOSE: a
+    takedown names a work, and every byte-identical clone of that work
+    must leave with it (the same md5-window identity the exact-dedup
+    tier uses) — otherwise a single surviving mirror defeats the
+    removal. Near-clone removal composes: feed the blocklisted docs to
+    the near-dup tiers and union the cluster members into the list.
+
+    Shape: one narrow md5 projection + LEFT ANTI join against the
+    digest list. A takedown list is small by construction (requests,
+    not corpora) so it broadcasts — the corpus is never shuffled;
+    ``broadcast_blocklist=False`` drops the hint for the rare
+    million-entry list, degrading to a digest-keyed shuffle anti-join
+    (16-byte keys, the exact-dedup shuffle shape). The filtered corpus
+    keeps the input schema plus ``_digest`` for downstream audit.
+    """
+    bl = blocklist.select(F.col(digest_col).alias("_digest")).distinct()
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    d = docs.withColumn("_digest", F.md5(F.col(text_col)))
+    return d.join(bl, "_digest", "left_anti")

@@ -2171,3 +2171,45 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     handshake for incremental re-publishes. One projection + one
     n_shards-group aggregate."""
     return PK.shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_blocklist_filter",
+    """WITH bl AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                   WHERE doc_id % 97 = 0),
+    d AS (SELECT source, md5(text) AS dg FROM documents),
+    k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN dg IN (SELECT digest FROM bl)
+                          THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+          FROM d GROUP BY source)
+    SELECT source, n_docs, n_kept, n_docs - n_kept AS n_removed,
+           ROUND((n_docs - n_kept) / CAST(n_docs AS DOUBLE), 4)
+             AS removal_rate
+    FROM k""",
+)
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out/takedown compliance report (operators/dedup.
+    blocklist_filter): content-digest anti-join removal — a takedown
+    removes the work AND every byte-identical clone — aggregated per
+    source. Blocklist here = digests of the doc_id % 97 == 0 docs (a
+    takedown list is small by construction and broadcasts; the corpus
+    is never shuffled). One md5 projection + broadcast anti-join + one
+    source-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bl = (docs.where(F.col("doc_id") % 97 == 0)
+          .select(F.md5("text").alias("digest")))
+    kept = dedup.blocklist_filter(docs, bl)
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    kept_n = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"))
+    return (totals.join(kept_n, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    fround((F.col("n_docs")
+                            - F.coalesce("n_kept", F.lit(0)))
+                           / F.col("n_docs").cast("double"), 4)
+                    .alias("removal_rate")))

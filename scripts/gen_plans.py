@@ -248,6 +248,10 @@ SHOWCASE = {
         "one narrow hash+length projection + ONE n_shards-group "
         "partial aggregate — zero Window, zero join; the Exchange "
         "carries n_shards rows per input partition"),
+    "corpus_blocklist_filter": (
+        "md5 projection + BroadcastHashJoin LeftAnti (the takedown "
+        "list broadcasts, the corpus is never shuffled), then one "
+        "source-keyed partial aggregate"),
 }
 
 KEEP = re.compile(

@@ -207,3 +207,50 @@ def test_shard_manifest_counts_and_change_detection(spark):
     for t in base:
         if t != s:
             assert tuple(base[t]) == tuple(after[t])
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter
+# ---------------------------------------------------------------------------
+
+def test_blocklist_removes_work_and_all_clones(spark):
+    """A takedown of one document's content removes every byte-identical
+    clone regardless of id; non-matching docs survive untouched."""
+    from kafka_connect_oss_spark.operators import dedup
+
+    docs = _docs(spark, [(1, "the protected work"),
+                         (2, "the protected work"),   # clone, different id
+                         (3, "unrelated text")])
+    bl = (docs.where(F.col("doc_id") == 1)
+          .select(F.md5("text").alias("digest")))
+    kept = dedup.blocklist_filter(docs, bl)
+    assert {r.doc_id for r in kept.collect()} == {3}
+
+
+def test_blocklist_empty_list_keeps_everything(spark):
+    from kafka_connect_oss_spark.operators import dedup
+
+    docs = _docs(spark, [(1, "a"), (2, "b")])
+    bl = spark.createDataFrame([], "digest string")
+    kept = dedup.blocklist_filter(docs, bl)
+    assert kept.count() == 2
+    # shuffle-anti-join fallback path gives identical results
+    kept2 = dedup.blocklist_filter(docs, bl, broadcast_blocklist=False)
+    assert sorted(r.doc_id for r in kept2.collect()) == [1, 2]
+
+
+def test_blocklist_broadcast_and_shuffle_paths_agree(spark):
+    from kafka_connect_oss_spark.operators import dedup
+
+    rows = [(i, f"text {i % 5}") for i in range(40)]
+    docs = _docs(spark, rows)
+    bl = (docs.where(F.col("doc_id").isin(0, 1))
+          .select(F.md5("text").alias("digest")))
+    a = sorted(r.doc_id for r in
+               dedup.blocklist_filter(docs, bl).collect())
+    b = sorted(r.doc_id for r in
+               dedup.blocklist_filter(docs, bl,
+                                      broadcast_blocklist=False).collect())
+    assert a == b
+    # ids congruent to 0 or 1 mod 5 share content with a blocked doc
+    assert a == [i for i in range(40) if i % 5 not in (0, 1)]
