@@ -1375,3 +1375,77 @@ def blocklist_filter(docs: DataFrame, blocklist: DataFrame,
         bl = F.broadcast(bl)
     d = docs.withColumn("_digest", F.md5(F.col(text_col)))
     return d.join(bl, "_digest", "left_anti")
+
+
+def retroactive_takedown(spark, corpus_path: str, blocklist: DataFrame,
+                         text_col: str = "text",
+                         digest_col: str = "digest",
+                         partition_col: str = "batch_id") -> dict:
+    """Purge already-COMMITTED corpus output when the takedown list grows:
+    the batch-side half of the compliance story (``blocklist_filter``
+    gates new data; this removes what was accepted before the request
+    arrived). The reference's pre-write cleanup deletes a file it is
+    about to re-upload (OSSOutputStream.java delete-before-put); this is
+    the same "storage must converge to the declared state" obligation
+    applied to a published corpus.
+
+    Cost model (the 100 TB point): the corpus is laid out partitioned by
+    ``partition_col`` (the ingest sinks' ``batch_id``), and a takedown
+    touches ONLY the partitions that contain a listed digest —
+    identified by one broadcast semi-join, then rewritten via a pruned
+    scan + anti-join with dynamic partition overwrite. Unaffected
+    partitions are never read twice nor rewritten, so the rewrite cost
+    is proportional to the affected partitions, not the corpus. The
+    ``collect()`` of affected partition values is bounded by the number
+    of ingest batches (and by the blocklist size), never by rows.
+
+    Two correctness details a naive rewrite misses:
+
+    * self-overwrite: the survivors are computed FROM the path being
+      overwritten, so the pruned frame is staged through
+      ``stage_local`` and fully materialized (by the audit counts)
+      before the write starts — the write's plan is a LogicalRDD over
+      executor-local blocks, not a scan of the files it is replacing;
+    * fully-emptied partitions: dynamic partition overwrite only
+      replaces partitions PRESENT in the written data, so a partition
+      whose every row is removed would silently keep its old files.
+      Those are detected (survivor count per partition) and their
+      directories deleted through the Hadoop FileSystem API — works on
+      any Hadoop-supported store, local FS here, object stores at
+      deploy.
+
+    Idempotent: a second run with the same list finds zero affected
+    partitions and touches nothing. Returns an audit dict
+    ``{"batches_rewritten", "batches_deleted", "docs_removed"}`` — the
+    removal receipt a compliance process records.
+    """
+    bl = F.broadcast(
+        blocklist.select(F.col(digest_col).alias("_digest")).distinct())
+    corpus = spark.read.parquet(corpus_path)
+    d = (corpus if "_digest" in corpus.columns
+         else corpus.withColumn("_digest", F.md5(F.col(text_col))))
+    affected = [r[0] for r in (d.join(bl, "_digest", "semi")
+                               .select(partition_col).distinct().collect())]
+    if not affected:
+        return {"batches_rewritten": [], "batches_deleted": [],
+                "docs_removed": 0}
+
+    pruned = stage_local(d.where(F.col(partition_col).isin(affected)))
+    removed = pruned.join(bl, "_digest", "semi").count()  # materializes
+    survivors = pruned.join(bl, "_digest", "left_anti")
+    still = {r[0] for r in (survivors.select(partition_col)
+                            .distinct().collect())}
+    (survivors.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col).parquet(corpus_path))
+
+    emptied = sorted(set(affected) - still)
+    if emptied:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(corpus_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for b in emptied:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{corpus_path}/{partition_col}={b}"), True)
+    return {"batches_rewritten": sorted(still & set(affected)),
+            "batches_deleted": emptied, "docs_removed": removed}

@@ -192,3 +192,66 @@ def shard_manifest_oracle_sql(table_expr: str, n_shards: int = 8,
            MIN(did) AS min_doc_id, MAX(did) AS max_doc_id,
            bit_xor(h) AS content_digest
     FROM b GROUP BY shard"""
+
+
+def compact_corpus(spark, src_path: str, dst_path: str,
+                   target_file_bytes: int = 128 << 20,
+                   partition_by: str | None = None,
+                   balance: bool = False) -> dict:
+    """Small-file compaction for streaming-sink output — the operational
+    stage every per-batch sink eventually owes: the ingest sinks here
+    (`run_ingest_with_blocklist`, `run_incremental_dedup`,
+    `run_incremental_ivf`) commit one partition per micro-batch, which
+    at deploy cadence means millions of KB-sized parquet files whose
+    open/footer costs come to dominate every downstream scan (the
+    classic Spark small-files failure; the reference rotates on
+    `rotate.file.size` for exactly this reason —
+    OSSSinkConnectorConfig's size rotation is the write-side knob, this
+    is the after-the-fact repair).
+
+    Sizing comes from the filesystem, not a data scan: one
+    `ContentSummary` call gives total bytes + file count, and the
+    output file count is `ceil(bytes / target_file_bytes)`. The rewrite
+    itself is `coalesce` by default — ZERO shuffle, each task reads a
+    handful of small files and writes one big one; `balance=True`
+    switches to `repartition` (one round-robin shuffle) when input
+    files are skewed enough that coalesce's task imbalance matters.
+    With `partition_by`, the layout keeps that partition column and
+    compacts to ONE file per partition value (hash-repartition on the
+    column, so each value's rows land in a single task).
+
+    Compaction writes a NEW snapshot path rather than rewriting in
+    place — publishing is snapshot-oriented, and the order-independent
+    `shard_manifest` digest is the receipt that src and dst hold the
+    same corpus (byte-stable under any partitioning or task order, so
+    compaction provably changed layout and nothing else). Note the
+    layout trade, stated: a FLAT compacted snapshot loses the batch_id
+    partition pruning `retroactive_takedown` uses — keep the live
+    ingest path partitioned, compact for published readers (or pass
+    `partition_by` to keep a pruning key).
+
+    Returns {"files_before","files_after","bytes_before","n_files"}.
+    """
+    import math
+
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    summ = fs.getContentSummary(src)
+    bytes_before, files_before = summ.getLength(), summ.getFileCount()
+    n_files = max(1, math.ceil(bytes_before / max(1, target_file_bytes)))
+
+    df = spark.read.parquet(src_path)
+    if partition_by is not None:
+        (df.repartition(F.col(partition_by))
+         .write.partitionBy(partition_by).parquet(dst_path))
+    else:
+        out = (df.repartition(n_files) if balance
+               else df.coalesce(n_files))
+        out.write.parquet(dst_path)
+
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    files_after = fs.getContentSummary(dst).getFileCount()
+    return {"files_before": int(files_before),
+            "files_after": int(files_after),
+            "bytes_before": int(bytes_before), "n_files": int(n_files)}

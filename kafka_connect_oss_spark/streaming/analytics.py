@@ -612,3 +612,81 @@ def run_incremental_ivf(stream_emb: DataFrame, centroids: DataFrame,
             .option("checkpointLocation", checkpoint)
             .foreachBatch(sink)
             .trigger(availableNow=True).start())
+
+
+def run_ingest_with_blocklist(stream_docs: DataFrame, blocklist_path: str,
+                              out_path: str, checkpoint: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              digest_col: str = "digest",
+                              audit_path: str | None = None):
+    """Streaming opt-out/takedown gate: every micro-batch is filtered
+    through ``dedup.blocklist_filter`` against the CURRENT contents of
+    ``blocklist_path`` — the list is re-read per batch, so a takedown
+    request takes effect on the very next micro-batch without stopping
+    or restarting the stream (the operational requirement: compliance
+    cannot wait for a redeploy). Already-committed batches are the job
+    of ``dedup.retroactive_takedown`` over the same ``out_path``; the
+    pair gives convergence in both directions — future data gated here,
+    past data purged there.
+
+    Layout/replay contract matches the other ingest sinks
+    (``run_incremental_dedup`` / ``run_incremental_ivf``): accepted docs
+    land partitioned by ``batch_id`` with dynamic partition overwrite,
+    so a checkpoint-wipe replay rewrites its own partition
+    deterministically instead of appending duplicates. One honest
+    caveat, stated rather than hidden: the blocklist is EXTERNAL state,
+    so a replay that races a list update applies the NEWER list to the
+    replayed batch — the compliant direction (strictly more removals);
+    byte-identical replay holds whenever the list is frozen.
+
+    A missing or still-empty ``blocklist_path`` means "no requests yet"
+    and gates nothing (the list is created by the first takedown, not
+    by the pipeline).
+
+    With ``audit_path`` set, each batch also commits ONE receipt row
+    (batch_id, n_in, n_kept, n_removed) under the same
+    batch_id-keyed overwrite discipline — the per-batch removal ledger
+    a compliance audit asks for, the dataset-side analog of the
+    reference's per-file commit records (OSSSinkTask.java:196-208).
+
+    Scale: the gate is ``blocklist_filter``'s shape — one md5 projection
+    of the batch + a broadcast anti-join (takedown lists are requests,
+    not corpora); per-batch cost is linear in the batch and independent
+    of both corpus size and ingest history.
+    """
+    from pyspark.errors import AnalysisException
+
+    from kafka_connect_oss_spark.operators.dedup import blocklist_filter
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            bl = spark.read.parquet(blocklist_path).select(digest_col)
+        except AnalysisException:  # no list published yet
+            bl = None
+        if bl is None:
+            kept = batch.withColumn("_digest", F.md5(F.col(text_col)))
+        else:
+            kept = blocklist_filter(batch, bl, text_col, id_col, digest_col)
+        if audit_path is not None:
+            # counts + write share one materialization of the batch
+            kept = stage_local(kept)
+        (kept.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
+        if audit_path is not None:
+            n_in, n_kept = batch.count(), kept.count()
+            row = spark.createDataFrame(
+                [(int(batch_id), n_in, n_kept, n_in - n_kept)],
+                "batch_id long, n_in long, n_kept long, n_removed long")
+            (row.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(audit_path))
+
+    return (stream_docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())

@@ -1,0 +1,167 @@
+"""Opt-out / takedown compliance pair: the streaming blocklist gate
+(`run_ingest_with_blocklist`) and the retroactive purge of committed
+output (`dedup.retroactive_takedown`).
+
+Reference analog: the sink's storage-must-converge obligation
+(OSSOutputStream.java delete-before-put; OSSSinkTask.java:196-208 commit
+records), applied to a published corpus under a growing takedown list.
+"""
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators.dedup import (blocklist_filter,
+                                                     retroactive_takedown)
+from kafka_connect_oss_spark.sources.batch import load_table
+from kafka_connect_oss_spark.streaming import analytics as A
+
+
+def _digests_of(docs, ids):
+    return [r[0] for r in (docs.where(F.col("doc_id").isin(ids))
+                           .select(F.md5("text")).distinct().collect())]
+
+
+def _bl_df(spark, digests):
+    return spark.createDataFrame([(d,) for d in digests], "digest string")
+
+
+def test_streaming_blocklist_gate_and_retroactive_takedown(
+        spark, sf_dir, tmp_path):
+    """End-to-end compliance cycle: batches 0-1 gated by list v1; the
+    list grows (one digest already committed in batch 1, one arriving in
+    batch 2); batch 2 honors v2 on the SAME running checkpoint lineage
+    with no restart of the pipeline code; the retroactive purge then
+    converges the committed output to exactly
+    blocklist_filter(all_docs, v2); a second purge is a no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").limit(60).collect()]
+    chunks = [docs.where(F.col("doc_id").isin(ids[k::3])) for k in range(3)]
+
+    stream_dir = tmp_path / "chunks"
+    stream_dir.mkdir()
+    for i, chunk in enumerate(chunks[:2]):
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"tkp{i}"))
+        src = glob.glob(str(tmp_path / f"tkp{i}" / "*.parquet"))[0]
+        shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+    # v1: two works from chunk 0 are opted out before ingest starts
+    v1 = _digests_of(docs, ids[0::3][:2])
+    bl_path = tmp_path / "blocklist"
+    _bl_df(spark, v1).write.parquet(str(bl_path))
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    out, ck, audit = tmp_path / "corpus", tmp_path / "ck", tmp_path / "audit"
+
+    def stream():
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+        A.run_ingest_with_blocklist(
+            sdf, str(bl_path), str(out), str(ck),
+            audit_path=str(audit)).awaitTermination(180)
+
+    stream()
+    committed = spark.read.parquet(str(out))
+    want01 = {r.doc_id for r in blocklist_filter(
+        chunks[0].union(chunks[1]), _bl_df(spark, v1)).collect()}
+    assert {r.doc_id for r in committed.collect()} == want01
+
+    # the list GROWS: one work already committed in batch 1, one that
+    # will arrive in batch 2 — no pipeline restart, just new list files
+    v2 = v1 + _digests_of(docs, [ids[1::3][0], ids[2::3][0]])
+    shutil.rmtree(str(bl_path))
+    _bl_df(spark, v2).write.parquet(str(bl_path))
+
+    chunks[2].coalesce(1).write.parquet(str(tmp_path / "tkp2"))
+    src = glob.glob(str(tmp_path / "tkp2" / "*.parquet"))[0]
+    shutil.copy(src, stream_dir / "c2.parquet")
+    stream()  # same checkpoint: only c2 is new, lands as batch 2
+
+    committed = spark.read.parquet(str(out))
+    # batch 2 honored v2 at the gate...
+    got2 = {r.doc_id for r in
+            committed.where(F.col("batch_id") == 2).collect()}
+    assert got2 == {r.doc_id for r in blocklist_filter(
+        chunks[2], _bl_df(spark, v2)).collect()}
+    # ...but the batch-1 work accepted under v1 is still there
+    stale = {r.doc_id for r in committed.collect()} - {
+        r.doc_id for r in blocklist_filter(
+            docs.where(F.col("doc_id").isin(ids)),
+            _bl_df(spark, v2)).collect()}
+    assert stale, "test needs a committed doc the grown list covers"
+
+    receipt = retroactive_takedown(spark, str(out), _bl_df(spark, v2))
+    assert receipt["docs_removed"] >= len(stale)
+    assert 1 in receipt["batches_rewritten"]
+    converged = spark.read.parquet(str(out))
+    want_final = {r.doc_id for r in blocklist_filter(
+        docs.where(F.col("doc_id").isin(ids)), _bl_df(spark, v2)).collect()}
+    assert {r.doc_id for r in converged.collect()} == want_final
+    # untouched partitions keep their rows bit-for-bit (batch 0 had no
+    # v2-only hits unless a clone straddles — compare full row sets)
+    assert converged.where(F.col("batch_id") == 2).count() == len(got2)
+
+    # idempotent: same list again finds nothing
+    again = retroactive_takedown(spark, str(out), _bl_df(spark, v2))
+    assert again == {"batches_rewritten": [], "batches_deleted": [],
+                     "docs_removed": 0}
+    assert {r.doc_id for r in
+            spark.read.parquet(str(out)).collect()} == want_final
+
+    # audit ledger: one receipt row per batch, removals accounted
+    led = {r.batch_id: r for r in spark.read.parquet(str(audit)).collect()}
+    assert set(led) == {0, 1, 2}
+    for b, chunk, v in [(0, chunks[0], v1), (1, chunks[1], v1),
+                        (2, chunks[2], v2)]:
+        n_in = chunk.count()
+        n_kept = blocklist_filter(chunk, _bl_df(spark, v)).count()
+        assert (led[b].n_in, led[b].n_kept, led[b].n_removed) == \
+            (n_in, n_kept, n_in - n_kept)
+
+
+def test_retroactive_takedown_deletes_emptied_partition(
+        spark, sf_dir, tmp_path):
+    """A partition whose EVERY row is listed must physically disappear —
+    dynamic overwrite alone would silently keep its old files (the
+    written data contains no rows for it). Also covers the gate's
+    missing-list branch: the corpus is ingested before any list
+    exists, so nothing is filtered on the way in."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").limit(12).collect()]
+    chunks = [docs.where(F.col("doc_id").isin(ids[:6])),
+              docs.where(F.col("doc_id").isin(ids[6:]))]
+
+    stream_dir = tmp_path / "chunks"
+    stream_dir.mkdir()
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"emp{i}"))
+        src = glob.glob(str(tmp_path / f"emp{i}" / "*.parquet"))[0]
+        shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    out, ck = tmp_path / "corpus", tmp_path / "ck"
+    # blocklist path does not exist yet -> gate admits everything
+    A.run_ingest_with_blocklist(
+        sdf, str(tmp_path / "no_list_yet"), str(out),
+        str(ck)).awaitTermination(180)
+    committed = spark.read.parquet(str(out))
+    assert committed.count() == len(ids)
+
+    # every work in batch 1 is taken down (plus any byte-identical
+    # clones of them that landed in batch 0)
+    v = _digests_of(docs, ids[6:])
+    receipt = retroactive_takedown(spark, str(out), _bl_df(spark, v))
+    assert receipt["batches_deleted"] == [1]
+    assert receipt["docs_removed"] >= 6
+    left = spark.read.parquet(str(out))
+    assert left.where(F.col("batch_id") == 1).count() == 0
+    want = {r.doc_id for r in blocklist_filter(
+        chunks[0], _bl_df(spark, v)).collect()}
+    assert {r.doc_id for r in left.collect()} == want
+    # the partition directory itself is gone, not just empty
+    assert not (out / "batch_id=1").exists()
