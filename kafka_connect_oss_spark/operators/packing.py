@@ -255,3 +255,92 @@ def compact_corpus(spark, src_path: str, dst_path: str,
     return {"files_before": int(files_before),
             "files_after": int(files_after),
             "bytes_before": int(bytes_before), "n_files": int(n_files)}
+
+
+def publish_corpus_snapshot(spark, docs: DataFrame, out_path: str,
+                            blocklist: DataFrame | None = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            apply_gopher: bool = True,
+                            target_file_bytes: int = 128 << 20,
+                            n_shards: int = 8) -> dict:
+    """One-call corpus publisher: the corpus-side twin of the reference's
+    A1 lifecycle facade (`streaming/pipeline.py run_pipeline` drives
+    source->format->rotate->commit for Kafka records; this drives
+    gate->dedup->quality->layout->manifest for training documents).
+    What a user gets from one call is what they would otherwise hand-wire
+    from four operators — with the cheap plan, not the obvious one.
+
+    Plan shape (the 100 TB argument): ONE scan computes every per-doc
+    verdict — Gopher gates ride the projection
+    (`gopher_quality_flags(keep_cols=...)`, no join-back), the takedown
+    verdict is a broadcast left join on the md5 digest, and exact-dup
+    ranking is the digest-window min — so the whole decision costs one
+    16-byte-key shuffle. The decided frame is staged once
+    (`stage_local`) and feeds three bounded consumers: the receipt
+    aggregate, the published write, and the manifest sidecar. Removal
+    attribution is first-match (blocklisted > duplicate > quality), so
+    the receipt's counts sum exactly to n_in - n_published; a
+    blocklisted work's byte-identical clones share its digest, so a
+    whole dup-group is always attributed consistently.
+
+    Output layout is sized WITHOUT a second pass: the receipt aggregate
+    already carries the published character total, and file count is
+    ceil(chars / 3 / target_file_bytes) (documented ~3x text-to-parquet
+    compression heuristic — a layout hint, not a contract;
+    `compact_corpus` re-lays a snapshot exactly when it matters). The
+    manifest (`shard_manifest`, order-independent digests) lands at
+    ``<out_path>_manifest`` — two publishes diff in O(n_shards), the
+    incremental re-publish handshake.
+
+    Returns the publish receipt:
+    {"n_in","n_published","n_blocklisted","n_duplicate","n_quality",
+     "n_files","manifest_path"}.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+    from kafka_connect_oss_spark.operators.text import gopher_quality_flags
+
+    keep = tuple(c for c in docs.columns if c != id_col)
+    d = (gopher_quality_flags(docs, text_col, id_col, keep_cols=keep)
+         if apply_gopher
+         else docs.withColumn("pass_gopher", F.lit(True)))
+    d = d.withColumn("_digest", F.md5(F.col(text_col)))
+    if blocklist is not None:
+        bl = F.broadcast(blocklist.select(
+            F.col(blocklist.columns[0]).alias("_digest"),
+            F.lit(True).alias("_bl")).distinct())
+        d = d.join(bl, "_digest", "left")
+    else:
+        d = d.withColumn("_bl", F.lit(None).cast("boolean"))
+    w = Window.partitionBy("_digest")
+    d = d.withColumn(
+        "_reason",
+        F.when(F.col("_bl"), F.lit("blocklisted"))
+        .when(F.col(id_col) != F.min(id_col).over(w), F.lit("duplicate"))
+        .when(~F.col("pass_gopher"), F.lit("quality")))
+    staged = stage_local(d)
+
+    stats = {r["_reason"]: (r["n"], r["chars"]) for r in
+             (staged.groupBy("_reason")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.length(text_col)).alias("chars")).collect())}
+    n_in = sum(n for n, _ in stats.values())
+    n_pub, pub_chars = stats.get(None, (0, 0))
+    n_files = max(1, math.ceil(
+        (pub_chars or 0) / 3 / max(1, target_file_bytes)))
+
+    published = (staged.where(F.col("_reason").isNull())
+                 .select(id_col, *keep, "_digest"))
+    published.coalesce(n_files).write.parquet(out_path)
+    manifest_path = out_path.rstrip("/") + "_manifest"
+    (shard_manifest(published, n_shards, text_col, id_col)
+     .coalesce(1).write.parquet(manifest_path))
+    return {"n_in": n_in, "n_published": n_pub,
+            "n_blocklisted": stats.get("blocklisted", (0, 0))[0],
+            "n_duplicate": stats.get("duplicate", (0, 0))[0],
+            "n_quality": stats.get("quality", (0, 0))[0],
+            "n_files": int(n_files), "manifest_path": manifest_path}

@@ -1694,7 +1694,8 @@ def domain_profile_oracle_sql(table_expr: str, text_col: str = "text",
 
 
 def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         keep_cols: tuple = ()) -> DataFrame:
     """The Gopher document-quality rule set (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", Appendix A — public recipe) as per-doc
     boolean flags plus the composite pass: word count in [50, 100000],
@@ -1709,7 +1710,10 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
     false for empty documents.
 
     Returns (id_col, n_words, flag_word_count, flag_mean_word_len,
-    flag_symbol_ratio, flag_alpha_words, flag_stopwords, pass_gopher).
+    flag_symbol_ratio, flag_alpha_words, flag_stopwords, pass_gopher);
+    ``keep_cols`` carries extra input columns through the projection so
+    a composing pipeline (``packing.publish_corpus_snapshot``) stays
+    single-scan instead of joining the flags back on ``id_col``.
     """
     tok = X.sql_tokens(text_col, "spark")
     n = f"size({tok})"
@@ -1723,7 +1727,7 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
            f"- length(replace({text_col}, '...', ''))) / 3)")
     sym_ratio = f"({sym} / CAST(nullif({n}, 0) AS DOUBLE))"
     return docs.select(
-        id_col,
+        id_col, *keep_cols,
         F.expr(n).cast("long").alias("n_words"),
         F.expr(f"{n} BETWEEN 50 AND 100000").alias("flag_word_count"),
         F.expr(f"coalesce({mean_len} >= 3.0 AND {mean_len} <= 10.0, "

@@ -70,3 +70,78 @@ def test_compact_corpus_keeps_partition_key(spark, sf_dir, tmp_path):
     after = spark.read.parquet(str(dst))
     assert sorted(map(tuple, before.select("doc_id", "batch_id").collect())) \
         == sorted(map(tuple, after.select("doc_id", "batch_id").collect()))
+
+
+def test_publish_corpus_snapshot_end_to_end(spark, sf_dir, tmp_path):
+    """The facade's published set equals the hand-wired composition of
+    blocklist_filter + digest-window exact dedup + Gopher gates; the
+    receipt's attribution sums exactly; the manifest sidecar matches a
+    recomputed shard_manifest; growing the list changes only the
+    affected shard's manifest digest (the O(n_shards) handshake)."""
+    from kafka_connect_oss_spark.operators.dedup import blocklist_filter
+    from kafka_connect_oss_spark.operators.packing import (
+        publish_corpus_snapshot)
+    from kafka_connect_oss_spark.operators.text import gopher_quality_flags
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bl_digests = [r[0] for r in (docs.orderBy("doc_id").limit(4)
+                                 .select(F.md5("text")).collect())]
+    bl = spark.createDataFrame([(d,) for d in bl_digests], "digest string")
+
+    out = str(tmp_path / "snap")
+    receipt = publish_corpus_snapshot(spark, docs, out, blocklist=bl)
+
+    # hand-wired golden composition, each stage its own operator
+    gated = blocklist_filter(docs, bl)
+    w = Window.partitionBy("_digest")
+    uniq = (gated.withColumn("_keep", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("_keep")).drop("_keep"))
+    passed = uniq.join(
+        gopher_quality_flags(docs).where("pass_gopher").select("doc_id"),
+        "doc_id", "semi")
+    want = {r.doc_id for r in passed.collect()}
+
+    published = spark.read.parquet(out)
+    assert {r.doc_id for r in published.collect()} == want
+    assert receipt["n_published"] == len(want)
+    assert receipt["n_in"] == docs.count()
+    assert (receipt["n_blocklisted"] + receipt["n_duplicate"]
+            + receipt["n_quality"]) == receipt["n_in"] - len(want)
+    # every clone of a blocklisted work is attributed to the blocklist,
+    # never split with 'duplicate'
+    n_bl_golden = docs.count() - gated.count()
+    assert receipt["n_blocklisted"] == n_bl_golden
+
+    # manifest sidecar == recomputed manifest over the published files
+    m_side = sorted(map(tuple, spark.read.parquet(
+        receipt["manifest_path"]).collect()))
+    m_re = sorted(map(tuple, shard_manifest(published, 8).collect()))
+    assert m_side == m_re
+
+    # grow the list by one PUBLISHED work -> only its shard's manifest
+    # row moves (a doc that never survived to snapshot 1 would move
+    # nothing — the handshake detects published-content change only)
+    extra = (published.orderBy("doc_id").limit(1)
+             .select(F.md5("text").alias("digest")))
+    bl2 = bl.union(extra)
+    out2 = str(tmp_path / "snap2")
+    publish_corpus_snapshot(spark, docs, out2, blocklist=bl2)
+    m2 = sorted(map(tuple, spark.read.parquet(out2 + "_manifest").collect()))
+    changed = [a[0] for a, b in zip(m_side, m2) if a != b]
+    assert len(changed) == 1
+
+
+def test_publish_corpus_snapshot_no_gates_no_list(spark, sf_dir, tmp_path):
+    """With gates off and no list, publishing is exact dedup only."""
+    from kafka_connect_oss_spark.operators.packing import (
+        publish_corpus_snapshot)
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "snap")
+    receipt = publish_corpus_snapshot(spark, docs, out, apply_gopher=False)
+    n_uniq = docs.select(F.md5("text")).distinct().count()
+    assert receipt["n_published"] == n_uniq
+    assert receipt["n_blocklisted"] == receipt["n_quality"] == 0
+    assert receipt["n_duplicate"] == docs.count() - n_uniq
+    assert spark.read.parquet(out).count() == n_uniq
