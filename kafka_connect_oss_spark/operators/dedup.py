@@ -1449,3 +1449,111 @@ def retroactive_takedown(spark, corpus_path: str, blocklist: DataFrame,
                 f"{corpus_path}/{partition_col}={b}"), True)
     return {"batches_rewritten": sorted(still & set(affected)),
             "batches_deleted": emptied, "docs_removed": removed}
+
+
+def _near_matched_base_ids(bsig: DataFrame, bpost: DataFrame,
+                           works: DataFrame, text_col: str, id_col: str,
+                           ngram: int, jaccard_threshold: float,
+                           hot_shingle_df_cap: int | None) -> DataFrame:
+    """Shared matching core for takedown expansion: which BASE ids have
+    exact n-gram jaccard >= threshold against ANY work. The mirror image
+    of ``_classify_increment`` — same exact-recall inverted-index
+    candidates (any J>0 pair shares a shingle), same hot-shingle cap
+    bounding the posting join, but the answer is the matched base side,
+    not per-increment statuses."""
+    w = works.withColumn("_wid", F.monotonically_increasing_id())
+    grouped = (bpost.groupBy("_h")
+               .agg(F.collect_list("base_id").alias("_ids")))
+    if hot_shingle_df_cap is not None:
+        grouped = grouped.where(
+            F.expr("size(_ids)") <= hot_shingle_df_cap)
+    wpost = shingle_hash_pairs(w, text_col, ngram, "_wid").select(
+        F.col("_wid"), "_h")
+    cand = (wpost.join(grouped, "_h")
+            .select("_wid", F.explode("_ids").alias("base_id"))
+            .distinct())
+    wsig = shingle_set_frame(w, text_col, ngram, "_wid").select(
+        "_wid", F.col("hh").alias("h_a"))
+    hb = bsig.select(F.col(id_col).alias("base_id"),
+                     F.col("hh").alias("h_b"))
+    return (cand.join(wsig, "_wid").join(hb, "base_id")
+            .withColumn("inter",
+                        F.expr("size(array_intersect(h_a, h_b))"))
+            .where((F.col("inter") /
+                    (F.expr("size(h_a)") + F.expr("size(h_b)")
+                     - F.col("inter"))) >= jaccard_threshold)
+            .select("base_id").distinct())
+
+
+def expand_takedown_works(base: DataFrame, works: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          ngram: int = 3, jaccard_threshold: float = 0.3,
+                          hot_shingle_df_cap: int | None =
+                          HOT_SHINGLE_DF_CAP) -> DataFrame:
+    """Expand a takedown request to NEAR-copies: given the requested
+    works (their text — a takedown names a work, not a corpus row),
+    return the digest list covering the works themselves plus every
+    corpus content whose exact n-gram jaccard against any work meets the
+    threshold. ``blocklist_filter``'s digest anti-join already removes
+    byte-identical clones; this closes the derivative-copy gap the
+    blocklist docstring points at (reformatted mirrors, light edits,
+    quote-wrappers above the threshold) — feed the result straight to
+    ``blocklist_filter`` / ``retroactive_takedown`` /
+    ``run_ingest_with_blocklist``.
+
+    Recall contract inherited from the incremental tier (r08 rewrite):
+    candidates come from the exact inverted shingle index, so every
+    qualifying pair is found up to the documented hot-shingle cap —
+    never the banded LSH s-curve (a compliance expansion cannot miss
+    70% of J=0.3 matches). Cost: the works side is tiny (requests, not
+    corpora); the corpus side is one rep-collapsed posting build — the
+    same O(corpus shingles) pass a compaction runs. At deploy scale use
+    ``expand_takedown_works_from_tables``: the ``compact_base_tables``
+    posting/sig state serves the corpus side with ZERO recompute (the
+    postings table is bucketed by shingle hash, so the candidate join
+    reads it co-located and only the work shingles shuffle).
+
+    Returns a one-column ``digest`` DataFrame (md5 of work texts ∪
+    digests of matched corpus contents), distinct.
+    """
+    bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
+    breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
+    rep_docs = base.join(
+        breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
+    bsig = shingle_set_frame(rep_docs, text_col, ngram, id_col)
+    bpost = shingle_hash_pairs(rep_docs, text_col, ngram, id_col).select(
+        F.col(id_col).alias("base_id"), "_h")
+    matched = _near_matched_base_ids(bsig, bpost, works, text_col, id_col,
+                                     ngram, jaccard_threshold,
+                                     hot_shingle_df_cap)
+    matched_digests = (breps.join(
+        matched, breps["_rep"] == matched["base_id"], "semi")
+        .select(F.col("_d").alias("digest")))
+    return (works.select(F.md5(F.col(text_col)).alias("digest"))
+            .union(matched_digests).distinct())
+
+
+def expand_takedown_works_from_tables(
+        spark, prefix: str, works: DataFrame, text_col: str = "text",
+        id_col: str = "doc_id", ngram: int = 3,
+        jaccard_threshold: float = 0.3,
+        hot_shingle_df_cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFrame:
+    """Deploy-scale takedown expansion against the ``compact_base_tables``
+    state: semantics identical to ``expand_takedown_works`` over the
+    compacted corpus (pinned by test_takedown), cost driven by the
+    request — the posting/sig tables are bucketed scans (candidate join
+    co-located on the shingle-hash buckets), only the works' shingles
+    shuffle, and the corpus text is never touched (the digests table
+    maps matched reps to content digests)."""
+    breps = spark.table(f"{prefix}_digests")
+    bsig = spark.table(f"{prefix}_sig")
+    bpost = (spark.table(f"{prefix}_postings")
+             .withColumnRenamed(id_col, "base_id"))
+    matched = _near_matched_base_ids(bsig, bpost, works, text_col, id_col,
+                                     ngram, jaccard_threshold,
+                                     hot_shingle_df_cap)
+    matched_digests = (breps.join(
+        matched, breps["_rep"] == matched["base_id"], "semi")
+        .select(F.col("_d").alias("digest")))
+    return (works.select(F.md5(F.col(text_col)).alias("digest"))
+            .union(matched_digests).distinct())

@@ -165,3 +165,84 @@ def test_retroactive_takedown_deletes_emptied_partition(
     assert {r.doc_id for r in left.collect()} == want
     # the partition directory itself is gone, not just empty
     assert not (out / "batch_id=1").exists()
+
+
+def _brute_force_expand(spark, docs, work_text, ngram=3, th=0.3):
+    """Golden: digest set = md5(work) ∪ digests of every corpus CONTENT
+    whose exact shingle jaccard vs the work meets the threshold,
+    computed rep-collapsed and Python-side."""
+    from kafka_connect_oss_spark.operators.dedup import shingle_set_frame
+
+    reps = (docs.withColumn("_d", F.md5("text"))
+            .withColumn("_rep", F.expr(
+                "min(doc_id) over (partition by _d)"))
+            .where("doc_id = _rep"))
+    rep_rows = shingle_set_frame(reps).join(
+        reps.select("doc_id", "_d"), "doc_id").collect()
+    work = spark.createDataFrame([(0, work_text)], "doc_id long, text string")
+    wh = set(shingle_set_frame(work).collect()[0].hh)
+    out = {spark.createDataFrame([(work_text,)], "t string")
+           .select(F.md5("t")).collect()[0][0]}
+    for r in rep_rows:
+        hh = set(r.hh)
+        inter = len(wh & hh)
+        union = len(wh) + len(hh) - inter
+        if union and inter / union >= th:
+            out.add(r._d)
+    return out
+
+
+def test_expand_takedown_works_matches_bruteforce(spark, sf_dir, tmp_path):
+    """Exact-recall contract: the inverted-index expansion finds EXACTLY
+    the brute-force jaccard matches (both a light edit of a corpus work
+    and a work absent from the corpus)."""
+    from kafka_connect_oss_spark.operators.dedup import (blocklist_filter,
+                                                         expand_takedown_works)
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_text = (docs.orderBy(F.length("text").desc(), "doc_id")
+                 .limit(1).collect()[0].text)
+    # a derivative copy: the work lightly edited (trailing addition)
+    work_text = base_text + " appended attribution line for the mirror"
+    works = spark.createDataFrame([(work_text,)], "text string")
+
+    got = {r.digest for r in
+           expand_takedown_works(docs, works).collect()}
+    want = _brute_force_expand(spark, docs, work_text)
+    assert got == want
+    assert len(want) >= 2  # the work itself + at least the original
+
+    # composing with the gate: every matched content leaves the corpus
+    kept = blocklist_filter(
+        docs, spark.createDataFrame([(d,) for d in got], "digest string"))
+    assert {r[0] for r in kept.select(F.md5("text")).collect()} \
+        .isdisjoint(got)
+
+    # a work with no corpus relative expands to just itself
+    lone = spark.createDataFrame(
+        [("zq xv wq pk jm nb vc ws ed rf tg yh uj ik ol pz " * 4,)],
+        "text string")
+    lone_got = {r.digest for r in
+                expand_takedown_works(docs, lone).collect()}
+    assert len(lone_got) == 1
+
+
+def test_expand_takedown_from_tables_equals_batch(spark, sf_dir):
+    """The deploy-scale form over compact_base_tables state returns the
+    identical digest set (corpus text never read)."""
+    from kafka_connect_oss_spark.operators.dedup import (
+        compact_base_tables, expand_takedown_works,
+        expand_takedown_works_from_tables)
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_text = (docs.orderBy(F.length("text").desc(), "doc_id")
+                 .limit(1).collect()[0].text)
+    works = spark.createDataFrame(
+        [(base_text + " appended attribution line for the mirror",)],
+        "text string")
+    compact_base_tables(docs, "tdexp", n_buckets=4)
+    got_tables = {r.digest for r in expand_takedown_works_from_tables(
+        spark, "tdexp", works).collect()}
+    got_batch = {r.digest for r in
+                 expand_takedown_works(docs, works).collect()}
+    assert got_tables == got_batch
