@@ -257,6 +257,42 @@ def compact_corpus(spark, src_path: str, dst_path: str,
             "bytes_before": int(bytes_before), "n_files": int(n_files)}
 
 
+def corpus_publish_decisions(docs: DataFrame,
+                             blocklist: DataFrame | None = None,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             apply_gopher: bool = True) -> DataFrame:
+    """The publisher's per-doc verdict frame (input columns + pass_gopher
+    + _digest + _reason, _reason NULL = publish) — exposed separately so
+    the single-shuffle claim is a pinned plan, not a docstring: Gopher
+    gates ride the scan projection (keep_cols passthrough, no
+    join-back), the takedown verdict is a broadcast digest join, and
+    exact-dup ranking is the digest-window min — ONE hash-partitioning
+    Exchange in the whole decision (test_compaction pins it)."""
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.operators.text import gopher_quality_flags
+
+    keep = tuple(c for c in docs.columns if c != id_col)
+    d = (gopher_quality_flags(docs, text_col, id_col, keep_cols=keep)
+         if apply_gopher
+         else docs.withColumn("pass_gopher", F.lit(True)))
+    d = d.withColumn("_digest", F.md5(F.col(text_col)))
+    if blocklist is not None:
+        bl = F.broadcast(blocklist.select(
+            F.col(blocklist.columns[0]).alias("_digest"),
+            F.lit(True).alias("_bl")).distinct())
+        d = d.join(bl, "_digest", "left")
+    else:
+        d = d.withColumn("_bl", F.lit(None).cast("boolean"))
+    w = Window.partitionBy("_digest")
+    return d.withColumn(
+        "_reason",
+        F.when(F.col("_bl"), F.lit("blocklisted"))
+        .when(F.col(id_col) != F.min(id_col).over(w), F.lit("duplicate"))
+        .when(~F.col("pass_gopher"), F.lit("quality")))
+
+
 def publish_corpus_snapshot(spark, docs: DataFrame, out_path: str,
                             blocklist: DataFrame | None = None,
                             text_col: str = "text",
@@ -299,30 +335,11 @@ def publish_corpus_snapshot(spark, docs: DataFrame, out_path: str,
     """
     import math
 
-    from pyspark.sql import Window
-
     from kafka_connect_oss_spark.operators.lifecycle import stage_local
-    from kafka_connect_oss_spark.operators.text import gopher_quality_flags
 
     keep = tuple(c for c in docs.columns if c != id_col)
-    d = (gopher_quality_flags(docs, text_col, id_col, keep_cols=keep)
-         if apply_gopher
-         else docs.withColumn("pass_gopher", F.lit(True)))
-    d = d.withColumn("_digest", F.md5(F.col(text_col)))
-    if blocklist is not None:
-        bl = F.broadcast(blocklist.select(
-            F.col(blocklist.columns[0]).alias("_digest"),
-            F.lit(True).alias("_bl")).distinct())
-        d = d.join(bl, "_digest", "left")
-    else:
-        d = d.withColumn("_bl", F.lit(None).cast("boolean"))
-    w = Window.partitionBy("_digest")
-    d = d.withColumn(
-        "_reason",
-        F.when(F.col("_bl"), F.lit("blocklisted"))
-        .when(F.col(id_col) != F.min(id_col).over(w), F.lit("duplicate"))
-        .when(~F.col("pass_gopher"), F.lit("quality")))
-    staged = stage_local(d)
+    staged = stage_local(corpus_publish_decisions(
+        docs, blocklist, text_col, id_col, apply_gopher))
 
     stats = {r["_reason"]: (r["n"], r["chars"]) for r in
              (staged.groupBy("_reason")

@@ -145,3 +145,19 @@ def test_publish_corpus_snapshot_no_gates_no_list(spark, sf_dir, tmp_path):
     assert receipt["n_blocklisted"] == receipt["n_quality"] == 0
     assert receipt["n_duplicate"] == docs.count() - n_uniq
     assert spark.read.parquet(out).count() == n_uniq
+
+
+def test_publish_decision_plan_is_single_shuffle(spark, sf_dir):
+    """The publisher's whole verdict costs ONE hash-partitioning
+    Exchange (the digest window); the blocklist is a broadcast join,
+    the gates are scan-side projection."""
+    from kafka_connect_oss_spark.operators.packing import (
+        corpus_publish_decisions)
+
+    docs = load_table(spark, sf_dir, "documents")
+    bl = docs.limit(3).select(F.md5("text").alias("digest"))
+    plan = (corpus_publish_decisions(docs, bl)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
