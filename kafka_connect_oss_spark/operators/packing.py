@@ -127,6 +127,20 @@ def pack_efficiency_oracle_sql(table_expr: str, budget_tokens: int = 4096,
     FROM d GROUP BY shard"""
 
 
+def shard_of(id_col: str, n_shards: int):
+    """The ONE shard-assignment expression — `shard_manifest` audits with
+    it and `republish_changed_shards` lays data out with it, so a
+    manifest row and a partition directory always mean the same shard
+    (value-identical to the pre-extraction inline form; the manifest
+    oracle pins it)."""
+    from kafka_connect_oss_spark.functions import hashing as H
+
+    return F.pmod(
+        F.expr(H.base_hash(
+            f"concat('shard:', CAST({id_col} AS STRING))", "spark")),
+        F.lit(n_shards)).cast("int")
+
+
 def shard_manifest(docs: DataFrame, n_shards: int = 8,
                    text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -154,10 +168,7 @@ def shard_manifest(docs: DataFrame, n_shards: int = 8,
     """
     from kafka_connect_oss_spark.functions import hashing as H
 
-    shard = F.pmod(
-        F.expr(H.base_hash(
-            f"concat('shard:', CAST({id_col} AS STRING))", "spark")),
-        F.lit(n_shards)).cast("int")
+    shard = shard_of(id_col, n_shards)
     doc_h = F.expr(H.base_hash(
         f"concat(CAST({id_col} AS STRING), ':', {text_col})", "spark"))
     base = docs.select(
@@ -361,3 +372,88 @@ def publish_corpus_snapshot(spark, docs: DataFrame, out_path: str,
             "n_duplicate": stats.get("duplicate", (0, 0))[0],
             "n_quality": stats.get("quality", (0, 0))[0],
             "n_files": int(n_files), "manifest_path": manifest_path}
+
+
+def republish_changed_shards(spark, docs: DataFrame, snap_path: str,
+                             blocklist: DataFrame | None = None,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             apply_gopher: bool = True,
+                             n_shards: int = 64) -> dict:
+    """Incremental re-publish: converge a shard-partitioned snapshot to
+    the current corpus + list + gates by rewriting ONLY the shards whose
+    manifest digest moved — the payoff of `shard_manifest`'s
+    order-independent fold, and the corpus-side analog of the
+    reference's incremental commit cycle (OSSSinkTask re-uploads the
+    files whose offsets advanced, never the whole bucket).
+
+    Mechanics: one `corpus_publish_decisions` pass over the new corpus
+    (unavoidable — publishing means deciding), then the new manifest is
+    diffed against the sidecar at ``<snap_path>_manifest``:
+
+    * digest equal  -> shard untouched (its files are not rewritten,
+      not even read);
+    * digest moved / shard new -> its rows are written via dynamic
+      partition overwrite on the ``shard`` column (`shard_of`, the same
+      expression the manifest audits with);
+    * shard present only in the old manifest (every doc gone) -> its
+      directory is deleted through the Hadoop FS API, the same
+      emptied-partition rule `retroactive_takedown` applies.
+
+    First publish (no sidecar yet) writes everything. The sidecar is
+    rewritten whole each time — it is n_shards rows. Write cost is
+    therefore decisions + changed-shard bytes; a one-doc takedown
+    republishes one shard of 64, not the corpus. The staged decision
+    frame feeds manifest, diff, and write from one materialization.
+
+    Returns {"shards_written","shards_deleted","n_rows_written",
+    "first_publish"}.
+    """
+    from pyspark.errors import AnalysisException
+
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    keep = tuple(c for c in docs.columns if c != id_col)
+    staged = stage_local(
+        corpus_publish_decisions(docs, blocklist, text_col, id_col,
+                                 apply_gopher)
+        .where(F.col("_reason").isNull())
+        .select(id_col, *keep, "_digest")
+        .withColumn("shard", shard_of(id_col, n_shards)))
+    new_man = {r.shard: r for r in shard_manifest(
+        staged, n_shards, text_col, id_col).collect()}
+
+    manifest_path = snap_path.rstrip("/") + "_manifest"
+    try:
+        old_man = {r.shard: r for r in
+                   spark.read.parquet(manifest_path).collect()}
+        first = False
+    except AnalysisException:
+        old_man, first = {}, True
+
+    changed = sorted(
+        s for s, r in new_man.items()
+        if s not in old_man
+        or old_man[s].content_digest != r.content_digest
+        or old_man[s].n_docs != r.n_docs)
+    gone = sorted(set(old_man) - set(new_man))
+
+    n_rows = 0
+    if changed:
+        out = staged.where(F.col("shard").isin(changed))
+        n_rows = sum(new_man[s].n_docs for s in changed)
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(snap_path))
+    if gone:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(snap_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for s in gone:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{snap_path}/shard={s}"), True)
+    if changed or gone or first:
+        (shard_manifest(staged, n_shards, text_col, id_col)
+         .coalesce(1).write.mode("overwrite").parquet(manifest_path))
+    return {"shards_written": changed, "shards_deleted": gone,
+            "n_rows_written": int(n_rows), "first_publish": first}

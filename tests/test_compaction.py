@@ -161,3 +161,84 @@ def test_publish_decision_plan_is_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _shard_files(path):
+    import os
+    return {p: os.path.getmtime(p)
+            for p in glob.glob(str(path) + "/shard=*/*.parquet")}
+
+
+def test_republish_changed_shards_rewrites_only_moved_shards(
+        spark, sf_dir, tmp_path):
+    """First publish writes all; identical republish writes NOTHING (no
+    shard files touched); a one-work takedown rewrites exactly the
+    shards holding that work's rows, leaving every other shard's files
+    byte-level untouched (mtime-pinned)."""
+    from kafka_connect_oss_spark.operators.packing import (
+        republish_changed_shards, shard_of)
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = str(tmp_path / "snap")
+
+    r1 = republish_changed_shards(spark, docs, snap, n_shards=8)
+    assert r1["first_publish"] and len(r1["shards_written"]) == 8
+    pub1 = spark.read.parquet(snap)
+    assert r1["n_rows_written"] == pub1.count()
+
+    # identical corpus -> zero writes, zero touched files
+    before = _shard_files(tmp_path / "snap")
+    r2 = republish_changed_shards(spark, docs, snap, n_shards=8)
+    assert r2 == {"shards_written": [], "shards_deleted": [],
+                  "n_rows_written": 0, "first_publish": False}
+    assert _shard_files(tmp_path / "snap") == before
+
+    # take down one published work -> only its shards move
+    victim = pub1.orderBy("doc_id").limit(1).collect()[0]
+    bl = spark.createDataFrame([(victim._digest,)], "digest string")
+    want_shards = sorted({r.shard for r in pub1
+                          .where(F.col("_digest") == victim._digest)
+                          .withColumn("shard", shard_of("doc_id", 8))
+                          .select("shard").distinct().collect()})
+    n_pub1 = pub1.count()
+    n_victim = pub1.where(F.col("_digest") == victim._digest).count()
+    r3 = republish_changed_shards(spark, docs, snap, blocklist=bl,
+                                  n_shards=8)
+    assert r3["shards_written"] == want_shards
+    after = _shard_files(tmp_path / "snap")
+    untouched = {p: t for p, t in before.items()
+                 if not any(f"shard={s}/" in p for s in want_shards)}
+    assert all(after[p] == t for p, t in untouched.items())
+    pub2 = spark.read.parquet(snap)
+    assert pub2.where(F.col("_digest") == victim._digest).count() == 0
+    assert pub2.count() == n_pub1 - n_victim
+    # sidecar reflects the new state
+    m = sorted(map(tuple, spark.read.parquet(snap + "_manifest").collect()))
+    assert m == sorted(map(tuple, shard_manifest(pub2, 8).collect()))
+
+
+def test_republish_deletes_emptied_shard(spark, sf_dir, tmp_path):
+    """A shard whose every doc leaves the corpus must physically
+    disappear (same rule as retroactive_takedown's emptied partition)."""
+    from kafka_connect_oss_spark.operators.packing import (
+        republish_changed_shards, shard_of)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(6))
+    # pick a doc alone in its shard
+    shards = [(r.doc_id, r.s) for r in docs.withColumn(
+        "s", shard_of("doc_id", 8)).select("doc_id", "s").collect()]
+    from collections import Counter
+    counts = Counter(s for _, s in shards)
+    lone = next((d, s) for d, s in shards if counts[s] == 1)
+
+    snap = str(tmp_path / "snap")
+    republish_changed_shards(spark, docs, snap, apply_gopher=False,
+                             n_shards=8)
+    r = republish_changed_shards(
+        spark, docs.where(F.col("doc_id") != lone[0]), snap,
+        apply_gopher=False, n_shards=8)
+    assert lone[1] in r["shards_deleted"]
+    assert not (tmp_path / "snap" / f"shard={lone[1]}").exists()
+    left = spark.read.parquet(snap)
+    assert left.where(F.col("doc_id") == lone[0]).count() == 0
