@@ -1775,3 +1775,74 @@ def gopher_quality_flags_oracle_sql(table_expr: str,
              AND COALESCE({alpha_frac} >= 0.8, FALSE)
              AND {n_stop} >= 2 AS pass_gopher
     FROM tok"""
+
+
+def line_dedup(docs: DataFrame, min_df: int = 2, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Corpus-level line deduplication — the RefinedWeb/CCNet boilerplate
+    repair stage (Penedo et al. 2023 §"line-wise corrections"; CCNet's
+    paragraph-hash dedup, Wenzek et al. 2019): a line whose normalized
+    form (lower+trim) recurs in >= ``min_df`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, signatures) and is removed
+    from every document's text; document-unique lines and blank lines
+    survive, order preserved. This REPAIRS documents rather than
+    dropping them — the complement of the doc-level tiers
+    (``dedup_span_coverage`` measures the overlap; this removes the
+    line-shaped part of it).
+
+    Plan: posexplode(split) -> per-norm distinct-doc count (the only
+    corpus-wide shuffle, on the normalized line key) -> hot set joined
+    back (no driver-side collection of the hot set — at 100 TB the hot
+    list is itself corpus-derived and unbounded, so membership is a
+    join, not a broadcast literal) -> per-doc rebuild via
+    array_sort(collect_list(struct(pos,line))) keeping original order.
+    ``sep`` is treated literally (regex-quoted for the split).
+
+    Returns (id_col, clean_text, n_lines, n_removed).
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E"))
+        .alias("pos", "line"))
+    lines = lines.withColumn("_norm", F.lower(F.trim("line")))
+    hot = (lines.where(F.col("_norm") != "")
+           .groupBy("_norm")
+           .agg(F.countDistinct(id_col).alias("_df"))
+           .where(F.col("_df") >= min_df)
+           .select("_norm", F.lit(True).alias("_hot")))
+    flagged = lines.join(hot, "_norm", "left")
+    keep = (F.col("_norm") == "") | F.col("_hot").isNull()
+    return (flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(keep, F.struct("pos", "line")))),
+                lambda x: x["line"]), sep).alias("clean_text"))
+        .select(id_col, "clean_text", "n_lines", "n_removed"))
+
+
+def line_dedup_oracle_sql(table_expr: str, min_df: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          sep_sql: str = "chr(10)") -> str:
+    """DuckDB mirror of ``line_dedup``: same lower+trim normalization,
+    same distinct-doc df, rebuild via list_filter against the hot list
+    (a one-row cross join — fine at oracle scale; Spark uses the
+    distributed join form)."""
+    keep = (f"trim(x) = '' OR NOT list_contains(h.hot, lower(trim(x)))")
+    return f"""WITH l AS (
+      SELECT {id_col}, string_split({text_col}, {sep_sql}) AS ls
+      FROM {table_expr}),
+    e AS (SELECT {id_col}, unnest(ls) AS line FROM l),
+    hotn AS (SELECT lower(trim(line)) AS n FROM e WHERE trim(line) <> ''
+             GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_df}),
+    h AS (SELECT coalesce(list(n), []) AS hot FROM hotn)
+    SELECT {id_col},
+           coalesce(array_to_string(list_filter(ls, x -> {keep}),
+                                    {sep_sql}), '') AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(list_filter(ls, x -> {keep})) AS BIGINT)
+             AS n_removed
+    FROM l CROSS JOIN h"""
