@@ -209,11 +209,43 @@ def main() -> None:
     # measured 2-3x run-to-run swings on trivial plans), so the minimum is
     # the faithful steady-state number. Data caches are cleared between
     # reps so only JVM/codegen warm-up is amortized, never cached results.
+    # round-9 continuation operators: pytest-pinned (window frozen), so
+    # they bench as direct thunks instead of registry names — same
+    # timing discipline, still one DataFrame forced with .count()
+    from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.operators.dedup import expand_takedown_works
+    from kafka_connect_oss_spark.operators.packing import (
+        corpus_publish_decisions)
+    from kafka_connect_oss_spark.operators.text import line_dedup
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    def _bench_line_dedup(spark, sf):
+        return line_dedup(load_table(spark, sf, "documents"))
+
+    def _bench_takedown_expansion(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        work = (docs.orderBy(F.length("text").desc(), "doc_id").limit(1)
+                .select(F.concat("text", F.lit(" mirrored"))
+                        .alias("text")))
+        return expand_takedown_works(docs, work)
+
+    def _bench_publish_decisions(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        bl = docs.limit(8).select(F.md5("text").alias("digest"))
+        return corpus_publish_decisions(docs, bl)
+
+    extra_thunks = {
+        "text_line_dedup": _bench_line_dedup,
+        "dedup_takedown_expansion": _bench_takedown_expansion,
+        "corpus_publish_decisions": _bench_publish_decisions,
+    }
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
+    for name in HEADLINE + list(extra_thunks):
+        fn = extra_thunks.get(name) or queries[name]
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()
