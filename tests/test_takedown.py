@@ -227,22 +227,26 @@ def test_expand_takedown_works_matches_bruteforce(spark, sf_dir, tmp_path):
     assert len(lone_got) == 1
 
 
-def test_expand_takedown_from_tables_equals_batch(spark, sf_dir):
+def test_expand_takedown_from_tables_equals_batch(spark, sf_dir,
+                                                  tmp_path_factory):
     """The deploy-scale form over compact_base_tables state returns the
     identical digest set (corpus text never read)."""
+    from kafka_connect_oss_spark.operators import bucketing as B
     from kafka_connect_oss_spark.operators.dedup import (
         compact_base_tables, expand_takedown_works,
         expand_takedown_works_from_tables)
 
+    loc = tmp_path_factory.mktemp("tdexp")
+    B.ensure_database(spark, "tdexp", str(loc))
     docs = load_table(spark, sf_dir, "documents")
     base_text = (docs.orderBy(F.length("text").desc(), "doc_id")
                  .limit(1).collect()[0].text)
     works = spark.createDataFrame(
         [(base_text + " appended attribution line for the mirror",)],
         "text string")
-    compact_base_tables(docs, "tdexp", n_buckets=4)
+    compact_base_tables(docs, "tdexp.t", n_buckets=4)
     got_tables = {r.digest for r in expand_takedown_works_from_tables(
-        spark, "tdexp", works).collect()}
+        spark, "tdexp.t", works).collect()}
     got_batch = {r.digest for r in
                  expand_takedown_works(docs, works).collect()}
     assert got_tables == got_batch
