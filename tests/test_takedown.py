@@ -250,3 +250,81 @@ def test_expand_takedown_from_tables_equals_batch(spark, sf_dir,
     got_batch = {r.digest for r in
                  expand_takedown_works(docs, works).collect()}
     assert got_tables == got_batch
+
+
+def test_retroactive_takedown_on_shard_snapshot(spark, sf_dir, tmp_path):
+    """The purge is layout-generic: pointed at a shard-partitioned
+    published snapshot (partition_col='shard'), it prunes and rewrites
+    shards exactly as it does batch_id partitions — so one takedown
+    routine serves both the live ingest corpus and the published
+    snapshot."""
+    from kafka_connect_oss_spark.operators.packing import (
+        republish_changed_shards)
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = str(tmp_path / "snap")
+    republish_changed_shards(spark, docs, snap, apply_gopher=False,
+                             n_shards=8)
+    pub = spark.read.parquet(snap)
+    victim = pub.orderBy("doc_id").limit(1).collect()[0]
+    n0 = pub.count()
+
+    receipt = retroactive_takedown(
+        spark, snap, _bl_df(spark, [victim._digest]),
+        partition_col="shard")
+    assert receipt["docs_removed"] >= 1
+    left = spark.read.parquet(snap)
+    assert left.where(F.col("_digest") == victim._digest).count() == 0
+    assert left.count() == n0 - receipt["docs_removed"]
+
+
+def test_streaming_gate_honors_expanded_takedown(spark, sf_dir, tmp_path):
+    """The full compliance loop LIVE: a takedown request arrives as a
+    WORK mid-stream, expand_takedown_works turns it into a digest list
+    covering near-copies, the list lands at the gate's path, and the
+    very next micro-batch filters the near-copy — no restart."""
+    from kafka_connect_oss_spark.operators.dedup import (
+        expand_takedown_works)
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the near-copy that will ARRIVE in batch 1 (not yet ingested)
+    target = (docs.orderBy(F.length("text").desc(), "doc_id")
+              .limit(1).collect()[0])
+    chunk0 = docs.where(F.col("doc_id") != target.doc_id) \
+                 .orderBy("doc_id").limit(20)
+    chunk1 = docs.where(F.col("doc_id") == target.doc_id)
+
+    stream_dir = tmp_path / "chunks"
+    stream_dir.mkdir()
+    chunk0.coalesce(1).write.parquet(str(tmp_path / "g0"))
+    shutil.copy(glob.glob(str(tmp_path / "g0" / "*.parquet"))[0],
+                stream_dir / "c0.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    out, ck = tmp_path / "corpus", tmp_path / "ck"
+    bl_path = str(tmp_path / "blocklist")
+
+    def stream():
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+        A.run_ingest_with_blocklist(sdf, bl_path, str(out),
+                                    str(ck)).awaitTermination(180)
+
+    stream()  # batch 0: no list yet, everything admitted
+    assert spark.read.parquet(str(out)).count() == 20
+
+    # takedown request: the WORK is a lightly-edited form of the target
+    works = spark.createDataFrame(
+        [(target.text + " mirrored with an attribution line",)],
+        "text string")
+    expand_takedown_works(docs, works).write.parquet(bl_path)
+
+    chunk1.coalesce(1).write.parquet(str(tmp_path / "g1"))
+    shutil.copy(glob.glob(str(tmp_path / "g1" / "*.parquet"))[0],
+                stream_dir / "c1.parquet")
+    stream()  # batch 1: the near-copy arrives and is gated out
+
+    committed = spark.read.parquet(str(out))
+    assert committed.where(
+        F.col("doc_id") == target.doc_id).count() == 0
+    assert committed.count() == 20
