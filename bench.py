@@ -217,11 +217,14 @@ def main() -> None:
     from kafka_connect_oss_spark.operators.dedup import expand_takedown_works
     from kafka_connect_oss_spark.operators.packing import (
         corpus_publish_decisions)
-    from kafka_connect_oss_spark.operators.text import line_dedup
+    from kafka_connect_oss_spark.operators.text import line_dedup, span_dedup
     from kafka_connect_oss_spark.sources.batch import load_table
 
     def _bench_line_dedup(spark, sf):
         return line_dedup(load_table(spark, sf, "documents"))
+
+    def _bench_span_dedup(spark, sf):
+        return span_dedup(load_table(spark, sf, "documents"))
 
     def _bench_takedown_expansion(spark, sf):
         docs = load_table(spark, sf, "documents")
@@ -237,6 +240,7 @@ def main() -> None:
 
     extra_thunks = {
         "text_line_dedup": _bench_line_dedup,
+        "text_span_dedup": _bench_span_dedup,
         "dedup_takedown_expansion": _bench_takedown_expansion,
         "corpus_publish_decisions": _bench_publish_decisions,
     }

@@ -1523,30 +1523,16 @@ def curriculum_order_oracle_sql(table_expr: str, n_bands: int = 4,
     FROM b"""
 
 
-def span_coverage(docs: DataFrame, size: int = 120, stride: int = 80,
-                  min_docs: int = 2, min_len: int = 40,
-                  text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
-    """Per-document duplicated-substring coverage: the fraction of each
-    document's characters lying inside a chunk whose text recurs in
-    >= ``min_docs`` DISTINCT documents — the per-doc DECISION signal of
-    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
-    Makes Language Models Better": cut or down-weight docs that are
-    mostly duplicated text). ``duplicate_spans`` locates the recurring
-    spans themselves; this op scores the documents they cover.
-
-    Shape: one chunk explode (narrow, ~size/stride replication, staged
-    once via stage_local since it feeds both the span-frequency agg and
-    the hit join), one 16-byte-md5 shuffle to find recurring spans, one
-    md5-keyed join back, then a PER-DOCUMENT window (partition rows
-    bounded by len/stride) that merges overlapping chunk intervals
-    gaps-and-islands style — no global sort, no all-pairs, output exactly
-    one row per input document. At 100 TB every stage keys on either the
-    16-byte digest or the doc id.
-
-    Returns (id_col, dup_chars, dup_coverage) — dup_coverage in [0, 1],
-    1.0 = the whole document is cross-doc duplicated text.
-    """
+def _dup_span_intervals(docs: DataFrame, size: int, stride: int,
+                        min_docs: int, min_len: int, text_col: str,
+                        id_col: str) -> DataFrame:
+    """Shared core of the exact-substring pair: per document, the MERGED
+    1-based char intervals covered by chunks whose text recurs in
+    >= ``min_docs`` distinct documents — `span_coverage` sums them (the
+    decision signal), `span_dedup` excises them (the repair). One chunk
+    explode staged once, one 16-byte-md5 shuffle, one md5 join back,
+    one per-doc gaps-and-islands window. Returns (id_col, _s, _e), one
+    row per merged island; islands are disjoint with _s(i+1) > _e(i)."""
     from pyspark.sql import Window
 
     from kafka_connect_oss_spark.operators.lifecycle import stage_local
@@ -1576,10 +1562,40 @@ def span_coverage(docs: DataFrame, size: int = 120, stride: int = 80,
     isl = brk.withColumn(
         "_isl", F.sum("_brk").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
-    per_doc = (isl.groupBy(id_col, "_isl")
-               .agg((F.max("_e") - F.min("_s") + 1).alias("_len"))
-               .groupBy(id_col)
-               .agg(F.sum("_len").cast("long").alias("dup_chars")))
+    return (isl.groupBy(id_col, "_isl")
+            .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+            .select(id_col, "_s", "_e"))
+
+
+def span_coverage(docs: DataFrame, size: int = 120, stride: int = 80,
+                  min_docs: int = 2, min_len: int = 40,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """Per-document duplicated-substring coverage: the fraction of each
+    document's characters lying inside a chunk whose text recurs in
+    >= ``min_docs`` DISTINCT documents — the per-doc DECISION signal of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better": cut or down-weight docs that are
+    mostly duplicated text). ``duplicate_spans`` locates the recurring
+    spans themselves; this op scores the documents they cover.
+
+    Shape: one chunk explode (narrow, ~size/stride replication, staged
+    once via stage_local since it feeds both the span-frequency agg and
+    the hit join), one 16-byte-md5 shuffle to find recurring spans, one
+    md5-keyed join back, then a PER-DOCUMENT window (partition rows
+    bounded by len/stride) that merges overlapping chunk intervals
+    gaps-and-islands style — no global sort, no all-pairs, output exactly
+    one row per input document. At 100 TB every stage keys on either the
+    16-byte digest or the doc id.
+
+    Returns (id_col, dup_chars, dup_coverage) — dup_coverage in [0, 1],
+    1.0 = the whole document is cross-doc duplicated text.
+    """
+    ivs = _dup_span_intervals(docs, size, stride, min_docs, min_len,
+                              text_col, id_col)
+    per_doc = (ivs.groupBy(id_col)
+               .agg(F.sum(F.col("_e") - F.col("_s") + 1).cast("long")
+                    .alias("dup_chars")))
     return (docs.select(id_col, F.length(text_col).alias("_nc"))
             .join(per_doc, id_col, "left")
             .select(id_col,
@@ -1630,6 +1646,59 @@ def span_coverage_oracle_sql(table_expr: str, size: int = 120,
            {round_sql(f"COALESCE(a.dup_chars, 0) / CAST(greatest(length(t.{text_col}), 1) AS DOUBLE)", 4)}
              AS dup_coverage
     FROM {table_expr} t LEFT JOIN agg a ON a.{id_col} = t.{id_col}"""
+
+
+def span_dedup(docs: DataFrame, size: int = 120, stride: int = 80,
+               min_docs: int = 2, min_len: int = 40,
+               text_col: str = "text", id_col: str = "doc_id"
+               ) -> DataFrame:
+    """Exact-substring dedup, the REPAIR half (Lee et al. 2021 cut the
+    recurring substrings out of the corpus rather than dropping whole
+    documents; `span_coverage` is the decision half over the same
+    chunk grid): every merged cross-doc-duplicated interval is excised
+    from the document text, keeping everything between intervals in
+    order. The line/span pairing mirrors `line_dedup` one level down —
+    lines for structured boilerplate, chunk spans for free-flowing
+    copied passages a line split never isolates.
+
+    The excision itself is ONE higher-order expression, no UDF: the
+    per-doc interval array (already merged and disjoint, so a single
+    left-to-right cursor is correct) folds through `aggregate`, each
+    step appending the text between the cursor and the next interval
+    and jumping the cursor past it; the finisher appends the tail.
+    Cost on top of the shared interval core: one per-doc
+    collect_list(struct) aggregate (bounded by intervals-per-doc
+    <= len/stride) and one id-keyed join back to the text.
+
+    Returns (id_col, clean_text, removed_chars) — removed_chars equals
+    `span_coverage.dup_chars` by construction (pinned in tests), so the
+    measurer prices exactly what the repairer cuts.
+    """
+    ivs = _dup_span_intervals(docs, size, stride, min_docs, min_len,
+                              text_col, id_col)
+    per_doc = (ivs.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("_s").alias("s"),
+                            F.col("_e").alias("e")))).alias("_ivs")))
+    excise = F.expr(f"""aggregate(
+        _ivs,
+        struct(CAST('' AS STRING) AS acc, CAST(1 AS BIGINT) AS cur),
+        (st, iv) -> struct(
+            concat(st.acc, substr({text_col}, CAST(st.cur AS INT),
+                                  CAST(iv.s - st.cur AS INT))),
+            CAST(iv.e + 1 AS BIGINT)),
+        st -> concat(st.acc,
+                     substr({text_col}, CAST(st.cur AS INT),
+                            length({text_col}) - CAST(st.cur AS INT)
+                            + 1)))""")
+    return (docs.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("_ivs").isNull(), F.col(text_col))
+                    .otherwise(excise).alias("clean_text"),
+                    F.coalesce(
+                        F.expr("aggregate(_ivs, CAST(0 AS BIGINT), "
+                               "(a, iv) -> a + iv.e - iv.s + 1)"),
+                        F.lit(0)).cast("long").alias("removed_chars")))
 
 
 def domain_profile(docs: DataFrame, text_col: str = "text",
