@@ -41,6 +41,10 @@ N_BANDS = 4
 #: shingles whose base-side document frequency exceeds this are skipped
 #: during incremental candidate generation (see incremental_dedup_status)
 HOT_SHINGLE_DF_CAP = 8192
+#: partition-value IN-literal ceiling for retroactive_takedown's pruned
+#: rewrite; above it the pruning switches to a broadcast semi-join
+#: (same rationale as similarity.IVF_LITERAL_MAX_K)
+ISIN_LITERAL_MAX = 4096
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -1430,7 +1434,20 @@ def retroactive_takedown(spark, corpus_path: str, blocklist: DataFrame,
         return {"batches_rewritten": [], "batches_deleted": [],
                 "docs_removed": 0}
 
-    pruned = stage_local(d.where(F.col(partition_col).isin(affected)))
+    if len(affected) <= ISIN_LITERAL_MAX:
+        sel = d.where(F.col(partition_col).isin(affected))
+    else:
+        # a takedown wave touching >4096 partitions would inline a
+        # 4096+-arm IN literal — the same Catalyst analysis blowup the
+        # large-K IVF switch guards (similarity.IVF_LITERAL_MAX_K), so
+        # past the threshold the pruning becomes a broadcast semi-join
+        # on the partition value (dynamic rather than static pruning;
+        # one pass either way, the plan just stops being quadratic to
+        # analyze)
+        av = d.sparkSession.createDataFrame(
+            [(a,) for a in affected], [partition_col])
+        sel = d.join(F.broadcast(av), partition_col, "semi")
+    pruned = stage_local(sel)
     removed = pruned.join(bl, "_digest", "semi").count()  # materializes
     survivors = pruned.join(bl, "_digest", "left_anti")
     still = {r[0] for r in (survivors.select(partition_col)

@@ -328,3 +328,33 @@ def test_streaming_gate_honors_expanded_takedown(spark, sf_dir, tmp_path):
     assert committed.where(
         F.col("doc_id") == target.doc_id).count() == 0
     assert committed.count() == 20
+
+
+def test_retroactive_takedown_join_pruning_path(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """Above ISIN_LITERAL_MAX affected partitions the pruning switches
+    from an IN literal to a broadcast semi-join (the Catalyst
+    literal-blowup guard, same rationale as the large-K IVF switch);
+    both paths must converge the corpus identically."""
+    from kafka_connect_oss_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").limit(24).collect()]
+    corpus = (docs.where(F.col("doc_id").isin(ids))
+              .withColumn("batch_id", (F.col("doc_id") % 6).cast("int")))
+    v = _digests_of(docs, ids[::4])  # hits several partitions
+
+    outs = {}
+    for label, cap in [("literal", 4096), ("join", 0)]:
+        out = str(tmp_path / label)
+        corpus.write.partitionBy("batch_id").parquet(out)
+        monkeypatch.setattr(D, "ISIN_LITERAL_MAX", cap)
+        receipt = retroactive_takedown(spark, out, _bl_df(spark, v))
+        assert receipt["docs_removed"] >= len(ids[::4])
+        outs[label] = (sorted(map(tuple,
+                              spark.read.parquet(out).collect()),
+                              key=repr),
+                       receipt)
+    assert outs["literal"][0] == outs["join"][0]
+    assert outs["literal"][1] == outs["join"][1]
