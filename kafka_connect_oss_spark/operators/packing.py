@@ -115,7 +115,7 @@ def pack_efficiency_oracle_sql(table_expr: str, budget_tokens: int = 4096,
                  - cum_before // {budget_tokens} + 1 AS frags
           FROM c)
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(CEIL(SUM(n_tokens) / CAST({budget_tokens} AS DOUBLE))
                 AS BIGINT) AS n_packs,
            ROUND(SUM(n_tokens) / (CEIL(SUM(n_tokens)
@@ -199,7 +199,7 @@ def shard_manifest_oracle_sql(table_expr: str, n_shards: int = 8,
              {id_col} AS did, {doc_h} AS h
       FROM {table_expr})
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(chars) AS total_chars,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
            MIN(did) AS min_doc_id, MAX(did) AS max_doc_id,
            bit_xor(h) AS content_digest
     FROM b GROUP BY shard"""

@@ -257,9 +257,9 @@ def prune_frequent_tokens_oracle_sql(table_expr: str, df_frac: float = 0.5,
            COALESCE(array_to_string(
                list_filter(t, x -> NOT list_contains(ft, x)), ' '), '')
              AS pruned_text,
-           len(t) AS n_tokens,
-           len(t) - len(list_filter(t, x -> NOT list_contains(ft, x)))
-             AS n_removed
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(t) - len(list_filter(t, x -> NOT list_contains(ft, x)))
+                AS INTEGER) AS n_removed
     FROM tokd, freq"""
 
 
@@ -1381,7 +1381,7 @@ def vocab_stats_oracle_sql(table_expr: str, text_col: str = "text",
       SELECT {source_col}, w, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (SELECT {source_col}, UNNEST({dtok}) AS w FROM {table_expr})
       GROUP BY {source_col}, w)
-    SELECT {source_col}, SUM(tf) AS n_tokens,
+    SELECT {source_col}, CAST(SUM(tf) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            ROUND(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 4) AS ttr,
            ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)

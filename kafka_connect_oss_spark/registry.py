@@ -491,8 +491,9 @@ def e4_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e6_json_encode",
     """SELECT event_id,
-              to_json(struct_pack(event_id := event_id,
-                                  event_type := event_type)) AS json_value
+              CAST(to_json(struct_pack(event_id := event_id,
+                                  event_type := event_type)) AS VARCHAR)
+                AS json_value
        FROM events""",
 )
 def e6_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
