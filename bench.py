@@ -165,6 +165,11 @@ HEADLINE += [
     "text_zipf_profile",
     "corpus_shard_manifest",
     "corpus_blocklist_filter",
+    # round-10: the r09 parity-in-pytest ops promoted into the registry
+    # (their r09 direct-thunk rows retire; text_span_dedup stays a thunk)
+    "text_line_dedup",
+    "dedup_takedown_expansion",
+    "corpus_publish_decisions",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
@@ -212,37 +217,14 @@ def main() -> None:
     # round-9 continuation operators: pytest-pinned (window frozen), so
     # they bench as direct thunks instead of registry names — same
     # timing discipline, still one DataFrame forced with .count()
-    from pyspark.sql import functions as F
-
-    from kafka_connect_oss_spark.operators.dedup import expand_takedown_works
-    from kafka_connect_oss_spark.operators.packing import (
-        corpus_publish_decisions)
-    from kafka_connect_oss_spark.operators.text import line_dedup, span_dedup
+    from kafka_connect_oss_spark.operators.text import span_dedup
     from kafka_connect_oss_spark.sources.batch import load_table
-
-    def _bench_line_dedup(spark, sf):
-        return line_dedup(load_table(spark, sf, "documents"))
 
     def _bench_span_dedup(spark, sf):
         return span_dedup(load_table(spark, sf, "documents"))
 
-    def _bench_takedown_expansion(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        work = (docs.orderBy(F.length("text").desc(), "doc_id").limit(1)
-                .select(F.concat("text", F.lit(" mirrored"))
-                        .alias("text")))
-        return expand_takedown_works(docs, work)
-
-    def _bench_publish_decisions(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        bl = docs.limit(8).select(F.md5("text").alias("digest"))
-        return corpus_publish_decisions(docs, bl)
-
     extra_thunks = {
-        "text_line_dedup": _bench_line_dedup,
         "text_span_dedup": _bench_span_dedup,
-        "dedup_takedown_expansion": _bench_takedown_expansion,
-        "corpus_publish_decisions": _bench_publish_decisions,
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1477,8 +1477,17 @@ def _near_matched_base_ids(bsig: DataFrame, bpost: DataFrame,
     of ``_classify_increment`` — same exact-recall inverted-index
     candidates (any J>0 pair shares a shingle), same hot-shingle cap
     bounding the posting join, but the answer is the matched base side,
-    not per-increment statuses."""
-    w = works.withColumn("_wid", F.monotonically_increasing_id())
+    not per-increment statuses.
+
+    The work key is the text's md5, not monotonically_increasing_id:
+    the un-staged works frame is evaluated independently in the wpost
+    and wsig plan subtrees, and a nondeterministic row id can differ
+    between those evaluations (silently dropping matches in a
+    compliance expansion); a content hash is stable across
+    re-evaluations, and byte-identical works collapsing to one key is
+    a no-op for the matched-base-ids answer (same shingle set, and
+    ``shingle_hash_pairs``'s distinct already merges the postings)."""
+    w = works.withColumn("_wid", F.md5(F.col(text_col)))
     grouped = (bpost.groupBy("_h")
                .agg(F.collect_list("base_id").alias("_ids")))
     if hot_shingle_df_cap is not None:

@@ -2213,3 +2213,129 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - F.coalesce("n_kept", F.lit(0)))
                            / F.col("n_docs").cast("double"), 4)
                     .alias("removal_rate")))
+
+
+# --------------------------------------------------------------------------
+# round 10: compliance / publisher surface promoted into the registry
+# (built in r09 behind parity-in-pytest while the window was frozen)
+# --------------------------------------------------------------------------
+
+#: 3-word "lines" per document, joined by newline — the synthetic corpus
+#: has no newlines, so the line-dedup query lines it deterministically
+#: (identically on both engines) before running the operator; 3-word
+#: chunks over the small shared vocabulary recur across docs at a rate
+#: that removes ~1/3 of line instances at min_df=2 (measured sf0.01) —
+#: non-degenerate in both directions.
+_LINE_K = 3
+
+
+def _lined_docs_spark(docs: DataFrame) -> DataFrame:
+    t = X.sql_tokens("text", "spark")
+    k = _LINE_K
+    return docs.selectExpr(
+        "doc_id",
+        f"array_join(transform("
+        f"  sequence(1, CAST(ceil(size({t}) / {k}.0) AS INT)),"
+        f"  i -> array_join(slice({t}, (i - 1) * {k} + 1, {k}), ' ')), "
+        f"'\\n') AS text")
+
+
+def _lined_docs_duck() -> str:
+    t = _DTOK
+    k = _LINE_K
+    return (f"(SELECT doc_id, array_to_string(list_transform("
+            f"range(1, CAST(ceil(len({t}) / {k}.0) AS INT) + 1), "
+            f"i -> array_to_string({t}[(i - 1) * {k} + 1:(i - 1) * {k} + {k}],"
+            f" ' ')), chr(10)) AS text FROM documents)")
+
+
+@register("text_line_dedup",
+          TXT.line_dedup_oracle_sql(_lined_docs_duck(), min_df=2))
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet line-wise boilerplate repair (operators/text.
+    line_dedup): a normalized line recurring in >= 2 DISTINCT documents
+    is removed from every document; unique and blank lines survive in
+    original order. One corpus-wide shuffle on the normalized line key;
+    the hot set is a join, never a driver broadcast (at 100 TB the hot
+    list is corpus-derived and unbounded)."""
+    docs = _lined_docs_spark(load_table(spark, sf_dir, "documents"))
+    return TXT.line_dedup(docs, min_df=2)
+
+
+def _takedown_expansion_oracle() -> str:
+    wtok = X.sql_tokens("wtext", "duckdb")
+    wsh = f"list_distinct({H.word_shingles(wtok, 3, 'duckdb')})"
+    hh_b = H.shingle_hashes(_DSH3, "duckdb")
+    hh_w = H.shingle_hashes(wsh, "duckdb")
+    inter = "len(list_intersect(w.hh, b.hh))"
+    jac = (f"{inter} / CAST(len(w.hh) + len(b.hh) - {inter} AS DOUBLE)")
+    return f"""WITH b AS (SELECT md5(text) AS d, {hh_b} AS hh
+                          FROM documents),
+    wk AS (SELECT 'REQ: ' || text AS wtext FROM documents
+           WHERE doc_id % 101 = 7),
+    w AS (SELECT wtext, {hh_w} AS hh FROM wk),
+    m AS (SELECT DISTINCT b.d FROM w JOIN b ON {jac} >= 0.3)
+    SELECT md5(wtext) AS digest FROM wk
+    UNION
+    SELECT d AS digest FROM m"""
+
+
+@register("dedup_takedown_expansion", _takedown_expansion_oracle())
+def dedup_takedown_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown near-copy expansion (operators/dedup.
+    expand_takedown_works): a takedown request names WORKS (their text),
+    not corpus rows — expand it to the digest list covering the works
+    plus every corpus doc whose exact 3-gram jaccard against any work
+    >= 0.3. Demo works = the doc_id % 101 == 7 docs prefixed with
+    'REQ: ' (a light edit: near- but not byte-identical, the case the
+    plain digest anti-join misses). Exact-recall inverted-index
+    candidates — a compliance expansion cannot ride the banded-LSH
+    s-curve; the oracle states the all-pairs SEMANTICS (J >= 0.3
+    implies a shared shingle, so the index loses nothing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    works = docs.where(F.col("doc_id") % 101 == 7).select(
+        F.concat(F.lit("REQ: "), F.col("text")).alias("text"))
+    return dedup.expand_takedown_works(docs, works, jaccard_threshold=0.3)
+
+
+def _publish_decisions_oracle() -> str:
+    gf = TXT.gopher_quality_flags_oracle_sql("documents")
+    return f"""WITH gf AS ({gf}),
+    d AS (SELECT doc_id, text, lang, source, n_chars,
+                 md5(text) AS _digest
+          FROM documents),
+    bl AS (SELECT DISTINCT md5(text) AS dg FROM documents
+           WHERE doc_id % 211 = 5),
+    j AS (SELECT d.*, gf.n_words, gf.flag_word_count,
+                 gf.flag_mean_word_len, gf.flag_symbol_ratio,
+                 gf.flag_alpha_words, gf.flag_stopwords, gf.pass_gopher,
+                 CASE WHEN d._digest IN (SELECT dg FROM bl)
+                      THEN TRUE END AS _bl,
+                 MIN(d.doc_id) OVER (PARTITION BY d._digest) AS _m
+          FROM d JOIN gf USING (doc_id))
+    SELECT doc_id, text, lang, source, n_chars, n_words,
+           flag_word_count, flag_mean_word_len, flag_symbol_ratio,
+           flag_alpha_words, flag_stopwords, pass_gopher, _digest, _bl,
+           CASE WHEN _bl THEN 'blocklisted'
+                WHEN doc_id <> _m THEN 'duplicate'
+                WHEN NOT pass_gopher THEN 'quality' END AS _reason
+    FROM j"""
+
+
+@register("corpus_publish_decisions", _publish_decisions_oracle())
+def corpus_publish_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus publisher's per-doc verdict frame (operators/packing.
+    corpus_publish_decisions — the decision half of
+    publish_corpus_snapshot, the corpus-side twin of the reference's A1
+    lifecycle facade, OSSSinkTask.java's open->write->commit loop):
+    every input column + Gopher gates + content digest + first-match
+    removal reason (blocklisted > duplicate > quality; NULL = publish).
+    ONE hash-partitioning Exchange for the whole decision — gates ride
+    the scan projection, the takedown verdict is a broadcast digest
+    join, dup ranking is the digest-window min (plan pinned in
+    test_compaction). Demo blocklist = digests of the doc_id % 211 == 5
+    docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bl = (docs.where(F.col("doc_id") % 211 == 5)
+          .select(F.md5("text").alias("digest")))
+    return PK.corpus_publish_decisions(docs, bl)
