@@ -91,3 +91,41 @@ def test_line_dedup_registered_is_nondegenerate(spark, entry):
                  F.count(F.lit(1)).alias("n")).collect()[0]
     assert 0 < agg.rm < agg.nl
     assert agg.nonempty > agg.n * 0.5
+
+
+def test_bounded_posting_index_semantics_and_plan(spark):
+    """The r09-judge buffer fix: the hot-shingle cap must bind BEFORE
+    any posting list materializes. Pins (a) output identity with the
+    old HAVING-on-size form on a corpus with a genuinely hot shingle,
+    and (b) the plan shape — a LeftSemi join fed by a count aggregate
+    sits below the collect_list aggregate, so over-cap keys never reach
+    the list build."""
+    from kafka_connect_oss_spark.operators.dedup import (
+        _bounded_posting_index, shingle_hash_pairs)
+
+    hot = "common boiler plate"                  # one shingle, df = n_docs
+    docs = spark.createDataFrame(
+        [(i, f"{hot} u{i} v{i} w{i}") for i in range(12)],
+        "doc_id long, text string")
+    posts = shingle_hash_pairs(docs)
+
+    cap = 5
+    got = {r._h: sorted(r._ids) for r in
+           _bounded_posting_index(posts, "doc_id", cap).collect()}
+    old = {r._h: sorted(r._ids) for r in
+           (posts.groupBy("_h")
+            .agg(F.collect_list("doc_id").alias("_ids"))
+            .where(F.expr("size(_ids)") <= cap)).collect()}
+    assert got == old and got, "bounded index must equal the HAVING form"
+    # the hot shingle (df=12 > cap) is gone; per-doc shingles survive
+    assert all(len(ids) <= cap for ids in got.values())
+
+    plan = (_bounded_posting_index(posts, "doc_id", cap)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan, "cap must pre-filter via semi-join"
+    assert plan.index("collect_list") < plan.index("LeftSemi"), \
+        "collect_list must sit ABOVE the semi-join (plans print top-down)"
+    # uncapped path: no semi-join, single aggregate
+    plan_nocap = (_bounded_posting_index(posts, "doc_id", None)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" not in plan_nocap
