@@ -1430,10 +1430,13 @@ def retroactive_takedown(spark, corpus_path: str, blocklist: DataFrame,
     Two correctness details a naive rewrite misses:
 
     * self-overwrite: the survivors are computed FROM the path being
-      overwritten, so the pruned frame is staged through
-      ``stage_local`` and fully materialized (by the audit counts)
-      before the write starts — the write's plan is a LogicalRDD over
-      executor-local blocks, not a scan of the files it is replacing;
+      overwritten, so the pruned frame goes through
+      ``lifecycle.stage_pinned`` — an EAGER, lineage-severed
+      localCheckpoint in every lifecycle mode — before the write
+      starts: the write's plan is a LogicalRDD over executor-local
+      blocks with no file-scan lineage, so nothing (not even a
+      cached-block loss under ``SPARK_GRAFT_LIFECYCLE=lineage``) can
+      re-read the files being replaced mid-overwrite;
     * fully-emptied partitions: dynamic partition overwrite only
       replaces partitions PRESENT in the written data, so a partition
       whose every row is removed would silently keep its old files.
@@ -1447,10 +1450,13 @@ def retroactive_takedown(spark, corpus_path: str, blocklist: DataFrame,
     ``{"batches_rewritten", "batches_deleted", "docs_removed"}`` — the
     removal receipt a compliance process records.
     """
+    from kafka_connect_oss_spark.operators.lifecycle import stage_pinned
+
     bl = F.broadcast(
         blocklist.select(F.col(digest_col).alias("_digest")).distinct())
     corpus = spark.read.parquet(corpus_path)
-    d = (corpus if "_digest" in corpus.columns
+    had_digest = "_digest" in corpus.columns
+    d = (corpus if had_digest
          else corpus.withColumn("_digest", F.md5(F.col(text_col))))
     affected = [r[0] for r in (d.join(bl, "_digest", "semi")
                                .select(partition_col).distinct().collect())]
@@ -1471,9 +1477,15 @@ def retroactive_takedown(spark, corpus_path: str, blocklist: DataFrame,
         av = d.sparkSession.createDataFrame(
             [(a,) for a in affected], [partition_col])
         sel = d.join(F.broadcast(av), partition_col, "semi")
-    pruned = stage_local(sel)
-    removed = pruned.join(bl, "_digest", "semi").count()  # materializes
+    # the overwrite barrier: eager + lineage-severed in every mode
+    pruned = stage_pinned(sel)
+    removed = pruned.join(bl, "_digest", "semi").count()
     survivors = pruned.join(bl, "_digest", "left_anti")
+    if not had_digest:
+        # the rewrite must be layout-only: keeping a derived _digest in
+        # rewritten partitions while untouched ones lack it makes later
+        # schema inference (sampled file, no mergeSchema) nondeterministic
+        survivors = survivors.drop("_digest")
     still = {r[0] for r in (survivors.select(partition_col)
                             .distinct().collect())}
     (survivors.write.mode("overwrite")

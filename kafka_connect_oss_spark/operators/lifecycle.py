@@ -84,3 +84,26 @@ def stage_local(df: DataFrame) -> DataFrame:
 
         return df.persist(StorageLevel.MEMORY_AND_DISK)
     return df.localCheckpoint(eager=False)
+
+
+def stage_pinned(df: DataFrame) -> DataFrame:
+    """Eager, lineage-SEVERED materialization in EVERY lifecycle mode —
+    the barrier a destructive self-overwrite requires.
+
+    ``stage_local`` under ``SPARK_GRAFT_LIFECYCLE=lineage`` is a lazy
+    persist that keeps full lineage: exactly the property that makes a
+    rewrite-in-place unsafe, because a cached-block loss (executor
+    failure — the very environment lineage mode is advertised for)
+    during the overwrite would recompute the frame by re-scanning the
+    files being replaced, silently corrupting the published output.
+    Before overwriting a path with data derived from that same path,
+    the frame must exist somewhere that is NOT the path — so this is an
+    eager localCheckpoint unconditionally: the job runs now, the result
+    lives in executor-local blocks, and the write's plan is a
+    LogicalRDD with no file-scan lineage at all. The fault-tolerance
+    trade inverts here: after an executor loss mid-overwrite the job
+    FAILS (and the dynamic-overwrite commit protocol leaves untouched
+    partitions intact) instead of "recovering" into corruption — for a
+    destructive rewrite, failing is the correct degraded mode in both
+    lifecycle modes."""
+    return df.localCheckpoint(eager=True)

@@ -411,10 +411,16 @@ def republish_changed_shards(spark, docs: DataFrame, snap_path: str,
     """
     from pyspark.errors import AnalysisException
 
-    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+    from kafka_connect_oss_spark.operators.lifecycle import stage_pinned
 
+    # stage_pinned, not stage_local: the caller's docs frame may itself
+    # read from snap_path (converging a snapshot in place is the
+    # operator's advertised use), so the decision frame must be eager
+    # and lineage-severed before the dynamic overwrite — under the
+    # lineage lifecycle a lazy persist could recompute it mid-write by
+    # re-scanning the shards being replaced
     keep = tuple(c for c in docs.columns if c != id_col)
-    staged = stage_local(
+    staged = stage_pinned(
         corpus_publish_decisions(docs, blocklist, text_col, id_col,
                                  apply_gopher)
         .where(F.col("_reason").isNull())

@@ -358,3 +358,59 @@ def test_retroactive_takedown_join_pruning_path(spark, sf_dir, tmp_path,
                        receipt)
     assert outs["literal"][0] == outs["join"][0]
     assert outs["literal"][1] == outs["join"][1]
+
+
+def test_retroactive_takedown_lineage_mode_severs_before_overwrite(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """The r09 ADVICE medium: under SPARK_GRAFT_LIFECYCLE=lineage,
+    stage_local keeps full lineage, so a self-overwrite could recompute
+    survivors from the files being replaced. retroactive_takedown now
+    routes through stage_pinned (eager localCheckpoint in EVERY mode);
+    pin (a) stage_pinned's contract — the staged plan is a LogicalRDD
+    with no file relation even in lineage mode — and (b) the takedown
+    end-to-end under lineage mode."""
+    from kafka_connect_oss_spark.operators import lifecycle as LC
+
+    monkeypatch.setattr(LC, "LIFECYCLE_MODE", "lineage")
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = tmp_path / "corpus"
+    (docs.withColumn("batch_id", (F.col("doc_id") % 4).cast("int"))
+     .write.partitionBy("batch_id").parquet(str(out)))
+
+    # (a) the pinned frame's plan must not reference any file source
+    staged = LC.stage_pinned(spark.read.parquet(str(out)))
+    logical = staged._jdf.queryExecution().logical().toString()
+    assert "LogicalRDD" in logical and "Relation" not in logical
+
+    # (b) end-to-end correctness with lineage mode active
+    victims = [r[0] for r in docs.limit(5).select("doc_id").collect()]
+    bl = _bl_df(spark, _digests_of(docs, victims))
+    receipt = retroactive_takedown(spark, str(out), bl)
+    assert receipt["docs_removed"] >= 5
+    left = spark.read.parquet(str(out))
+    assert left.join(bl.withColumnRenamed("digest", "_d"),
+                     F.md5(left["text"]) == F.col("_d"), "semi").count() == 0
+
+
+def test_retroactive_takedown_rewrite_is_layout_only(spark, sf_dir,
+                                                     tmp_path):
+    """When the corpus does NOT carry _digest, rewritten partitions must
+    not gain it (the r09 ADVICE schema-consistency low): otherwise later
+    sampled-file schema inference sees different columns per partition."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = tmp_path / "corpus"
+    (docs.withColumn("batch_id", (F.col("doc_id") % 4).cast("int"))
+     .write.partitionBy("batch_id").parquet(str(out)))
+    before = set(spark.read.parquet(str(out)).columns)
+    assert "_digest" not in before
+
+    victims = [r[0] for r in docs.limit(3).select("doc_id").collect()]
+    receipt = retroactive_takedown(
+        spark, str(out), _bl_df(spark, _digests_of(docs, victims)))
+    assert receipt["batches_rewritten"]
+    # every partition directory individually — rewritten and untouched —
+    # must present the identical column set
+    for b in range(4):
+        part = spark.read.parquet(f"{out}/batch_id={b}")
+        assert set(part.columns) == before - {"batch_id"}, \
+            f"partition {b} schema drifted: {part.columns}"
