@@ -217,14 +217,19 @@ def main() -> None:
     # round-9 continuation operators: pytest-pinned (window frozen), so
     # they bench as direct thunks instead of registry names — same
     # timing discipline, still one DataFrame forced with .count()
+    from kafka_connect_oss_spark.operators.bpe import pair_stats
     from kafka_connect_oss_spark.operators.text import span_dedup
     from kafka_connect_oss_spark.sources.batch import load_table
 
     def _bench_span_dedup(spark, sf):
         return span_dedup(load_table(spark, sf, "documents"))
 
+    def _bench_bpe_pair_stats(spark, sf):
+        return pair_stats(load_table(spark, sf, "documents"))
+
     extra_thunks = {
         "text_span_dedup": _bench_span_dedup,
+        "text_bpe_pair_stats": _bench_bpe_pair_stats,
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
