@@ -108,13 +108,14 @@ SHOWCASE = {
         "storage GC-released), so repeated per-batch invocation holds "
         "no accumulating corpus-sized storage"),
     "dedup_incremental_status": (
-        "append-batch classification, fully lazy ONE-job plan (r7 "
-        "lifecycle — no cache/count/checkpoint pre-jobs): exact layer "
-        "exchanges only (id, md5-digest) pairs; near layer (r8 EXACT "
-        "recall rewrite) joins increment shingle hashes against the "
-        "base-rep inverted index — posting lists grouped one row per "
-        "distinct shingle with the hot-shingle df cap as a HAVING on "
-        "the same aggregate, base reps collapsed one-per-distinct-"
+        "append-batch classification: exact layer exchanges only (id, "
+        "md5-digest) pairs; near layer (r8 EXACT recall rewrite) joins "
+        "increment shingle hashes against the base-rep inverted index "
+        "— r10 bounded build: a map-side-combined df count + LeftSemi "
+        "drops over-cap shingles BEFORE collect_list materializes any "
+        "posting array (the HAVING form bounded output but still "
+        "buffered the hot key whole), postings staged once for the "
+        "count and list subtrees; base reps collapsed one-per-distinct-"
         "content, verification join only on surviving candidate pairs; "
         "at deploy scale the postings table is bucketed by shingle "
         "hash so the base side never re-shuffles per batch"),
@@ -151,8 +152,10 @@ SHOWCASE = {
         "single word-count aggregate keyed (id, token) with map-side "
         "combine, then an id-keyed entropy fold — no second corpus scan"),
     "dedup_containment_pairs": (
-        "r09: exact inverted-shingle-index candidates (posting lists "
-        "grouped one row per shingle, hot-df cap as HAVING), verify "
+        "exact inverted-shingle-index candidates — r10 bounded build: "
+        "df count + LeftSemi pre-filter ahead of collect_list so an "
+        "ultra-hot shingle costs a counter, never an aggregation "
+        "buffer (postings staged once for count/list subtrees); verify "
         "join only on survivors, identity groups collapsed before "
         "hashing — BIGINT hashes and ids on every exchange, text never "
         "shuffles; rep-pair expansion + salted intra pairs reuse the "
@@ -252,6 +255,26 @@ SHOWCASE = {
         "md5 projection + BroadcastHashJoin LeftAnti (the takedown "
         "list broadcasts, the corpus is never shuffled), then one "
         "source-keyed partial aggregate"),
+    "text_line_dedup": (
+        "r10: posexplode(split) -> ONE normalized-line-key shuffle for "
+        "the distinct-doc df; hot set joined back DISTRIBUTED (no "
+        "driver-collected literal — the hot list is corpus-derived and "
+        "unbounded at scale); per-doc rebuild via "
+        "array_sort(collect_list(struct)) on the doc-id aggregate; no "
+        "cartesian, no BroadcastNestedLoop"),
+    "dedup_takedown_expansion": (
+        "r10 compliance expansion: base reps collapsed per distinct "
+        "content, exact inverted-index candidates with the bounded "
+        "posting build (df count + LeftSemi before collect_list), "
+        "verify join only on candidates; the works side is "
+        "request-sized — at deploy scale the _from_tables form reads "
+        "bucketed postings co-located and only work shingles shuffle"),
+    "corpus_publish_decisions": (
+        "r10 publisher verdict: Gopher gates ride the scan projection "
+        "(keep_cols passthrough, no join-back), takedown verdict is a "
+        "BroadcastHashJoin on the md5 digest, dup ranking is the "
+        "digest-window min — ONE hash-partitioning Exchange for the "
+        "entire per-doc decision"),
 }
 
 KEEP = re.compile(
