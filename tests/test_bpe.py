@@ -154,3 +154,24 @@ def test_fit_determinism_across_partitionings(spark, toy):
     one = bpe.fit_bpe_merges(toy.repartition(1), 8)
     many = bpe.fit_bpe_merges(toy.repartition(7), 8)
     assert one == many
+
+
+# ------------------------------------------------------------- hypothesis
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=12)
+_corpus = st.lists(_words, min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(wordlists=_corpus, n=st.integers(min_value=1, max_value=6))
+def test_fit_property_matches_reference(spark, wordlists, n):
+    """Any tiny corpus over {a,b,c}: the distributed fit equals the
+    pure-Python reference algorithm, merges and counts both."""
+    texts = [" ".join(ws) for ws in wordlists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    assert bpe.fit_bpe_merges(docs, n) == _ref_fit(texts, n)[0]
