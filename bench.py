@@ -233,6 +233,28 @@ def main() -> None:
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # ambient-load calibration: time a FIXED CPU-bound reference plan
+    # (md5-fold over 2M rows — no I/O, no shuffle, code identical every
+    # round) before and after the suite. Co-tenant load on this box has
+    # produced phantom per-query regressions up to 6x that survive
+    # min-of-N because the contention outlasts the whole rep window
+    # (r10 adjudication: dedup_simhash_pairs "2.1 -> 12.2 spread 0.5"
+    # reproduced at 2.5s quiet, bit-identical code bisected); a calib
+    # reading far above its quiet baseline (~1s at 32 cpus) marks the
+    # artifact contaminated and every row in it inflated.
+    def _calibrate() -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (spark.range(2_000_000)
+             .selectExpr("conv(substring(md5(cast(id as string)), 1, 15),"
+                         " 16, 10) AS h")
+             .selectExpr("max(h)").collect())
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3)
+
+    calib_before = _calibrate()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE + list(extra_thunks):
@@ -294,6 +316,10 @@ def main() -> None:
         # `value` alone is not comparable across rounds)
         "headline_r01_total": r01_total,
         "sf": float(sf),
+        # fixed-plan ambient probes (see _calibrate): compare across
+        # rounds before believing any per-query delta
+        "calib_before": calib_before,
+        "calib_after": _calibrate(),
     }
     detail = dict(out, queries=timings, spread=spreads,
                   sf_dir=SF_DIR, cpus=CPUS)

@@ -65,6 +65,10 @@ out = {
     "spread": detail["spread"],
     "headline_r01_total": detail["headline_r01_total"],
 }
+# ambient probes (bench.py r10 _calibrate; absent in older details)
+for k in ("calib_before", "calib_after"):
+    if k in detail:
+        out[k] = detail[k]
 for prev in prevs:
     ppath = os.path.join(REPO, prev)
     if not os.path.exists(ppath):
