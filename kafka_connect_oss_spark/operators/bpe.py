@@ -227,3 +227,63 @@ def pair_stats_oracle_sql(table_expr: str, text_col: str = "text",
     SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_freq,
            CAST(COUNT(*) AS BIGINT) AS n_words
     FROM p GROUP BY sym_a, sym_b"""
+
+
+def bpe_encode_ranked(docs: DataFrame, merges: list,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Production-scale BPE encoder: greedy lowest-rank-first merging per
+    word inside an Arrow-batched ``mapInPandas`` — the standard encoder
+    algorithm (apply, at each step, the learned merge with the smallest
+    rank among pairs present; equivalent to replaying merges in learned
+    order, which is how every deployed BPE tokenizer encodes).
+
+    ``bpe_encode``'s fold form is the zero-Python path but stacks one
+    plan node per merge — ideal for tens of merges, unusable at a real
+    32k-merge vocabulary (a 32k-deep expression tree breaks codegen and
+    analysis long before execution). Here the merge table rides the
+    closure ONCE per executor (broadcast by task serialization), the
+    pass stays embarrassingly parallel with no shuffle before the
+    output, and a per-batch word cache encodes each distinct word once
+    (Zipf makes the cache hit rate high — the classic tokenizer
+    optimization).
+
+    Same output contract as ``bpe_encode``: (id_col, tokens, n_tokens);
+    equality between the two encoders is pinned by test_bpe."""
+    import pandas as pd
+
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def _encode_word(word: str, cache: dict) -> list:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = [*word[:-1], word[-1] + EOW]
+        while len(syms) >= 2:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def _encode(batches):
+        cache: dict = {}
+        for pdf in batches:
+            toks, ns = [], []
+            for text in pdf[text_col]:
+                out: list = []
+                for w in (text or "").split(" "):
+                    if w:
+                        out.extend(_encode_word(w, cache))
+                toks.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks,
+                                "n_tokens": ns})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _encode, f"{id_col} long, tokens array<string>, n_tokens long")

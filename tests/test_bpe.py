@@ -175,3 +175,41 @@ def test_fit_property_matches_reference(spark, wordlists, n):
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string")
     assert bpe.fit_bpe_merges(docs, n) == _ref_fit(texts, n)[0]
+
+
+def test_ranked_encoder_equals_fold_encoder(spark, toy):
+    """bpe_encode_ranked (greedy lowest-rank-first, mapInPandas — the
+    production path for real merge-list sizes) must equal bpe_encode
+    (sequential fold replay) exactly: same tokens, same counts."""
+    merges = [(a, b) for a, b, _ in bpe.fit_bpe_merges(toy, 10)]
+    fold = {r.doc_id: (list(r.tokens), r.n_tokens)
+            for r in bpe.bpe_encode(toy, merges).collect()}
+    ranked = {r.doc_id: (list(r.tokens), r.n_tokens)
+              for r in bpe.bpe_encode_ranked(toy, merges).collect()}
+    assert ranked == fold
+
+    # empty-merge and unseen-text edges agree too
+    unseen = spark.createDataFrame(
+        [(7, "zq xyzzy"), (8, "")], "doc_id long, text string")
+    f2 = {r.doc_id: list(r.tokens)
+          for r in bpe.bpe_encode(unseen, merges).collect()}
+    r2 = {r.doc_id: list(r.tokens)
+          for r in bpe.bpe_encode_ranked(unseen, merges).collect()}
+    assert r2 == f2
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(wordlists=_corpus, n=st.integers(min_value=1, max_value=5))
+def test_ranked_encoder_property_equals_fold(spark, wordlists, n):
+    """Greedy-by-rank == sequential replay on random corpora/merge
+    budgets — the standard BPE encoder equivalence, pinned."""
+    texts = [" ".join(ws) for ws in wordlists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    merges = [(a, b) for a, b, _ in bpe.fit_bpe_merges(docs, n)]
+    fold = {r.doc_id: list(r.tokens)
+            for r in bpe.bpe_encode(docs, merges).collect()}
+    ranked = {r.doc_id: list(r.tokens)
+              for r in bpe.bpe_encode_ranked(docs, merges).collect()}
+    assert ranked == fold
