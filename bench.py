@@ -227,9 +227,14 @@ def main() -> None:
     def _bench_bpe_pair_stats(spark, sf):
         return pair_stats(load_table(spark, sf, "documents"))
 
+    def _bench_global_shuffle(spark, sf):
+        from kafka_connect_oss_spark.operators.packing import global_shuffle
+        return global_shuffle(load_table(spark, sf, "documents"), seed=7)
+
     extra_thunks = {
         "text_span_dedup": _bench_span_dedup,
         "text_bpe_pair_stats": _bench_bpe_pair_stats,
+        "corpus_global_shuffle": _bench_global_shuffle,
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -463,3 +463,59 @@ def republish_changed_shards(spark, docs: DataFrame, snap_path: str,
          .coalesce(1).write.mode("overwrite").parquet(manifest_path))
     return {"shards_written": changed, "shards_deleted": gone,
             "n_rows_written": int(n_rows), "first_publish": first}
+
+
+def global_shuffle(docs: DataFrame, seed: int = 0, n_shards: int = 64,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle for training order (r10): assign every
+    document a (shard, pos) such that reading shards in order and rows by
+    pos within each shard visits the corpus in a seeded pseudo-random
+    permutation — reproducible across runs, partitionings and engines.
+
+    Why this shape at 100 TB: a naive ORDER BY rand() is a full global
+    sort whose range-partitioner must sample the corpus, and its
+    output ordering is not reproducible. Here the permutation key is a
+    content-independent seeded hash (md5 over seed:id, folded to 60
+    bits — functions/hashing.base_hash, the engine-paired fold), the
+    shard is the key's modulus (uniform by construction), and the only
+    ordering work is a per-shard window sort: ONE hash Exchange on
+    shard, each task sorts its own shard, nothing global. Epoch N+1
+    reshuffles by changing the seed, never by rewriting data.
+
+    Returns the input columns + (shuffle_key, shard, pos); pos is
+    1-based within shard. Ties on the 60-bit key break by id, so the
+    permutation is total and stable."""
+    from pyspark.sql import Window
+
+    from kafka_connect_oss_spark.functions import hashing as H
+
+    key = F.expr(H.base_hash(
+        f"concat('{int(seed)}:', CAST({id_col} AS STRING))", "spark"))
+    d = (docs.withColumn("shuffle_key", key)
+         .withColumn("shard",
+                     F.pmod(F.col("shuffle_key"),
+                            F.lit(n_shards)).cast("int")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return d.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def global_shuffle_oracle_sql(table_expr: str, seed: int = 0,
+                              n_shards: int = 64,
+                              id_col: str = "doc_id",
+                              cols: str = "*") -> str:
+    """DuckDB mirror of ``global_shuffle`` via the shared hash fold; the
+    same window rule (pos partitioned by shard, ordered by key then
+    id)."""
+    from kafka_connect_oss_spark.functions import hashing as H
+
+    key = H.base_hash(
+        f"'{int(seed)}:' || CAST({id_col} AS VARCHAR)", "duckdb")
+    return f"""WITH k AS (
+      SELECT {cols}, {key} AS shuffle_key FROM {table_expr}),
+    s AS (SELECT *,
+                 CAST(shuffle_key % {n_shards} AS INTEGER) AS shard
+          FROM k)
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY shard ORDER BY shuffle_key, {id_col}) AS BIGINT)
+      AS pos
+    FROM s"""
