@@ -231,10 +231,16 @@ def main() -> None:
         from kafka_connect_oss_spark.operators.packing import global_shuffle
         return global_shuffle(load_table(spark, sf, "documents"), seed=7)
 
+    def _bench_epoch_plan(spark, sf):
+        from kafka_connect_oss_spark.operators.packing import epoch_plan
+        return epoch_plan(load_table(spark, sf, "documents"),
+                          budget_tokens=1_000_000)
+
     extra_thunks = {
         "text_span_dedup": _bench_span_dedup,
         "text_bpe_pair_stats": _bench_bpe_pair_stats,
         "corpus_global_shuffle": _bench_global_shuffle,
+        "corpus_epoch_plan": _bench_epoch_plan,
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

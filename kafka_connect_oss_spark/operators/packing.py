@@ -519,3 +519,93 @@ def global_shuffle_oracle_sql(table_expr: str, seed: int = 0,
         PARTITION BY shard ORDER BY shuffle_key, {id_col}) AS BIGINT)
       AS pos
     FROM s"""
+
+
+def epoch_plan(docs: DataFrame, budget_tokens: int,
+               max_epochs: float = 4.0, source_col: str = "source",
+               text_col: str = "text",
+               weights: dict | None = None) -> DataFrame:
+    """Per-source epoch/repeat allocation under a total token budget —
+    the data-mixing planning step of a pretraining run (public recipe
+    shape: proportional targets with a per-source repeat cap, after
+    the repeated-data guidance of Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models": value decays past ~4 epochs).
+
+    Allocation is ONE deterministic pass (no redistribution): each
+    source's target is its weight share of the budget (weight defaults
+    to its own token count — natural sampling), its epoch factor is
+    ``min(max_epochs, target / tokens)``, and the planned take is
+    ``epochs * tokens``. When caps bind, the plan runs under budget by
+    design — `utilization` makes that visible and the caller re-runs
+    with adjusted weights (the human-in-the-loop step real mixture
+    planning has; a silent water-filling loop would hide it).
+
+    One corpus-scale aggregate (source-keyed token sums, map-side
+    combined) + a 1-row total joined back — output is
+    sources-sized. Returns (source, n_docs, n_tokens, weight,
+    target_tokens, epochs, planned_tokens, utilization); utilization
+    (total planned / budget) repeats per row for frame-level reading.
+    """
+    tokens = F.expr(
+        f"size(filter(split({text_col}, ' '), tt -> tt <> ''))")
+    per = (docs.groupBy(source_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(tokens).cast("long").alias("n_tokens")))
+    if weights:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                              for x in kv])
+        per = per.withColumn(
+            "weight", F.coalesce(wmap[F.col(source_col)].cast("double"),
+                                 F.lit(0.0)))
+    else:
+        per = per.withColumn("weight", F.col("n_tokens").cast("double"))
+    tot = per.agg(F.sum("weight").alias("_wsum"))
+    d = (per.crossJoin(F.broadcast(tot))
+         .withColumn("target_tokens",
+                     F.round(F.lit(float(budget_tokens)) * F.col("weight")
+                             / F.col("_wsum")).cast("long"))
+         .withColumn("epochs",
+                     F.round(F.least(
+                         F.lit(float(max_epochs)),
+                         F.col("target_tokens")
+                         / F.col("n_tokens").cast("double")), 4))
+         .withColumn("planned_tokens",
+                     F.round(F.col("epochs") * F.col("n_tokens"))
+                     .cast("long")))
+    u = d.agg(F.sum("planned_tokens").alias("_p"))
+    return (d.crossJoin(F.broadcast(u))
+            .withColumn("utilization",
+                        F.round(F.col("_p") / F.lit(float(budget_tokens)),
+                                4))
+            .drop("_wsum", "_p"))
+
+
+def epoch_plan_oracle_sql(table_expr: str, budget_tokens: int,
+                          max_epochs: float = 4.0,
+                          source_col: str = "source",
+                          text_col: str = "text") -> str:
+    """DuckDB mirror of ``epoch_plan`` (natural weights form)."""
+    tok = f"len(list_filter(string_split({text_col}, ' '), tt -> tt <> ''))"
+    return f"""WITH per AS (
+      SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({tok}) AS BIGINT) AS n_tokens
+      FROM {table_expr} GROUP BY {source_col}),
+    w AS (SELECT *, CAST(n_tokens AS DOUBLE) AS weight FROM per),
+    t AS (SELECT *,
+                 CAST(ROUND(CAST({budget_tokens} AS DOUBLE) * weight
+                      / SUM(weight) OVER ()) AS BIGINT) AS target_tokens
+          FROM w),
+    e AS (SELECT *,
+                 ROUND(LEAST(CAST({max_epochs} AS DOUBLE),
+                       target_tokens / CAST(n_tokens AS DOUBLE)), 4)
+                   AS epochs
+          FROM t),
+    p AS (SELECT *,
+                 CAST(ROUND(epochs * n_tokens) AS BIGINT)
+                   AS planned_tokens
+          FROM e)
+    SELECT {source_col}, n_docs, n_tokens, weight, target_tokens, epochs,
+           planned_tokens,
+           ROUND(SUM(planned_tokens) OVER ()
+                 / CAST({budget_tokens} AS DOUBLE), 4) AS utilization
+    FROM p"""
