@@ -236,11 +236,17 @@ def main() -> None:
         return epoch_plan(load_table(spark, sf, "documents"),
                           budget_tokens=1_000_000)
 
+    def _bench_quality_model(spark, sf):
+        from kafka_connect_oss_spark.operators import quality_model as QM
+        docs = load_table(spark, sf, "documents")
+        return QM.quality_score(docs, QM.fit_quality_classifier(docs))
+
     extra_thunks = {
         "text_span_dedup": _bench_span_dedup,
         "text_bpe_pair_stats": _bench_bpe_pair_stats,
         "corpus_global_shuffle": _bench_global_shuffle,
         "corpus_epoch_plan": _bench_epoch_plan,
+        "text_quality_model_score": _bench_quality_model,
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
