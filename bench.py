@@ -271,10 +271,19 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return round(min(ts), 3)
 
-    calib_before = _calibrate()
+    # ...and INTERLEAVED through the suite, not just at the endpoints:
+    # the r10 final-run lesson was a ~40% whole-suite inflation while
+    # both endpoint probes read quiet — contention phases shorter than
+    # the suite but longer than a query are invisible to endpoints, so
+    # the series (one probe every _CALIB_EVERY queries) is what makes a
+    # contaminated run self-evident.
+    _CALIB_EVERY = 12
+    calib_series: list[float] = [_calibrate()]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE + list(extra_thunks):
+    for qi, name in enumerate(HEADLINE + list(extra_thunks)):
+        if qi and qi % _CALIB_EVERY == 0:
+            calib_series.append(_calibrate())
         fn = extra_thunks.get(name) or queries[name]
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
@@ -334,9 +343,12 @@ def main() -> None:
         "headline_r01_total": r01_total,
         "sf": float(sf),
         # fixed-plan ambient probes (see _calibrate): compare across
-        # rounds before believing any per-query delta
-        "calib_before": calib_before,
+        # rounds before believing any per-query delta; the series shows
+        # WHEN a contention phase hit, max is the one-number summary
+        "calib_before": calib_series[0],
         "calib_after": _calibrate(),
+        "calib_series": calib_series,
+        "calib_max": max(calib_series),
     }
     detail = dict(out, queries=timings, spread=spreads,
                   sf_dir=SF_DIR, cpus=CPUS)
