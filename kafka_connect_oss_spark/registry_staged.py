@@ -1,0 +1,118 @@
+"""Round-11 seat candidates, pre-built in the driver's registry shape.
+
+The round-10 window was frozen after its close sweep (the standing
+convention: no registrations after the final ALL=1 verification), so the
+four operators added late in round 10 ship here instead — each entry is
+the EXACT (query builder, oracle) pair the registry would hold, checked
+by tests/test_staged_seats.py through the same tests/parity.compare
+contract the driver enforces. Seating them at round 11 is then a
+mechanical move:
+
+    for name, fn in registry_staged.STAGED_QUERIES.items():
+        register(name, registry_staged.STAGED_ORACLES.get(name))(fn)
+    LAZY_ORACLES.update(registry_staged.STAGED_LAZY_ORACLES)
+
+(plus moving the bench thunks back to registry names). Nothing in this
+module is imported by the live registry; importing it never mutates
+QUERIES/ORACLES.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_connect_oss_spark.operators import bpe, packing, quality_model
+from kafka_connect_oss_spark.sources.batch import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+STAGED_LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
+
+#: parameters shared by the query, the oracle, and bench.py's thunks —
+#: one constant each so the three call sites cannot drift
+SHUFFLE_SEED = 7
+EPOCH_BUDGET_TOKENS = 1_000_000
+
+
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE pair statistics over the documents corpus
+    (operators/bpe.pair_stats): the argmax row is the first merge a
+    tokenizer training run would learn."""
+    return bpe.pair_stats(load_table(spark, sf_dir, "documents"))
+
+
+STAGED_QUERIES["text_bpe_pair_stats"] = text_bpe_pair_stats
+STAGED_ORACLES["text_bpe_pair_stats"] = bpe.pair_stats_oracle_sql("documents")
+
+
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded training-order permutation (packing.global_shuffle) over a
+    narrow id projection — the registry form carries (doc_id,
+    shuffle_key, shard, pos) only; the full-width form is the same plan
+    plus passthrough columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return packing.global_shuffle(docs, seed=SHUFFLE_SEED)
+
+
+STAGED_QUERIES["corpus_global_shuffle"] = corpus_global_shuffle
+STAGED_ORACLES["corpus_global_shuffle"] = packing.global_shuffle_oracle_sql(
+    "documents", seed=SHUFFLE_SEED, cols="doc_id")
+
+
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repeat budget plan (packing.epoch_plan) at the
+    natural-sampling weights."""
+    return packing.epoch_plan(load_table(spark, sf_dir, "documents"),
+                              budget_tokens=EPOCH_BUDGET_TOKENS)
+
+
+STAGED_QUERIES["corpus_epoch_plan"] = corpus_epoch_plan
+STAGED_ORACLES["corpus_epoch_plan"] = packing.epoch_plan_oracle_sql(
+    "documents", budget_tokens=EPOCH_BUDGET_TOKENS)
+
+
+# -- text_quality_model_score: LAZY oracle (model fitted from the data) ----
+
+_QM_MODEL_CACHE: dict[str, dict] = {}
+
+
+def _qm_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Fit-once-per-sf cache shared by the query and its lazy oracle —
+    legitimate because fit_quality_classifier is DETERMINISTIC
+    (hash-stride sample sorted by id, fixed iters, 9-decimal rounding:
+    independent runs produce bit-identical models, pinned by
+    tests/test_quality_model.py), the same discipline as the k-means
+    lazy oracle in registry_llm._kmeans_ivf_oracle."""
+    if sf_dir not in _QM_MODEL_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _QM_MODEL_CACHE[sf_dir] = quality_model.fit_quality_classifier(docs)
+    return _QM_MODEL_CACHE[sf_dir]
+
+
+def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality probability per document: fit the Gopher-gate
+    distillation (operators/quality_model.fit_quality_classifier), then
+    score the corpus with the literal-inlined sigmoid — one codegen
+    projection, zero shuffle at scoring time."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_model.quality_score(docs, _qm_model(spark, sf_dir))
+
+
+def _qm_oracle(sf_dir: str) -> str:
+    """Lazy oracle: re-fit (or reuse the cached fit) at the oracle's SF
+    and inline the model literals into the DuckDB sigmoid."""
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
+    model = _qm_model(spark, sf_dir)
+    return quality_model.quality_score_oracle_sql("documents", model)
+
+
+STAGED_QUERIES["text_quality_model_score"] = text_quality_model_score
+STAGED_LAZY_ORACLES["text_quality_model_score"] = _qm_oracle
