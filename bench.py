@@ -241,7 +241,13 @@ def main() -> None:
         docs = load_table(spark, sf, "documents")
         return QM.quality_score(docs, QM.fit_quality_classifier(docs))
 
+    def _bench_expectations(spark, sf):
+        from kafka_connect_oss_spark.registry_staged import (
+            corpus_expectations_report)
+        return corpus_expectations_report(spark, sf)
+
     extra_thunks = {
+        "corpus_expectations_report": _bench_expectations,
         "text_span_dedup": _bench_span_dedup,
         "text_bpe_pair_stats": _bench_bpe_pair_stats,
         "corpus_global_shuffle": _bench_global_shuffle,

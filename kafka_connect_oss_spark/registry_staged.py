@@ -23,7 +23,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_connect_oss_spark.operators import bpe, packing, quality_model
+from kafka_connect_oss_spark.operators import (bpe, packing, quality_model,
+                                               validation as V)
 from kafka_connect_oss_spark.sources.batch import load_table
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -71,6 +72,41 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 STAGED_QUERIES["corpus_epoch_plan"] = corpus_epoch_plan
 STAGED_ORACLES["corpus_epoch_plan"] = packing.epoch_plan_oracle_sql(
     "documents", budget_tokens=EPOCH_BUDGET_TOKENS)
+
+
+#: the documents-table expectation suite (operators/validation): evaluated
+#: in ONE aggregate pass however many checks it carries
+DOC_EXPECTATIONS = [
+    V.not_null("doc_id"),
+    V.unique("doc_id"),
+    V.not_null("text"),
+    V.accepted_values("lang", ["de", "en", "es", "fr", "zh"]),
+    V.matches("source", "^src[0-9]+$"),
+    V.in_range("n_chars", 1, 100_000),
+    V.satisfies("n_chars_consistent", "n_chars = length(text)"),
+]
+
+
+def corpus_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate before a training run: the single-pass documents
+    battery plus one cross-table referential check (every event's doc
+    linkage analog here: orders.o_custkey contained in customer) — the
+    Deequ-style report as a queryable frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    battery = V.expectations_report(docs, DOC_EXPECTATIONS)
+    ref = V.referential_expectation(
+        load_table(spark, sf_dir, "orders"), "o_custkey",
+        load_table(spark, sf_dir, "customer"), "c_custkey")
+    return battery.unionByName(ref)
+
+
+STAGED_QUERIES["corpus_expectations_report"] = corpus_expectations_report
+STAGED_ORACLES["corpus_expectations_report"] = (
+    "SELECT * FROM ("
+    + V.expectations_report_oracle_sql("documents", DOC_EXPECTATIONS)
+    + ") UNION ALL SELECT * FROM ("
+    + V.referential_expectation_oracle_sql(
+        "orders", "o_custkey", "customer", "c_custkey") + ")")
 
 
 # -- text_quality_model_score: LAZY oracle (model fitted from the data) ----

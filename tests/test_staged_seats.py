@@ -22,7 +22,8 @@ def duck(sf_dir):
 def test_staged_names_not_registered():
     staged = set(S.STAGED_QUERIES)
     assert staged == {"text_bpe_pair_stats", "corpus_global_shuffle",
-                      "corpus_epoch_plan", "text_quality_model_score"}
+                      "corpus_epoch_plan", "text_quality_model_score",
+                      "corpus_expectations_report"}
     assert not staged & set(QUERIES), "staged op leaked into the registry"
     assert not staged & set(ORACLES)
     assert not staged & set(LAZY_ORACLES)
