@@ -246,8 +246,14 @@ def main() -> None:
             corpus_expectations_report)
         return corpus_expectations_report(spark, sf)
 
+    def _bench_pagerank(spark, sf):
+        from kafka_connect_oss_spark.registry_staged import (
+            corpus_pagerank_centrality)
+        return corpus_pagerank_centrality(spark, sf)
+
     extra_thunks = {
         "corpus_expectations_report": _bench_expectations,
+        "corpus_pagerank_centrality": _bench_pagerank,
         "text_span_dedup": _bench_span_dedup,
         "text_bpe_pair_stats": _bench_bpe_pair_stats,
         "corpus_global_shuffle": _bench_global_shuffle,

@@ -23,7 +23,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_connect_oss_spark.operators import (bpe, packing, quality_model,
+from kafka_connect_oss_spark.operators import (bpe, graph, packing,
+                                               quality_model,
                                                validation as V)
 from kafka_connect_oss_spark.sources.batch import load_table
 
@@ -107,6 +108,33 @@ STAGED_ORACLES["corpus_expectations_report"] = (
     + ") UNION ALL SELECT * FROM ("
     + V.referential_expectation_oracle_sql(
         "orders", "o_custkey", "customer", "c_custkey") + ")")
+
+
+def corpus_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup similarity graph: the registered
+    dedup_ngram_jaccard_pairs edge set (same blocks, same threshold) run
+    through operators/graph.pagerank — a redundancy-aware quality prior
+    and the canonical-pick score for cluster representatives."""
+    from kafka_connect_oss_spark.operators import dedup
+    from kafka_connect_oss_spark.registry_llm import JACCARD_DEMO
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], threshold=JACCARD_DEMO)
+    return graph.pagerank(pairs, n_iters=5)
+
+
+def _pagerank_oracle(sf_dir: str) -> str:
+    """Lazy only to defer the registry_llm import (whose module body
+    registers the live entries) to driver time; the SQL itself is
+    sf-independent — the jaccard pair CTE embeds as a nested WITH."""
+    from kafka_connect_oss_spark.registry_llm import _ngram_jaccard_oracle
+
+    return graph.pagerank_oracle_sql(_ngram_jaccard_oracle(), n_iters=5)
+
+
+STAGED_QUERIES["corpus_pagerank_centrality"] = corpus_pagerank_centrality
+STAGED_LAZY_ORACLES["corpus_pagerank_centrality"] = _pagerank_oracle
 
 
 # -- text_quality_model_score: LAZY oracle (model fitted from the data) ----

@@ -23,7 +23,8 @@ def test_staged_names_not_registered():
     staged = set(S.STAGED_QUERIES)
     assert staged == {"text_bpe_pair_stats", "corpus_global_shuffle",
                       "corpus_epoch_plan", "text_quality_model_score",
-                      "corpus_expectations_report"}
+                      "corpus_expectations_report",
+                      "corpus_pagerank_centrality"}
     assert not staged & set(QUERIES), "staged op leaked into the registry"
     assert not staged & set(ORACLES)
     assert not staged & set(LAZY_ORACLES)
