@@ -65,7 +65,7 @@ def pagerank(pairs: DataFrame, n_iters: int = 5, damping: float = 0.85,
     ranks = (nodes.crossJoin(F.broadcast(nn))
              .select("v", F.round(F.col("inv_n"), 9).alias("r")))
     prev = None
-    for _ in range(int(n_iters)):
+    for t in range(int(n_iters)):
         contrib = (edges.join(ranks, edges.s == ranks.v)
                    .groupBy(F.col("d").alias("v"))
                    .agg(F.sum(F.col("r") / F.col("od")).alias("c")))
@@ -75,6 +75,13 @@ def pagerank(pairs: DataFrame, n_iters: int = 5, damping: float = 0.85,
                          (1.0 - d) * F.col("inv_n")
                          + d * F.coalesce(F.col("c"), F.lit(0.0)),
                          9).alias("r")))
+        if t == int(n_iters) - 1:
+            # the last round stays unstaged: the caller's action runs it
+            # directly over round N-1's staged blocks (one less
+            # materialization, and the returned frame's plan SHOWS the
+            # flat per-round join+agg instead of a Scan ExistingRDD)
+            ranks = ranks_new
+            break
         ranks_new = stage_local(ranks_new)
         if prev is not None:
             _release_local_checkpoint(prev)

@@ -346,6 +346,44 @@ def main() -> None:
         "pinned by test_round8_ops). Consumed by semdedup_flags' "
         "~100k-cluster production knob.", "", "```",
         tree, "", *kept[:60], "```", ""]
+    def emit(df, title: str, claim: str) -> None:
+        plan = df._jdf.queryExecution().explainString(jmode)
+        tree = plan.split("\n\n", 1)[0]
+        kept = [ln for ln in plan.splitlines()
+                if KEEP.search(ln) or ln.startswith("==")]
+        out.extend([f"## {title}", "", f"**Check:** {claim}", "", "```",
+                    tree, "", *kept[:60], "```", ""])
+
+    # staged r11 seats (registry_staged) + the bloom-guarded regime (r10b)
+    from kafka_connect_oss_spark import registry_staged as RS
+
+    emit(RS.STAGED_QUERIES["corpus_expectations_report"](spark, SF_DIR),
+         "corpus_expectations_report (staged r11 seat)",
+         "the whole check battery is ONE aggregate over ONE documents "
+         "scan (the unique check adds its standard distinct two-phase on "
+         "already-aggregated rows, never a second data pass); the "
+         "referential row is a key-distinct anti-join union'd on")
+    emit(RS.STAGED_QUERIES["corpus_pagerank_centrality"](spark, SF_DIR),
+         "corpus_pagerank_centrality (staged r11 seat)",
+         "iteration N's plan is FLAT: one join of the staged edge list "
+         "(Scan ExistingRDD — localCheckpoint blocks, prior rounds "
+         "released) with round N-1's staged ranks + one dst-key "
+         "aggregation; no lineage pile-up however many rounds ran")
+
+    from kafka_connect_oss_spark.operators.text import decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.where("doc_id % 97 = 0")
+    emit(decontaminate(docs, bench, max_broadcast_hashes=0,
+                       bloom_bits=1 << 20),
+         "decontaminate — bloom-guarded large-benchmark regime (r10b)",
+         "benchmark too big to inline as a literal: the corpus shingle "
+         "stream hits the broadcast Bloom bitmap FIRST (membership "
+         "absorbed into the BroadcastNestedLoopJoin condition, probe "
+         "side a bare projection with zero Exchange) and only surviving "
+         "candidates reach the exact verify join — no false negatives, "
+         "so the clean set is identical to the unguarded fallback")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
