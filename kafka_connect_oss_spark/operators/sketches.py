@@ -269,3 +269,130 @@ def kmv_overlap_oracle_sql(a_sql: str, b_sql: str, key_sql: str,
            ROUND({jac}, 4) AS jaccard_est,
            ROUND(({jac}) * ({union_est}), 4) AS inter_est
     FROM sa, sb, ix"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: fixed-memory frequency estimation (heavy hitters)
+# ---------------------------------------------------------------------------
+
+#: d pairwise-independent rows reusing the first 4 public minhash
+#: coefficient pairs; w buckets per row. Memory = d*w counters TOTAL,
+#: independent of vocabulary size — the point of the sketch at 100 TB,
+#: where the exact token-frequency table is itself corpus-scale.
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_buckets(h_expr: str, w: int) -> list[str]:
+    """Bucket expression per CMS row j — dialect-neutral integer math
+    (universal hashing over the shared 60-bit base hash)."""
+    return [f"({H.universal_hash(h_expr, a, b)} % {w})"
+            for a, b in H.MINHASH_COEFFS[:CMS_D]]
+
+
+def _cms_cells_array(h_expr: str, w: int) -> str:
+    """Spark-only: all d (j, bucket) cells of one hash as ONE array of
+    structs, so a single explode fans the token stream out d ways — no
+    d-branch union re-reading the input."""
+    cells = ", ".join(
+        f"struct(CAST({j} AS INT) AS j, CAST({b} AS BIGINT) AS bucket)"
+        for j, b in enumerate(_cms_buckets(h_expr, w)))
+    return f"array({cells})"
+
+
+def cms_table(docs: DataFrame, text_col: str = "text",
+              w: int = CMS_W) -> DataFrame:
+    """The d x w counter table (j, bucket, cnt) over whitespace tokens.
+
+    ONE token explode -> d bucket projections union'd -> one
+    map-side-combined aggregate; at most d*w rows ever cross the final
+    shuffle or leave the operator. The table is MERGEABLE (sum matching
+    cells) across shards, batches, or streaming micro-batches — the
+    property that lets a 100 TB corpus maintain running token
+    frequencies in kilobytes of state.
+    """
+    from kafka_connect_oss_spark.functions import text as X
+
+    tok = docs.select(F.explode(
+        F.expr(X.sql_tokens(text_col, "spark"))).alias("t"))
+    h = tok.select(F.expr(H.base_hash("t", "spark")).alias("h"))
+    return (h.select(F.explode(F.expr(_cms_cells_array("h", w))).alias("c"))
+            .select("c.j", "c.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def cms_calibration(docs: DataFrame, k: int = 20, text_col: str = "text",
+                    w: int = CMS_W) -> DataFrame:
+    """CMS point-query error on the exact top-k tokens: (token,
+    exact_freq, cms_est, overestimate). The CMS one-sided guarantee —
+    est >= exact always, est <= exact + eps*N with probability 1-delta —
+    makes `overestimate` the sketch-sizing dial an operator reads before
+    trusting the d x w table for pruning decisions (the
+    minhash_est_calibration pattern applied to frequencies).
+
+    The exact top-k is a TakeOrdered over the token counts (total order:
+    freq desc, token asc — deterministic across engines); the estimate
+    join touches k*d sketch cells.
+    """
+    from kafka_connect_oss_spark.functions import text as X
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    tok = stage_local(docs.select(F.explode(
+        F.expr(X.sql_tokens(text_col, "spark"))).alias("t")))
+    # the sketch and the exact counts ride the SAME staged token frame
+    h = tok.select(F.expr(H.base_hash("t", "spark")).alias("h"))
+    cms = (h.select(F.explode(F.expr(_cms_cells_array("h", w))).alias("c"))
+           .select("c.j", "c.bucket")
+           .groupBy("j", "bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    top = (tok.groupBy("t")
+           .agg(F.count(F.lit(1)).cast("long").alias("exact_freq"))
+           .orderBy(F.col("exact_freq").desc(), F.col("t"))
+           .limit(k)
+           .withColumn("h", F.expr(H.base_hash("t", "spark"))))
+    cand = (top.select(
+        "t", "exact_freq",
+        F.explode(F.expr(_cms_cells_array("h", w))).alias("c"))
+        .select("t", "exact_freq", "c.j", "c.bucket"))
+    est = (cand.join(F.broadcast(cms), ["j", "bucket"])
+           .groupBy("t", "exact_freq")
+           .agg(F.min("cnt").alias("cms_est")))
+    return est.select(
+        F.col("t").alias("token"), "exact_freq", "cms_est",
+        (F.col("cms_est") - F.col("exact_freq")).alias("overestimate"))
+
+
+def cms_calibration_oracle_sql(table_expr: str, k: int = 20,
+                               text_col: str = "text",
+                               w: int = CMS_W) -> str:
+    """DuckDB mirror of ``cms_calibration`` — same hashes, same buckets,
+    same total order for the top-k."""
+    from kafka_connect_oss_spark.functions import text as X
+
+    hv = H.base_hash("t", "duckdb")
+    buckets = _cms_buckets("h", w)
+    cms_rows = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS j, CAST({b} AS BIGINT) AS bucket"
+        f" FROM h" for j, b in enumerate(buckets))
+    cand_rows = " UNION ALL ".join(
+        f"SELECT t, exact_freq, CAST({j} AS INTEGER) AS j,"
+        f" CAST({b} AS BIGINT) AS bucket FROM cand"
+        for j, b in enumerate(buckets))
+    return f"""WITH tok AS (
+      SELECT unnest({X.sql_tokens(text_col, 'duckdb')}) AS t
+      FROM {table_expr}),
+    h AS (SELECT {hv} AS h FROM tok),
+    cms AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ({cms_rows}) GROUP BY j, bucket),
+    top AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_freq
+            FROM tok GROUP BY t
+            ORDER BY exact_freq DESC, t LIMIT {k}),
+    cand AS (SELECT t, exact_freq, {hv} AS h FROM top),
+    cells AS ({cand_rows}),
+    est AS (SELECT t, exact_freq, MIN(cnt) AS cms_est
+            FROM cells JOIN cms USING (j, bucket)
+            GROUP BY t, exact_freq)
+    SELECT t AS token, exact_freq, cms_est,
+           cms_est - exact_freq AS overestimate
+    FROM est"""
