@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import kafka_connect_oss_spark.registry_llm  # noqa: E402,F401 (registers entries)
 import kafka_connect_oss_spark.registry_multimodal  # noqa: E402,F401 (registers entries)
 import kafka_connect_oss_spark.registry_relational  # noqa: E402,F401 (registers entries)
+import kafka_connect_oss_spark.registry_seated  # noqa: E402,F401 (seats the r10 staged ops)
 import kafka_connect_oss_spark.registry_tpch  # noqa: E402,F401 (registers entries)
 from kafka_connect_oss_spark.registry import (LAZY_ORACLES, ORACLES,  # noqa: E402
                                               QUERIES)
@@ -60,56 +61,59 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked
-#: queries). Round-10 arithmetic (recomputed at round open from the
-#: union of CORRECTNESS_r01–r09 — 44 queries last green at r07, i.e. 3
-#: rounds stale; 3 never-green; 143 + 3 new registrations = 146 total):
-#: (1) the 3 r09 hash-fails (corpus_shard_manifest,
-#:     pack_efficiency_report, text_vocab_stats) — all ONE oracle bug,
-#:     an uncast SUM() in the final select that DuckDB widened to
-#:     HUGEINT (pandas float64) against Spark's BIGINT; fixed with
-#:     CAST(... AS BIGINT) and the whole class is now guarded by
-#:     tests/parity.assert_types + scripts/audit_oracle_types.py
-#:     (143/146 clean sweep at fix time). HEAD seats — never
-#:     driver-green, re-attestation is the round's first obligation;
-#: (2) the 3 operators round 10 promotes from r09's parity-in-pytest
-#:     holding pattern into the registry, seated at registration time
-#:     (the r08 code-freeze lesson: no registration without a seat):
-#:     text_line_dedup, dedup_takedown_expansion,
-#:     corpus_publish_decisions — the compliance/publisher surface;
-#: (3) the 44 r07-attested queries, 3 rounds stale at r10 judging —
-#:     the full rotation obligation, exactly filling the window.
-#: The remaining 96 registered queries carry green rows from r08/r09
+#: queries). Round-11 arithmetic (recomputed at round open from the
+#: union of CORRECTNESS_r01–r10 — verified by script: 146 registered
+#: pre-seating, ALL latest-green, zero never-green; last-green
+#: histogram splits exactly 49 @ r08 / 47 @ r09 / 50 @ r10):
+#: (1) the 6 round-10 staged operators, registered this round via
+#:     registry_seated (the mechanical move registry_staged documents):
+#:     text_bpe_pair_stats, corpus_global_shuffle, corpus_epoch_plan,
+#:     corpus_expectations_report, corpus_pagerank_centrality,
+#:     text_quality_model_score — head seats (no registration without a
+#:     seat; each already parity-proven through tests/parity.compare in
+#:     tests/test_staged_seats.py);
+#: (2) 44 of the 49 r08-attested queries, 3 rounds stale at r11 —
+#:     the rotation obligation. 49 stale + 6 new = 55 candidates for 50
+#:     seats, so FIVE stale rows are DEFERRED to round 12 (new-op
+#:     seating outranks staleness, the established rule). The deferral
+#:     picks the lowest-risk class: untouched single-row-result TPC-H
+#:     aggregates whose code has not changed since r01 —
+#:     q6_forecast_revenue, q14_promo_revenue, q15_top_supplier,
+#:     q17_small_quantity_revenue, q19_discounted_revenue. These five
+#:     are the FIRST seats of the r12 window (4 rounds stale then,
+#:     hard obligation).
+#: The remaining 97 registered queries carry green rows from r09/r10
 #: (test_driver_window's attestation invariant); the still-unregistered
 #: r09b ops (compaction, re-publish, span_dedup, skew diagnostics,
 #: streaming IVF) keep the parity-in-pytest + bench extra_thunks
-#: contract — no spare seats exist this round.
+#: contract — COVERAGE.md records the waiver argument per op.
 #: tests/test_driver_window.py pins the invariants.
 DRIVER_WINDOW: list[str] = [
-    # (1) the 3 r09 hash-fails, oracle-fixed — head seats
-    "corpus_shard_manifest", "pack_efficiency_report", "text_vocab_stats",
-    # (2) round-10 new registrations (seated at registration)
-    "text_line_dedup", "dedup_takedown_expansion",
-    "corpus_publish_decisions",
-    # (3) the 44 r07-stale queries — rotation obligation
-    "asof_purchase_attribution", "corpus_cluster_quota_sample",
-    "corpus_cross_source_overlap", "corpus_curated",
-    "corpus_decontaminated", "corpus_dsir_weights",
-    "corpus_mixture_sample", "corpus_split_assign",
-    "corpus_weighted_sample", "dedup_minhash_signature",
-    "dedup_multi_signal", "dedup_semantic_flags", "dedup_simhash",
-    "events_daily_anomaly_zscore", "events_daily_pivot",
-    "events_day_over_day_retention", "events_hourly_rollup",
-    "events_top_users_per_type", "events_user_running_value",
-    "events_value_median_exact", "events_value_percentiles",
-    "multimodal_catalog", "multimodal_embed", "multimodal_image_resize",
-    "multimodal_near_dup", "multimodal_video_frames",
-    "r1_size_rotation_files", "r2_anchored_rotation_files",
-    "r2_interval_rotation_files", "r4_scheduled_rotation",
-    "sessions_per_user", "sim_ann_ivf_kmeans_topk", "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk", "sim_embedding_diversity", "sim_hybrid_rrf_topk",
-    "sketch_distinct_users_kmv", "text_bm25_topk", "text_fingerprints",
-    "text_language_id", "text_ngram_topk", "text_novelty_score",
-    "text_pii_redacted", "text_prune_frequent_tokens",
+    # (1) the 6 r10-staged operators, seated at registration — head seats
+    "text_bpe_pair_stats", "corpus_global_shuffle", "corpus_epoch_plan",
+    "corpus_expectations_report", "corpus_pagerank_centrality",
+    "text_quality_model_score",
+    # (2) 44 of the 49 r08-stale queries — rotation obligation
+    # (q6/q14/q15/q17/q19 deferred to r12, see above)
+    "corpus_chunk_windows", "corpus_decontam_overlap",
+    "corpus_dup_rate_by_source", "corpus_duplicate_spans",
+    "corpus_snapshot_diff", "corpus_source_cap", "corpus_token_budget",
+    "dedup_embedding_cosine_pairs", "dedup_ngram_jaccard_pairs",
+    "events_cohort_retention_matrix", "events_hourly_rollup_approx",
+    "events_rollup_day_type", "events_signup_funnel",
+    "events_sliding_rollup", "events_value_histogram",
+    "events_value_percentiles_sampled", "orders_without_recent_lineitems",
+    "q10_returned_items", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q16_parts_supplier_relationship",
+    "q18_large_volume_customers", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "sim_ann_lsh_multiprobe_topk", "sim_ann_pq_topk",
+    "sim_ann_recall_eval", "sim_ann_rp_topk", "sim_embedding_quantize",
+    "sim_knn_join", "sim_random_projection", "sim_topk_bruteforce",
+    "sketch_user_overlap_kmv", "text_langid_confusion", "text_normalized",
+    "text_rare_token_score", "text_repetition_signals",
+    "text_token_entropy", "text_unigram_nll",
 ]
 
 

@@ -170,6 +170,14 @@ HEADLINE += [
     "text_line_dedup",
     "dedup_takedown_expansion",
     "corpus_publish_decisions",
+    # round-11: the six r10-staged ops seated into the registry
+    # (their r10 extra_thunks rows retire — same operators, same names)
+    "text_bpe_pair_stats",
+    "corpus_global_shuffle",
+    "corpus_epoch_plan",
+    "corpus_expectations_report",
+    "corpus_pagerank_centrality",
+    "text_quality_model_score",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
@@ -217,48 +225,14 @@ def main() -> None:
     # round-9 continuation operators: pytest-pinned (window frozen), so
     # they bench as direct thunks instead of registry names — same
     # timing discipline, still one DataFrame forced with .count()
-    from kafka_connect_oss_spark.operators.bpe import pair_stats
     from kafka_connect_oss_spark.operators.text import span_dedup
     from kafka_connect_oss_spark.sources.batch import load_table
 
     def _bench_span_dedup(spark, sf):
         return span_dedup(load_table(spark, sf, "documents"))
 
-    def _bench_bpe_pair_stats(spark, sf):
-        return pair_stats(load_table(spark, sf, "documents"))
-
-    def _bench_global_shuffle(spark, sf):
-        from kafka_connect_oss_spark.operators.packing import global_shuffle
-        return global_shuffle(load_table(spark, sf, "documents"), seed=7)
-
-    def _bench_epoch_plan(spark, sf):
-        from kafka_connect_oss_spark.operators.packing import epoch_plan
-        return epoch_plan(load_table(spark, sf, "documents"),
-                          budget_tokens=1_000_000)
-
-    def _bench_quality_model(spark, sf):
-        from kafka_connect_oss_spark.operators import quality_model as QM
-        docs = load_table(spark, sf, "documents")
-        return QM.quality_score(docs, QM.fit_quality_classifier(docs))
-
-    def _bench_expectations(spark, sf):
-        from kafka_connect_oss_spark.registry_staged import (
-            corpus_expectations_report)
-        return corpus_expectations_report(spark, sf)
-
-    def _bench_pagerank(spark, sf):
-        from kafka_connect_oss_spark.registry_staged import (
-            corpus_pagerank_centrality)
-        return corpus_pagerank_centrality(spark, sf)
-
     extra_thunks = {
-        "corpus_expectations_report": _bench_expectations,
-        "corpus_pagerank_centrality": _bench_pagerank,
         "text_span_dedup": _bench_span_dedup,
-        "text_bpe_pair_stats": _bench_bpe_pair_stats,
-        "corpus_global_shuffle": _bench_global_shuffle,
-        "corpus_epoch_plan": _bench_epoch_plan,
-        "text_quality_model_score": _bench_quality_model,
     }
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1,20 +1,20 @@
-"""Round-11 seat candidates, pre-built in the driver's registry shape.
+"""Round-10 staged operators — SEATED at round 11 via registry_seated.
 
-The round-10 window was frozen after its close sweep (the standing
-convention: no registrations after the final ALL=1 verification), so the
-four operators added late in round 10 ship here instead — each entry is
-the EXACT (query builder, oracle) pair the registry would hold, checked
-by tests/test_staged_seats.py through the same tests/parity.compare
-contract the driver enforces. Seating them at round 11 is then a
-mechanical move:
+These six (query builder, oracle) pairs were built late in round 10
+after the window froze (the standing convention: no registrations after
+the final ALL=1 verification), shipped here in the driver's exact
+registry shape, and driven through the same tests/parity.compare
+contract the driver enforces (tests/test_staged_seats.py). Round 11
+executed the documented mechanical move — registry_seated registers
+every entry verbatim:
 
     for name, fn in registry_staged.STAGED_QUERIES.items():
         register(name, registry_staged.STAGED_ORACLES.get(name))(fn)
     LAZY_ORACLES.update(registry_staged.STAGED_LAZY_ORACLES)
 
-(plus moving the bench thunks back to registry names). Nothing in this
-module is imported by the live registry; importing it never mutates
-QUERIES/ORACLES.
+This module stays the single definition site (docstrings, shared
+constants, the fit cache); importing IT still never mutates
+QUERIES/ORACLES — only importing registry_seated does.
 """
 
 from __future__ import annotations
