@@ -744,6 +744,23 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     runs only on candidate survivors. Shingle sets are staged via
     lifecycle.stage_local (GC-released, no CacheManager pinning).
 
+    Plan shape (r11 adjudication of the r10 +43%): the shingle pipeline
+    (scan -> tokenize -> shingle md5 -> distinct) runs ONCE and is
+    staged; the r10 form ran it three times — staged inside
+    _bounded_posting_index for the count+list build, raw again as the
+    candidate-probe side, raw a third time in shingle_set_frame. Two of
+    those consumers are redundant in the SELF-join case: candidate
+    pairs expand from the bounded index alone (every id in a posting
+    list IS a posting row for that shingle, so probing posts against
+    the index re-derives what the list already holds — a double explode
+    emits the identical pair set with zero extra exchange of posting
+    rows), and the verification sets are the same distinct (id, _h)
+    rows grouped by id instead of by _h. The capped postings are staged
+    AT the semi-join's hash(_h) partitioning, so the index groupBy
+    reuses it exchange-free; _bounded_posting_index keeps the join form
+    for the cross-probe consumers (incremental / takedown tiers), whose
+    probe side is a different corpus.
+
     Returns (id_a, id_b, containment) with id_a < id_b, containment
     rounded to 4 (identical double math in the DuckDB oracle).
     """
@@ -757,15 +774,22 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     rep_docs = docs.join(groups.select(F.col("rep").alias(id_col)),
                          id_col, "semi")
 
-    posts = shingle_hash_pairs(rep_docs, text_col, ngram, id_col)
-    idx = _bounded_posting_index(posts, id_col, hot_shingle_df_cap)
-    cand = (posts.join(idx, "_h")
-            .select(F.col(id_col).alias("id_a"),
-                    F.explode("_ids").alias("id_b"))
+    posts = stage_local(shingle_hash_pairs(rep_docs, text_col, ngram,
+                                           id_col))
+    if hot_shingle_df_cap is not None:
+        ok = (posts.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+              .where(F.col("_df") <= hot_shingle_df_cap).select("_h"))
+        capped = stage_local(posts.join(ok, "_h", "semi"))
+    else:
+        capped = posts
+    idx = capped.groupBy("_h").agg(F.collect_list(id_col).alias("_ids"))
+    cand = (idx.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
             .where(F.col("id_a") < F.col("id_b"))
             .distinct())
 
-    sig = stage_local(shingle_set_frame(rep_docs, text_col, ngram, id_col))
+    sig = stage_local(posts.groupBy(id_col)
+                      .agg(F.collect_list("_h").alias("hh")))
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("hh").alias("h_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("hh").alias("h_b"))
     rep_pairs = (cand.join(sa, "id_a").join(sb, "id_b")
