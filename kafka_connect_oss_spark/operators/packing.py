@@ -551,7 +551,13 @@ def epoch_plan(docs: DataFrame, budget_tokens: int,
     per = (docs.groupBy(source_col)
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum(tokens).cast("long").alias("n_tokens")))
-    if weights:
+    if weights is not None:
+        # an explicit dict that cannot yield a positive weight sum would
+        # otherwise divide by _wsum=0 and emit all-NULL plan rows — fail
+        # loudly instead (mirrors expectations_report's empty-suite guard)
+        if not weights or sum(weights.values()) <= 0:
+            raise ValueError(
+                "epoch_plan: explicit weights must sum to a positive value")
         wmap = F.create_map(*[F.lit(x) for kv in weights.items()
                               for x in kv])
         per = per.withColumn(
@@ -560,10 +566,16 @@ def epoch_plan(docs: DataFrame, budget_tokens: int,
     else:
         per = per.withColumn("weight", F.col("n_tokens").cast("double"))
     tot = per.agg(F.sum("weight").alias("_wsum"))
+    # ...and the data-dependent residue of the same class (a positive
+    # dict naming only sources absent from the corpus) raises at
+    # execution time rather than planning NULL targets
+    wsum = F.when(F.col("_wsum") > 0, F.col("_wsum")).otherwise(
+        F.expr("raise_error('epoch_plan: effective weight sum is not "
+               "positive — no weighted source is present in the data')"))
     d = (per.crossJoin(F.broadcast(tot))
          .withColumn("target_tokens",
                      F.round(F.lit(float(budget_tokens)) * F.col("weight")
-                             / F.col("_wsum")).cast("long"))
+                             / wsum).cast("long"))
          .withColumn("epochs",
                      F.round(F.least(
                          F.lit(float(max_epochs)),

@@ -48,7 +48,11 @@ def _feature_exprs(text_col: str) -> dict[str, tuple[str, str]]:
         fil = "filter" if dialect == "spark" else "list_filter"
         tf = "transform" if dialect == "spark" else "list_transform"
         dedup = "array_distinct" if dialect == "spark" else "list_distinct"
-        n = f"{size}({tok})"
+        # size(NULL) is NULL in both engines, so a NULL text column would
+        # flow NaN into the numpy fit and NULL quality_prob at scoring —
+        # guard the count itself and every feature is finite (the other
+        # five already COALESCE their NULL-propagating divisions to 0)
+        n = f"COALESCE({size}({tok}), 0)"
         if dialect == "spark":
             tlen_sum = f"aggregate({tok}, 0, (acc, x) -> acc + length(x))"
             rx = f"{size}({fil}({tok}, x -> x rlike '[A-Za-z]'))"

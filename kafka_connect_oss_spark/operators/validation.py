@@ -85,11 +85,17 @@ def accepted_values(col: str, values: list[str],
 def matches(col: str, regex: str, max_violation_rate: float = 0.0,
             ) -> Expectation:
     """Anchor the regex yourself when full-match is intended — both
-    engines search for the pattern anywhere in the string."""
-    r = regex.replace("'", "''")
+    engines search for the pattern anywhere in the string.
+
+    Spark's default parser interprets backslash escapes inside a
+    single-quoted literal ('^\\d+$' would reach RLIKE as '^d+$') while
+    DuckDB's does not, so the Spark side doubles every backslash — the
+    two engines then compile the identical pattern."""
+    r_spark = regex.replace("\\", "\\\\").replace("'", "''")
+    r_duck = regex.replace("'", "''")
     s, d = _pred_violations(
-        f"({col} IS NULL OR {col} RLIKE '{r}')",
-        f"({col} IS NULL OR regexp_matches({col}, '{r}'))")
+        f"({col} IS NULL OR {col} RLIKE '{r_spark}')",
+        f"({col} IS NULL OR regexp_matches({col}, '{r_duck}'))")
     return Expectation(f"matches:{col}", s, d, max_violation_rate)
 
 

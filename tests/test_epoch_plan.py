@@ -60,3 +60,35 @@ def test_epochs_never_exceed_cap(spark, sf_dir):
     over = (epoch_plan(docs, budget_tokens=10**9, max_epochs=3.5)
             .where(F.col("epochs") > 3.5).count())
     assert over == 0
+
+
+def test_zero_sum_weights_raise(spark):
+    """An explicit weights dict that cannot produce a positive weight sum
+    must fail loudly instead of planning all-NULL rows (r10 ADVICE)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        epoch_plan(_corpus(spark), budget_tokens=100,
+                   weights={"a": 0.0, "b": 0.0})
+    with pytest.raises(ValueError, match="positive"):
+        epoch_plan(_corpus(spark), budget_tokens=100, weights={})
+
+
+def test_absent_source_weights_raise_at_execution(spark):
+    """A positive dict naming only sources absent from the corpus zeroes
+    the effective weight sum at runtime — the plan raises instead of
+    emitting NULL targets."""
+    import pytest
+
+    df = epoch_plan(_corpus(spark), budget_tokens=100,
+                    weights={"nope": 1.0})
+    with pytest.raises(Exception, match="effective weight sum"):
+        df.collect()
+
+
+def test_explicit_weights_still_plan(spark):
+    got = {r.source: r for r in
+           epoch_plan(_corpus(spark), budget_tokens=100,
+                      weights={"a": 1.0, "b": 3.0}).collect()}
+    assert got["a"].target_tokens == 25
+    assert got["b"].target_tokens == 75

@@ -76,3 +76,20 @@ def test_empty_and_degenerate_text(spark):
             for r in QM.quality_score(docs, model).collect()}
     assert all(0.0 <= v <= 1.0 for v in rows.values())
     assert rows[0] == rows[1]  # both all-zero feature vectors
+
+
+def test_null_text_scores_finite(spark):
+    """NULL text must flow 0-features (not NULL/NaN) through fit and a
+    finite probability through score (r10 ADVICE: size(NULL) is NULL)."""
+    rows = [(i, "some words here repeated " * (i + 2)) for i in range(40)]
+    rows += [(98, None), (99, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {r.doc_id: r for r in QM.quality_features(docs).collect()}
+    assert feats[99].f_n_words == 0.0
+    assert all(getattr(feats[99], n) == 0.0 for n in QM.FEATURE_NAMES)
+    model = QM.fit_quality_classifier(docs, sample_size=64)
+    assert all(w == w for w in model["w"]), "fit must not absorb NaN"
+    scored = {r.doc_id: r for r in
+              QM.quality_score(docs, model).collect()}
+    assert scored[99].quality_prob is not None
+    assert 0.0 <= scored[99].quality_prob <= 1.0

@@ -2,6 +2,7 @@
 fixtures, dialect parity of the oracle emitters, and the one-scan plan
 guarantee."""
 
+import duckdb
 import pytest
 
 from kafka_connect_oss_spark.operators import validation as V
@@ -123,3 +124,23 @@ def test_oracle_parity_on_testdata(spark, sf_dir):
             "referential_expectation")
     finally:
         con.close()
+
+
+def test_matches_backslash_regex_parity(spark):
+    """Spark's parser eats backslashes inside single-quoted literals
+    (DuckDB's does not) — matches() must double them for the Spark side
+    so both engines compile the identical pattern (r10 ADVICE)."""
+    df = spark.createDataFrame(
+        [(1, "123"), (2, "abc"), (3, "4x5"), (4, None)],
+        "id long, s string")
+    exp = V.matches("s", r"^\d+$")
+    rep = {r.check_id: r for r in
+           V.expectations_report(df, [exp]).collect()}
+    # with the unescaped bug the Spark pattern becomes '^d+$': 0 matches
+    # -> 3 violations; the true pattern accepts only '123' -> 2
+    assert rep["matches:s"].violations == 2
+    con = duckdb.connect()
+    con.register("tbl", df.toPandas())
+    dv = con.execute(
+        "SELECT " + exp.duck_agg + " FROM tbl").fetchone()[0]
+    assert dv == 2, "DuckDB oracle must count the same violations"
