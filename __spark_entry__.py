@@ -72,16 +72,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     text_quality_model_score — head seats (no registration without a
 #:     seat; each already parity-proven through tests/parity.compare in
 #:     tests/test_staged_seats.py);
-#: (2) 44 of the 49 r08-attested queries, 3 rounds stale at r11 —
-#:     the rotation obligation. 49 stale + 6 new = 55 candidates for 50
-#:     seats, so FIVE stale rows are DEFERRED to round 12 (new-op
+#: (1b) corpus_training_order_export, NEW this round (r10 judge item 5:
+#:     the epoch_plan -> sample -> shuffle -> pack -> manifest
+#:     composition), seated at registration;
+#: (2) 43 of the 49 r08-attested queries, 3 rounds stale at r11 —
+#:     the rotation obligation. 49 stale + 7 new = 56 candidates for 50
+#:     seats, so SIX stale rows are DEFERRED to round 12 (new-op
 #:     seating outranks staleness, the established rule). The deferral
-#:     picks the lowest-risk class: untouched single-row-result TPC-H
+#:     picks the lowest-risk class: untouched small-result TPC-H
 #:     aggregates whose code has not changed since r01 —
 #:     q6_forecast_revenue, q14_promo_revenue, q15_top_supplier,
-#:     q17_small_quantity_revenue, q19_discounted_revenue. These five
-#:     are the FIRST seats of the r12 window (4 rounds stale then,
-#:     hard obligation).
+#:     q17_small_quantity_revenue, q19_discounted_revenue (single-row),
+#:     q4_order_priority (5 rows). These six are the FIRST seats of the
+#:     r12 window (4 rounds stale then, hard obligation; r12 arithmetic:
+#:     6 deferred + 47 r09-stale = 53 hard candidates, so r12 defers
+#:     ~3 of the 47 to r13 under the same rule — the registry is at the
+#:     150-query steady-state capacity of a 50-seat/3-round cadence, so
+#:     a documented one-round deferral tail is now structural).
 #: The remaining 97 registered queries carry green rows from r09/r10
 #: (test_driver_window's attestation invariant); the still-unregistered
 #: r09b ops (compaction, re-publish, span_dedup, skew diagnostics,
@@ -93,8 +100,10 @@ DRIVER_WINDOW: list[str] = [
     "text_bpe_pair_stats", "corpus_global_shuffle", "corpus_epoch_plan",
     "corpus_expectations_report", "corpus_pagerank_centrality",
     "text_quality_model_score",
-    # (2) 44 of the 49 r08-stale queries — rotation obligation
-    # (q6/q14/q15/q17/q19 deferred to r12, see above)
+    # (1b) new this round, seated at registration
+    "corpus_training_order_export",
+    # (2) 43 of the 49 r08-stale queries — rotation obligation
+    # (q4/q6/q14/q15/q17/q19 deferred to r12, see above)
     "corpus_chunk_windows", "corpus_decontam_overlap",
     "corpus_dup_rate_by_source", "corpus_duplicate_spans",
     "corpus_snapshot_diff", "corpus_source_cap", "corpus_token_budget",
@@ -106,7 +115,7 @@ DRIVER_WINDOW: list[str] = [
     "q10_returned_items", "q12_late_shipment_priority",
     "q13_customer_distribution", "q16_parts_supplier_relationship",
     "q18_large_volume_customers", "q20_dominant_suppliers",
-    "q21_waiting_suppliers", "q22_dormant_customers", "q4_order_priority",
+    "q21_waiting_suppliers", "q22_dormant_customers",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "sim_ann_lsh_multiprobe_topk", "sim_ann_pq_topk",
     "sim_ann_recall_eval", "sim_ann_rp_topk", "sim_embedding_quantize",

@@ -178,6 +178,8 @@ HEADLINE += [
     "corpus_expectations_report",
     "corpus_pagerank_centrality",
     "text_quality_model_score",
+    # round-11 new operator
+    "corpus_training_order_export",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
