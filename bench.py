@@ -227,15 +227,11 @@ def main() -> None:
     # round-9 continuation operators: pytest-pinned (window frozen), so
     # they bench as direct thunks instead of registry names — same
     # timing discipline, still one DataFrame forced with .count()
-    from kafka_connect_oss_spark.operators.text import span_dedup
-    from kafka_connect_oss_spark.sources.batch import load_table
+    # r12 staged seats (registry_staged_r12): bench as direct thunks
+    # until seated — same timing discipline, one DataFrame forced
+    from kafka_connect_oss_spark import registry_staged_r12 as _r12
 
-    def _bench_span_dedup(spark, sf):
-        return span_dedup(load_table(spark, sf, "documents"))
-
-    extra_thunks = {
-        "text_span_dedup": _bench_span_dedup,
-    }
+    extra_thunks = dict(_r12.STAGED_QUERIES)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 

@@ -229,6 +229,38 @@ def pair_stats_oracle_sql(table_expr: str, text_col: str = "text",
     FROM p GROUP BY sym_a, sym_b"""
 
 
+def bpe_encode_oracle_sql(table_expr: str, merges: list,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB mirror of the fitted encoders: per word, the same
+    boundary-safe packed-replace replay ``pair_stats_oracle_sql``
+    documents (replay-in-learned-order == greedy ranked, pinned by
+    test_bpe), reassembled per document in word order. Docs with no
+    words keep an empty token string via the left join."""
+    packed = (f"concat('{_SEP}', array_to_string(string_split_regex("
+              f"word, ''), '{_SEP}{_SEP}'), '{EOW}{_SEP}')")
+    for m in merges:
+        pa = m[0].replace("'", "''")
+        pb = m[1].replace("'", "''")
+        packed = (f"replace({packed}, '{_SEP}{pa}{_SEP}{_SEP}{pb}{_SEP}',"
+                  f" '{_SEP}{pa}{pb}{_SEP}')")
+    toks = f"list_filter(string_split({text_col}, ' '), tt -> tt <> '')"
+    return f"""WITH w0 AS (
+      SELECT {id_col}, {toks} AS ws FROM {table_expr}),
+    w AS (SELECT {id_col}, ws[i] AS word, i AS wp
+          FROM w0, unnest(range(1, len(ws) + 1)) AS t(i)),
+    s AS (SELECT {id_col}, wp, string_split(
+            trim({packed}, '{_SEP}'), '{_SEP}{_SEP}') AS syms
+          FROM w),
+    d AS (SELECT {id_col},
+                 flatten(list(syms ORDER BY wp)) AS toks
+          FROM s GROUP BY {id_col})
+    SELECT t.{id_col},
+           CAST(COALESCE(len(d.toks), 0) AS BIGINT) AS n_tokens,
+           COALESCE(array_to_string(d.toks, ' '), '') AS tokens_str
+    FROM {table_expr} t LEFT JOIN d USING ({id_col})"""
+
+
 def bpe_encode_ranked(docs: DataFrame, merges: list,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

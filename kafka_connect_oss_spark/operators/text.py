@@ -1723,6 +1723,64 @@ def span_dedup(docs: DataFrame, size: int = 120, stride: int = 80,
                         F.lit(0)).cast("long").alias("removed_chars")))
 
 
+def span_dedup_oracle_sql(table_expr: str, size: int = 120,
+                          stride: int = 80, min_docs: int = 2,
+                          min_len: int = 40, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB mirror of ``span_dedup``: the span_coverage interval chain
+    (same chunk grid, same island merge), then the excision expressed as
+    string_agg of the inter-interval segments (ordered by interval
+    start, '' separator) plus the tail after the last interval — the
+    relational form of the Spark fold's left-to-right cursor."""
+    chunks = chunk_documents_oracle_sql(table_expr, size, stride,
+                                        text_col, id_col)
+    return f"""WITH chunks AS ({chunks}),
+    keyed AS (SELECT md5(chunk_text) AS span_md5, {id_col}, chunk_id,
+                     chunk_len
+              FROM chunks WHERE chunk_len >= {min_len}),
+    dup AS (SELECT span_md5 FROM keyed
+            GROUP BY span_md5
+            HAVING COUNT(DISTINCT {id_col}) >= {min_docs}),
+    hits AS (SELECT k.{id_col},
+                    CAST(k.chunk_id AS BIGINT) * {stride} + 1 AS s,
+                    CAST(k.chunk_id AS BIGINT) * {stride} + k.chunk_len
+                      AS e
+             FROM keyed k JOIN dup d USING (span_md5)),
+    brk AS (SELECT {id_col}, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY {id_col} ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+            FROM hits),
+    isl AS (SELECT {id_col}, s, e,
+                   SUM(b) OVER (PARTITION BY {id_col} ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM brk),
+    merged AS (SELECT {id_col}, island, MIN(s) AS s, MAX(e) AS e
+               FROM isl GROUP BY {id_col}, island),
+    seg AS (SELECT {id_col}, s, e,
+                   COALESCE(LAG(e) OVER (PARTITION BY {id_col}
+                                         ORDER BY s), 0) AS pe
+            FROM merged),
+    pieces AS (SELECT g.{id_col},
+                      string_agg(substr(t.{text_col},
+                                        CAST(g.pe + 1 AS INT),
+                                        CAST(g.s - g.pe - 1 AS INT)),
+                                 '' ORDER BY g.s) AS head,
+                      MAX(g.e) AS last_e,
+                      SUM(g.e - g.s + 1) AS removed
+               FROM seg g JOIN {table_expr} t USING ({id_col})
+               GROUP BY g.{id_col})
+    SELECT t.{id_col},
+           CASE WHEN p.{id_col} IS NULL THEN t.{text_col}
+                ELSE COALESCE(p.head, '')
+                     || substr(t.{text_col}, CAST(p.last_e + 1 AS INT))
+           END AS clean_text,
+           CAST(COALESCE(p.removed, 0) AS BIGINT) AS removed_chars
+    FROM {table_expr} t LEFT JOIN pieces p USING ({id_col})"""
+
+
 def domain_profile(docs: DataFrame, text_col: str = "text",
                    source_col: str = "source", lang_col: str = "lang",
                    id_col: str = "doc_id") -> DataFrame:

@@ -1,0 +1,94 @@
+"""Round-12 seat candidates, pre-built in the driver's registry shape.
+
+Same contract as the (now-seated) round-10 batch in registry_staged:
+each entry is the EXACT (query builder, oracle) pair the registry would
+hold, checked by tests/test_staged_seats_r12.py through the same
+tests/parity.compare contract the driver enforces. Seating them at
+round 12 is the identical mechanical move registry_seated performs for
+the r10 batch. Importing THIS module never mutates QUERIES/ORACLES.
+
+The r12 window already carries 6 deferred r08 rows + 47 r09-stale rows,
+so these two seat AFTER the deferrals at the window head.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators import bpe
+from kafka_connect_oss_spark.operators import text as TXT
+from kafka_connect_oss_spark.sources.batch import load_table
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+STAGED_LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
+
+#: merge-table size shared by the query and its lazy oracle; 24 keeps the
+#: oracle's packed-replace replay (one replace per merge) readable while
+#: exercising multi-character merges well past the first round
+BPE_N_MERGES = 24
+
+# -- text_bpe_encode: LAZY oracle (merge table fitted from the data) -------
+
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Fit-once-per-sf cache shared by the query and its lazy oracle —
+    legitimate because fit_bpe_merges is DETERMINISTIC (vocab-scale
+    argmax with freq-desc + lexicographic tie-break, pinned by
+    tests/test_bpe.py), the same discipline as the k-means and
+    quality-model lazy oracles."""
+    if sf_dir not in _BPE_MERGE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_MERGE_CACHE[sf_dir] = bpe.fit_bpe_merges(docs, BPE_N_MERGES)
+    return _BPE_MERGE_CACHE[sf_dir]
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a corpus-fitted BPE merge table
+    (operators/bpe.fit_bpe_merges + bpe_encode_ranked): the end-to-end
+    tokenizer-training -> encoding path, per doc (n_tokens + the
+    space-joined token string — subword pieces contain no spaces, the
+    words were split on them). The ranked greedy encoder runs in one
+    Arrow-batched mapInPandas pass, merge table shipped once per
+    executor; ranked == in-order-replay == the oracle's packed replace
+    is pinned by test_bpe."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    enc = bpe.bpe_encode_ranked(docs, merges)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_str"))
+
+
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
+    merges = _bpe_merges(spark, sf_dir)
+    return bpe.bpe_encode_oracle_sql("documents", merges)
+
+
+STAGED_QUERIES["text_bpe_encode"] = text_bpe_encode
+STAGED_LAZY_ORACLES["text_bpe_encode"] = _bpe_encode_oracle
+
+
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span excision (operators/text.span_dedup): every
+    cross-doc-duplicated merged chunk interval is cut out of the text,
+    keeping the remainder in order — the repair half of Lee et al.
+    2021's exact-substring dedup (dedup_span_coverage is the decision
+    half over the same chunk grid)."""
+    return TXT.span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+STAGED_QUERIES["text_span_dedup"] = text_span_dedup
+STAGED_ORACLES["text_span_dedup"] = TXT.span_dedup_oracle_sql("documents")
