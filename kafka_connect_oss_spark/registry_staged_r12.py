@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_oss_spark.operators import bpe
+from kafka_connect_oss_spark.operators import drift as DRIFT
 from kafka_connect_oss_spark.operators import text as TXT
 from kafka_connect_oss_spark.sources.batch import load_table
 
@@ -92,3 +93,34 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAGED_QUERIES["text_span_dedup"] = text_span_dedup
 STAGED_ORACLES["text_span_dedup"] = TXT.span_dedup_oracle_sql("documents")
+
+
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-shift report (operators/drift.
+    drift_report) between two snapshots carved from the documents table
+    with the corpus_snapshot_diff demo convention — base lacks the
+    doc_id%10==9 stratum, snap drops %10==0 and rewrites %7==3 with an
+    injected vocabulary — so churn, removal, AND real lexical drift are
+    all present in the report."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 != 9)
+    snap = (docs.where(F.col("doc_id") % 10 != 0)
+            .withColumn("text",
+                        F.when(F.col("doc_id") % 7 == 3,
+                               F.concat(F.col("text"),
+                                        F.lit(" drifted vocabulary"
+                                              " injection")))
+                        .otherwise(F.col("text"))))
+    return DRIFT.drift_report(base, snap)
+
+
+_DRIFT_BASE_SQL = "(SELECT * FROM documents WHERE doc_id % 10 <> 9)"
+_DRIFT_SNAP_SQL = (
+    "(SELECT doc_id, source, lang, n_chars, "
+    "CASE WHEN doc_id % 7 = 3 "
+    "THEN text || ' drifted vocabulary injection' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 10 <> 0)")
+
+STAGED_QUERIES["corpus_drift_report"] = corpus_drift_report
+STAGED_ORACLES["corpus_drift_report"] = DRIFT.drift_report_oracle_sql(
+    _DRIFT_BASE_SQL, _DRIFT_SNAP_SQL)

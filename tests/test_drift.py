@@ -1,0 +1,68 @@
+"""Corpus drift report (operators/drift.py): KL behavior on controlled
+shifts, identity baseline, new-vocab accounting, and determinism.
+(DuckDB parity runs in tests/test_staged_seats_r12.py through the staged
+registry entry.)"""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_oss_spark.operators import drift as D
+from kafka_connect_oss_spark.sources.batch import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string,"
+                                       " text string")
+
+
+def test_identical_snapshots_report_zero(spark):
+    d = _docs(spark, [(i, "a", "alpha beta gamma") for i in range(6)])
+    rows = {r.source: r for r in D.drift_report(d, d).collect()}
+    assert rows["a"].kl_snap_base == 0.0
+    assert rows["a"].new_vocab_rate == 0.0
+    assert rows["a"].mean_chars_delta == 0.0
+    assert rows["a"].n_docs_base == rows["a"].n_docs_snap == 6
+
+
+def test_injected_drift_raises_kl(spark):
+    base = _docs(spark, [(i, "a", "alpha beta gamma delta")
+                         for i in range(8)])
+    mild = _docs(spark, [(i, "a", "alpha beta gamma delta")
+                         for i in range(7)]
+                 + [(7, "a", "alpha beta gamma epsilon")])
+    wild = _docs(spark, [(i, "a", "zeta eta theta iota")
+                         for i in range(8)])
+    kl = {}
+    for tag, snap in (("mild", mild), ("wild", wild)):
+        kl[tag] = D.drift_report(base, snap).collect()[0].kl_snap_base
+    assert 0 < kl["mild"] < kl["wild"]
+
+
+def test_new_vocab_rate_counts_unseen_words(spark):
+    base = _docs(spark, [(0, "a", "alpha beta")])
+    snap = _docs(spark, [(0, "a", "alpha newword")])
+    r = D.drift_report(base, snap).collect()[0]
+    # snapshot vocab = {alpha, newword}; unseen = {newword}
+    assert r.new_vocab_rate == 0.5
+    assert r.union_vocab == 3
+
+
+def test_sources_missing_one_side(spark):
+    base = _docs(spark, [(0, "a", "alpha beta"), (1, "b", "gamma")])
+    snap = _docs(spark, [(0, "a", "alpha beta"), (2, "c", "delta")])
+    rows = {r.source: r for r in D.drift_report(base, snap).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["b"].n_docs_snap == 0 and rows["b"].tokens_snap == 0
+    assert rows["c"].n_docs_base == 0 and rows["c"].tokens_base == 0
+    # KL stays finite through smoothing on one-sided sources
+    assert rows["b"].kl_snap_base is not None
+    assert rows["c"].kl_snap_base is not None
+
+
+def test_deterministic_across_partitionings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    snap = docs.where(F.col("doc_id") % 3 != 0)
+    a = sorted(map(tuple, D.drift_report(base, snap).collect()))
+    b = sorted(map(tuple, D.drift_report(
+        base.repartition(17), snap.repartition(5)).collect()))
+    assert a == b
