@@ -384,6 +384,46 @@ def main() -> None:
          "candidates reach the exact verify join — no false negatives, "
          "so the clean set is identical to the unguarded fallback")
 
+    # r11 additions: the composite export, the containment single-pass
+    # rewrite, and the r12 staged seats
+    from kafka_connect_oss_spark import registry_staged_r12 as R12
+    from kafka_connect_oss_spark.operators import dedup as DD
+    from kafka_connect_oss_spark.registry import QUERIES
+
+    emit(QUERIES["corpus_training_order_export"](spark, SF_DIR),
+         "corpus_training_order_export (r11)",
+         "the chained export shares ONE hash Exchange on shard between "
+         "the shuffle window and the pack cumsum window (both sort "
+         "within shard); the epoch plan is a sources-sized broadcast, "
+         "epoch expansion is a Generate with no shuffle, and the "
+         "manifest is a map-side-combined n_shards-group aggregate")
+    emit(DD.containment_pairs(load_table(spark, SF_DIR, "documents")),
+         "dedup_containment_pairs (r11 single-pass rewrite)",
+         "the scan->shingle->distinct pipeline appears ONCE (staged via "
+         "localCheckpoint); the bounded index builds from the capped "
+         "postings staged AT the semi-join's hash(_h) partitioning "
+         "(groupBy reuses it exchange-free), candidates double-explode "
+         "from the index itself — no probe-side re-scan, no second "
+         "exchange of posting rows")
+    emit(R12.STAGED_QUERIES["corpus_drift_report"](spark, SF_DIR),
+         "corpus_drift_report (staged r12 seat)",
+         "two map-side-combined word-count aggregates, ONE full-outer "
+         "SortMergeJoin on (source, word), a sources-sized broadcast of "
+         "the totals, one final per-source aggregate — nothing keyed "
+         "finer than (source, word), no windows")
+    emit(R12.STAGED_QUERIES["text_span_dedup"](spark, SF_DIR),
+         "text_span_dedup (staged r12 seat)",
+         "the shared interval core (one staged chunk explode + one "
+         "16-byte-md5 shuffle + per-doc islands window) feeds a per-doc "
+         "collect_list bounded by intervals-per-doc and ONE id-keyed "
+         "join back to the text; the excision is a higher-order "
+         "aggregate fold in codegen, no UDF")
+    emit(R12.STAGED_QUERIES["text_bpe_encode"](spark, SF_DIR),
+         "text_bpe_encode (staged r12 seat)",
+         "after the bounded deterministic fit, scoring is ONE "
+         "mapInPandas over a narrow (id, text) projection — merge table "
+         "ships in the closure, no shuffle before the output projection")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
