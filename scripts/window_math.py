@@ -1,0 +1,78 @@
+"""Compute the driver-window rotation arithmetic for the NEXT round.
+
+Reads every CORRECTNESS_r*.json plus the live registry and prints, per
+query, the most recent green round; then the staleness buckets and the
+suggested next-round window under the standing rules:
+
+  1. never-green and latest-red rows seat first (hard);
+  2. new registrations seat at registration (hard);
+  3. rows N rounds stale rotate in oldest-first (3 = obligation, 4 =
+     ceiling — a deferral must be written into the window comment);
+  4. overflow defers the lowest-risk rows (untouched small-result TPC-H
+     first) to the following round.
+
+Usage: python scripts/window_math.py [next_round_number]
+"""
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SAMPLE = 50
+
+
+def green(rec: dict) -> bool:
+    return bool(rec.get("rows_match") and rec.get("schema_match")
+                and rec.get("hash_match") and not rec.get("err"))
+
+
+def main() -> None:
+    import __spark_entry__ as E
+
+    rounds = sorted(
+        int(m.group(1)) for f in os.listdir(REPO)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)))
+    last_green: dict[str, int] = {}
+    latest_row: dict[str, tuple[int, dict]] = {}
+    for n in rounds:
+        with open(os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")) as fh:
+            for name, rec in json.load(fh).items():
+                latest_row[name] = (n, rec)
+                if green(rec):
+                    last_green[name] = n
+    nxt = int(sys.argv[1]) if len(sys.argv) > 1 else (max(rounds) + 1)
+    qs = list(E.queries())
+    print(f"registry={len(qs)}  rounds seen={rounds}  next round=r{nxt}")
+
+    never = [n for n in qs if n not in last_green]
+    latest_red = [n for n, (r, rec) in latest_row.items()
+                  if n in qs and not green(rec)
+                  and last_green.get(n, -1) < r]
+    by_age: dict[int, list[str]] = {}
+    for n in qs:
+        if n in last_green:
+            by_age.setdefault(nxt - last_green[n], []).append(n)
+    print(f"never-green (hard seats): {len(never)} {never}")
+    print(f"latest-red (hard seats): {len(latest_red)} {latest_red}")
+    for age in sorted(by_age, reverse=True):
+        tag = ("HARD (>=4 rounds, past ceiling)" if age >= 4 else
+               "obligation (3 rounds)" if age == 3 else "")
+        print(f"stale {age} rounds: {len(by_age[age])} {tag}")
+        if age >= 3:
+            for n in sorted(by_age[age]):
+                print(f"    {n}")
+    hard = never + latest_red + [n for a, ns in by_age.items()
+                                 if a >= 4 for n in ns]
+    oblig = by_age.get(3, [])
+    print(f"\nseats: hard={len(hard)} + 3-round obligation={len(oblig)} "
+          f"= {len(hard) + len(oblig)} of {SAMPLE}"
+          + ("  ** OVERFLOW: defer the tail (TPC-H small-result first) **"
+             if len(hard) + len(oblig) > SAMPLE else
+             f"  ({SAMPLE - len(hard) - len(oblig)} spare)"))
+
+
+if __name__ == "__main__":
+    main()
