@@ -563,6 +563,50 @@ def run_ingest_qc(stream_docs: DataFrame, out_path: str, checkpoint: str,
             .trigger(availableNow=True).start())
 
 
+def run_drift_monitor(stream_docs: DataFrame, baseline_path: str,
+                      out_path: str, checkpoint: str,
+                      text_col: str = "text",
+                      source_col: str = "source"):
+    """Streaming form of the corpus drift report: every micro-batch is
+    scored as a snapshot against the BASELINE corpus
+    (operators/drift.drift_report — per-source smoothed unigram KL,
+    new-vocab rate, volume/length deltas) and appended to ``out_path``
+    as the report columns + batch_id. ``run_ingest_qc`` watches each
+    batch's own quality fingerprint; this watches each batch's
+    DISTRIBUTION against a pinned reference — a source that pivots its
+    vocabulary mid-crawl trips this stream while its per-batch quality
+    numbers stay flat.
+
+    The baseline is a parquet path re-read per batch (the blocklist-gate
+    convention: an operator can re-publish the baseline without
+    restarting the stream). Stateless across batches — each report row
+    set describes (baseline, this batch) only — so replays are
+    idempotent via the family's dynamic-partition-overwrite-by-batch_id
+    discipline; no stream-internal state grows.
+
+    Per-batch cost: the baseline side's word counts are recomputed per
+    batch (one map-side-combined aggregate over the baseline scan);
+    pipelines where that dominates pre-aggregate the baseline once into
+    the (source, word, count) shape and point this monitor's
+    drift-report variant at it — the operator's join consumes exactly
+    that frame.
+    """
+    from kafka_connect_oss_spark.operators.drift import drift_report
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        base = batch.sparkSession.read.parquet(baseline_path)
+        rep = drift_report(base, batch, text_col, source_col)
+        (rep.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
+
+    return (stream_docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())
+
+
 def run_incremental_ivf(stream_emb: DataFrame, centroids: DataFrame,
                         out_path: str, checkpoint: str,
                         vec_col: str = "embedding",

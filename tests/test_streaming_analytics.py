@@ -647,3 +647,49 @@ def test_run_incremental_ivf_matches_batch_and_replays_idempotent(
     A.run_incremental_ivf(sdf, cents, str(out), str(ck)).awaitTermination(180)
     after = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
     assert after == before
+
+
+def test_run_drift_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming drift monitor: each micro-batch's report rows equal
+    drift_report(baseline, that chunk) run as a batch, and a replayed
+    batch_id partition holds one deterministic row set."""
+    import glob
+    import shutil
+
+    from kafka_connect_oss_spark.operators.drift import drift_report
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    base_path = tmp_path / "baseline"
+    base.write.parquet(str(base_path))
+
+    arrivals = docs.where(F.col("doc_id") % 2 == 1)
+    stream_dir = tmp_path / "chunks"
+    stream_dir.mkdir()
+    chunks = [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3]
+    for i, pred in enumerate(chunks):
+        arrivals.where(pred).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}"))
+        src = glob.glob(str(tmp_path / f"part{i}" / "*.parquet"))[0]
+        shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    out = tmp_path / "drift_out"
+    q = A.run_drift_monitor(sdf, str(base_path), str(out),
+                            str(tmp_path / "ck_drift"))
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    batch_ids = sorted(r.batch_id for r in
+                       got.select("batch_id").distinct().collect())
+    assert len(batch_ids) == 2
+    base_rt = spark.read.parquet(str(base_path))
+    for bid, pred in zip(batch_ids, chunks):
+        want = sorted(map(tuple, drift_report(
+            base_rt, arrivals.where(pred)).collect()))
+        have = sorted(map(tuple, got.where(F.col("batch_id") == bid)
+                          .drop("batch_id").collect()))
+        assert have == want, f"batch {bid} drift rows diverge from batch op"
