@@ -453,11 +453,18 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
     base_rep_docs = base.join(
         breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
     if base_sig is None:
-        base_sig = shingle_set_frame(base_rep_docs, text_col, ngram, id_col)
-        # postings direct from the pair path: no aggregate, no re-explode
-        bpost = shingle_hash_pairs(base_rep_docs, text_col, ngram,
-                                   id_col).select(
-            F.col(id_col).alias("base_id"), "_h")
+        # ONE staged shingle pipeline feeds both the sig sets and the
+        # postings (r11 — previously shingle_set_frame and
+        # shingle_hash_pairs each re-ran the scan->shingle->distinct
+        # chain over the base); lazy staging, so the one-job latency
+        # contract below still holds
+        from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+        posts = stage_local(shingle_hash_pairs(base_rep_docs, text_col,
+                                               ngram, id_col))
+        base_sig = posts.groupBy(id_col).agg(
+            F.collect_list("_h").alias("hh"))
+        bpost = posts.select(F.col(id_col).alias("base_id"), "_h")
     else:
         bpost = base_sig.select(F.col(id_col).alias("base_id"),
                                 F.explode("hh").alias("_h"))
@@ -1103,8 +1110,15 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     Returns (doc_id, cluster_id, is_representative).
     """
     doc_ids = docs.select(F.col(id_col).alias("id_a"))
-    pairs = (pairs.join(doc_ids, "id_a", "semi")
-             .join(doc_ids.withColumnRenamed("id_a", "id_b"), "id_b", "semi"))
+    # stage BEFORE the symmetrizing union: the union consumes the pair
+    # frame twice, and without a materialization the caller's whole pair
+    # pipeline (LSH signature, banding, verification) executes twice
+    # before the first propagation round (r11 — the same lesson as
+    # containment_pairs and graph.pagerank)
+    pairs = stage_local(
+        pairs.join(doc_ids, "id_a", "semi")
+        .join(doc_ids.withColumnRenamed("id_a", "id_b"), "id_b", "semi")
+        .select("id_a", "id_b"))
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
@@ -1602,9 +1616,13 @@ def expand_takedown_works(base: DataFrame, works: DataFrame,
     breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
     rep_docs = base.join(
         breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
-    bsig = shingle_set_frame(rep_docs, text_col, ngram, id_col)
-    bpost = shingle_hash_pairs(rep_docs, text_col, ngram, id_col).select(
-        F.col(id_col).alias("base_id"), "_h")
+    # one staged shingle pipeline for both sig sets and postings (r11)
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    posts = stage_local(shingle_hash_pairs(rep_docs, text_col, ngram,
+                                           id_col))
+    bsig = posts.groupBy(id_col).agg(F.collect_list("_h").alias("hh"))
+    bpost = posts.select(F.col(id_col).alias("base_id"), "_h")
     matched = _near_matched_base_ids(bsig, bpost, works, text_col, id_col,
                                      ngram, jaccard_threshold,
                                      hot_shingle_df_cap)
