@@ -66,3 +66,64 @@ def test_deterministic_across_partitionings(spark, sf_dir):
     b = sorted(map(tuple, D.drift_report(
         base.repartition(17), snap.repartition(5)).collect()))
     assert a == b
+
+
+# -- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_text = st.lists(_word, min_size=1, max_size=6).map(" ".join)
+_src = st.sampled_from(["s1", "s2"])
+_row = st.tuples(_src, _text)
+_corpus = st.lists(_row, min_size=1, max_size=8)
+
+
+def _hframe(spark, rows):
+    return spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string")
+
+
+def _py_kl(base_rows, snap_rows, source, k=0.5):
+    """Plain-Python reference for the per-source smoothed KL."""
+    import math
+
+    cb, cs = {}, {}
+    for s, t in base_rows:
+        if s == source:
+            for w in t.split():
+                cb[w] = cb.get(w, 0) + 1
+    for s, t in snap_rows:
+        if s == source:
+            for w in t.split():
+                cs[w] = cs.get(w, 0) + 1
+    vocab = set(cb) | set(cs)
+    if not vocab:
+        return None
+    tb, ts, v = sum(cb.values()), sum(cs.values()), len(vocab)
+    total = 0.0
+    for w in sorted(vocab):
+        p = (cs.get(w, 0) + k) / (ts + k * v)
+        q = (cb.get(w, 0) + k) / (tb + k * v)
+        term = p * math.log(p / q)
+        total += math.floor(term * 1e9 + 0.5) / 1e9
+    return math.floor(total * 1e4 + 0.5) / 1e4
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(base=_corpus, snap=_corpus)
+def test_kl_matches_python_reference_and_is_nonnegative(spark, base, snap):
+    got = {r.source: r for r in
+           D.drift_report(_hframe(spark, base), _hframe(spark, snap))
+           .collect()}
+    for source in got:
+        want = _py_kl(base, snap, source)
+        assert got[source].kl_snap_base == want, (source, base, snap)
+        # Gibbs: KL of two proper smoothed distributions is >= 0; the
+        # 9-dp addend rounding can push the sum a hair below zero
+        assert got[source].kl_snap_base >= -1e-4
+        assert got[source].new_vocab_rate is None or \
+            0.0 <= got[source].new_vocab_rate <= 1.0
