@@ -784,3 +784,115 @@ def training_order_export_oracle_sql(table_expr: str, budget_tokens: int,
            CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
            bit_xor({dig}) AS content_digest
     FROM packed GROUP BY shard"""
+
+
+def pack_documents_nosplit(docs: DataFrame, budget_tokens: int = 4096,
+                           n_shards: int = 8, order: str = "length_desc",
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Whole-document (no-split) packing: greedy NEXT-FIT within a shard.
+
+    ``pack_sequences`` is the pretraining concat-and-split layout (a doc
+    may straddle a pack boundary; the tokenizer splits it). SFT /
+    instruction-tuning datasets must NOT split examples, so their packer
+    places each document whole: walk the shard's docs in a deterministic
+    order, keep appending while the running total fits ``budget_tokens``,
+    open a new pack on overflow. ``order='length_desc'`` walks longest-
+    first — the first-fit-decreasing flavor that empirically tightens
+    next-fit's tail waste — and ``order='id'`` preserves arrival order
+    for curriculum-sensitive sets. A document longer than the budget
+    gets a pack of its own (callers drop or truncate downstream;
+    ``oversize`` marks it).
+
+    Spark shape: next-fit's state (where the last pack closed) is
+    history-dependent, so unlike the concat-and-split cumsum it is NOT
+    window-expressible — each shard runs one sequential Arrow pass via
+    ``applyInPandas`` after ONE hash Exchange on the shard key. Per-task
+    memory is a shard's (id, n_tokens) pairs only — 16 bytes/doc; at
+    100 TB pick n_shards so a shard's doc COUNT fits a task (the text
+    itself never enters the pass). Determinism: shard assignment,
+    ordering, and the greedy rule are all data-deterministic — no
+    timestamps, no partition order.
+
+    Returns (id_col, shard, pack_id, n_tokens, offset_in_pack,
+    oversize). Packing invariant: non-oversize packs sum to
+    <= budget_tokens.
+    """
+    import pandas as pd
+
+    tokens = F.expr(
+        f"size(filter(split({text_col}, ' '), tt -> tt <> ''))")
+    t = docs.select(
+        id_col,
+        F.pmod(F.col(id_col), n_shards).cast("long").alias("shard"),
+        tokens.cast("long").alias("n_tokens"))
+    if order not in ("length_desc", "id"):
+        raise ValueError(f"unknown order: {order!r}")
+    by_len = order == "length_desc"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if by_len:
+            pdf = pdf.sort_values(["n_tokens", id_col],
+                                  ascending=[False, True])
+        else:
+            pdf = pdf.sort_values([id_col])
+        packs, offs, overs = [], [], []
+        cur, pack = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and cur + n > budget_tokens:
+                pack += 1
+                cur = 0
+            first = False
+            packs.append(pack)
+            offs.append(cur)
+            overs.append(n > budget_tokens)
+            cur += n
+        pdf = pdf.assign(pack_id=packs, offset_in_pack=offs,
+                         oversize=overs)
+        return pdf[[id_col, "shard", "pack_id", "n_tokens",
+                    "offset_in_pack", "oversize"]]
+
+    return t.groupBy("shard").applyInPandas(
+        _pack, f"{id_col} long, shard long, pack_id long, n_tokens long,"
+               " offset_in_pack long, oversize boolean")
+
+
+def pack_documents_nosplit_oracle_sql(table_expr: str,
+                                      budget_tokens: int = 4096,
+                                      n_shards: int = 8,
+                                      order: str = "length_desc",
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id") -> str:
+    """DuckDB mirror: the greedy next-fit state walks each shard through
+    a recursive CTE ordered identically (recursion depth = docs per
+    shard — fine at oracle SFs; the Spark side is the scale path)."""
+    tok = f"len(list_filter(string_split({text_col}, ' '), tt -> tt <> ''))"
+    ord_sql = ("n_tokens DESC, " + id_col) if order == "length_desc" \
+        else id_col
+    return f"""WITH RECURSIVE t AS (
+      SELECT {id_col}, {id_col} % {n_shards} AS shard,
+             CAST({tok} AS BIGINT) AS n_tokens
+      FROM {table_expr}),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY {ord_sql}) AS rn
+          FROM t),
+    walk AS (
+      SELECT {id_col}, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id,
+             CAST(0 AS BIGINT) AS offset_in_pack,
+             n_tokens AS cum
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.{id_col}, r.shard, r.n_tokens, r.rn,
+             CASE WHEN w.cum + r.n_tokens > {budget_tokens}
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.cum + r.n_tokens > {budget_tokens}
+                  THEN CAST(0 AS BIGINT) ELSE w.cum END,
+             CASE WHEN w.cum + r.n_tokens > {budget_tokens}
+                  THEN r.n_tokens ELSE w.cum + r.n_tokens END
+      FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+    SELECT {id_col}, shard, pack_id, n_tokens, offset_in_pack,
+           n_tokens > {budget_tokens} AS oversize
+    FROM walk"""

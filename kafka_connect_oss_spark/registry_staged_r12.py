@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_oss_spark.operators import bpe
 from kafka_connect_oss_spark.operators import drift as DRIFT
+from kafka_connect_oss_spark.operators import packing as PK
 from kafka_connect_oss_spark.operators import text as TXT
 from kafka_connect_oss_spark.sources.batch import load_table
 
@@ -124,3 +125,23 @@ _DRIFT_SNAP_SQL = (
 STAGED_QUERIES["corpus_drift_report"] = corpus_drift_report
 STAGED_ORACLES["corpus_drift_report"] = DRIFT.drift_report_oracle_sql(
     _DRIFT_BASE_SQL, _DRIFT_SNAP_SQL)
+
+#: no-split pack budget — 128 tokens puts ~2 synthetic docs per pack, so
+#: overflow, multi-pack shards, AND the oversize path all exercise
+NOSPLIT_BUDGET = 128
+
+
+def pack_nosplit_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document SFT packing (operators/packing.
+    pack_documents_nosplit): greedy next-fit, longest-first, one
+    sequential Arrow pass per shard — the no-split complement of the
+    concat-and-split pack_training_sequences."""
+    return PK.pack_documents_nosplit(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=NOSPLIT_BUDGET)
+
+
+STAGED_QUERIES["pack_nosplit_layout"] = pack_nosplit_layout
+STAGED_ORACLES["pack_nosplit_layout"] = (
+    PK.pack_documents_nosplit_oracle_sql("documents",
+                                         budget_tokens=NOSPLIT_BUDGET))
