@@ -423,6 +423,12 @@ def main() -> None:
          "after the bounded deterministic fit, scoring is ONE "
          "mapInPandas over a narrow (id, text) projection — merge table "
          "ships in the closure, no shuffle before the output projection")
+    emit(R12.STAGED_QUERIES["pack_nosplit_layout"](spark, SF_DIR),
+         "pack_nosplit_layout (staged r12 seat)",
+         "ONE hash Exchange on shard -> Sort -> FlatMapGroupsInPandas "
+         "over (id, n_tokens) pairs only (column-pruned scan, text "
+         "never enters the Arrow pass); next-fit state is sequential "
+         "per shard by design — no window, no driver state")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
