@@ -319,3 +319,70 @@ def bpe_encode_ranked(docs: DataFrame, merges: list,
 
     return docs.select(id_col, text_col).mapInPandas(
         _encode, f"{id_col} long, tokens array<string>, n_tokens long")
+
+
+def fertility_report(docs: DataFrame, merges: list,
+                     text_col: str = "text", lang_col: str = "lang",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-language tokenizer fertility under a fitted merge table — the
+    standard tokenizer evaluation (fertility = subword tokens emitted
+    per whitespace word; chars per token as the byte-economy view). A
+    tokenizer trained on a skewed mixture over-segments the minority
+    languages; this report is how that shows up as one row per lang
+    before a training run bakes it in.
+
+    One ``bpe_encode_ranked`` pass (Arrow, merge table in the closure)
+    plus a words/chars projection and a lang-keyed aggregate — cost is
+    the encoder's, the report adds one small shuffle.
+
+    Returns (lang_col, n_docs, total_words, total_chars, total_tokens,
+    fertility, chars_per_token), ratios rounded to 4.
+    """
+    from kafka_connect_oss_spark.functions.rounding import fround
+
+    enc = bpe_encode_ranked(docs, merges, text_col, id_col)
+    words = F.expr(
+        f"size(filter(split({text_col}, ' '), tt -> tt <> ''))")
+    base = docs.select(id_col, lang_col,
+                       words.cast("long").alias("_w"),
+                       F.length(text_col).cast("long").alias("_c"))
+    j = base.join(enc.select(id_col, "n_tokens"), id_col)
+    return (j.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_w").cast("long").alias("total_words"),
+                 F.sum("_c").cast("long").alias("total_chars"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 fround(F.sum("n_tokens")
+                        / F.nullif(F.sum("_w").cast("double"),
+                                   F.lit(0.0)), 4).alias("fertility"),
+                 fround(F.sum("_c")
+                        / F.nullif(F.sum("n_tokens").cast("double"),
+                                   F.lit(0.0)), 4)
+                 .alias("chars_per_token")))
+
+
+def fertility_report_oracle_sql(table_expr: str, merges: list,
+                                text_col: str = "text",
+                                lang_col: str = "lang",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB mirror: the encode oracle's per-doc token counts joined
+    back to the words/chars projection, aggregated by language."""
+    from kafka_connect_oss_spark.functions.rounding import round_sql
+
+    enc = bpe_encode_oracle_sql(table_expr, merges, text_col, id_col)
+    words = f"len(list_filter(string_split({text_col}, ' '), tt -> tt <> ''))"
+    return f"""WITH enc AS ({enc}),
+    base AS (SELECT {id_col}, {lang_col},
+                    CAST({words} AS BIGINT) AS w,
+                    CAST(length({text_col}) AS BIGINT) AS c
+             FROM {table_expr})
+    SELECT b.{lang_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.w) AS BIGINT) AS total_words,
+           CAST(SUM(b.c) AS BIGINT) AS total_chars,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS total_tokens,
+           {round_sql("SUM(e.n_tokens) / CAST(nullif(SUM(b.w), 0)"
+                      " AS DOUBLE)", 4)} AS fertility,
+           {round_sql("SUM(b.c) / CAST(nullif(SUM(e.n_tokens), 0)"
+                      " AS DOUBLE)", 4)} AS chars_per_token
+    FROM base b JOIN enc e USING ({id_col})
+    GROUP BY b.{lang_col}"""

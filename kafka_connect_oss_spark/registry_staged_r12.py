@@ -83,6 +83,33 @@ STAGED_QUERIES["text_bpe_encode"] = text_bpe_encode
 STAGED_LAZY_ORACLES["text_bpe_encode"] = _bpe_encode_oracle
 
 
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-fitted merge
+    table (operators/bpe.fertility_report): subword tokens per word and
+    chars per token by lang — the eval row set a tokenizer-training run
+    reads before the mixture bakes in over-segmented minority
+    languages. Shares the deterministic fit cache with
+    text_bpe_encode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.fertility_report(docs, _bpe_merges(spark, sf_dir))
+
+
+def _bpe_fertility_oracle(sf_dir: str) -> str:
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate())
+    merges = _bpe_merges(spark, sf_dir)
+    return bpe.fertility_report_oracle_sql("documents", merges)
+
+
+STAGED_QUERIES["text_bpe_fertility"] = text_bpe_fertility
+STAGED_LAZY_ORACLES["text_bpe_fertility"] = _bpe_fertility_oracle
+
+
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span excision (operators/text.span_dedup): every
     cross-doc-duplicated merged chunk interval is cut out of the text,

@@ -22,7 +22,8 @@ def duck(sf_dir):
 def test_staged_names_not_registered():
     staged = set(S.STAGED_QUERIES)
     assert staged == {"text_bpe_encode", "text_span_dedup",
-                      "corpus_drift_report", "pack_nosplit_layout"}
+                      "corpus_drift_report", "pack_nosplit_layout",
+                      "text_bpe_fertility"}
     assert not staged & set(QUERIES), "staged op leaked into the registry"
     assert not staged & set(ORACLES)
     assert not staged & set(LAZY_ORACLES)
