@@ -85,9 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     q17_small_quantity_revenue, q19_discounted_revenue (single-row),
 #:     q4_order_priority (5 rows). These six are the FIRST seats of the
 #:     r12 window (4 rounds stale then, hard obligation; r12 arithmetic:
-#:     6 deferred + 47 r09-stale = 53 hard candidates + the 4
-#:     registry_staged_r12 seats (seating outranks staleness) = 57 for
-#:     50, so r12 defers ~7 of the 47 to r13 under the same rule — the
+#:     6 deferred + 47 r09-stale = 53 hard candidates + the 5
+#:     registry_staged_r12 seats (seating outranks staleness) = 58 for
+#:     50, so r12 defers ~8 of the 47 to r13 under the same rule — the
 #:     registry is past the 150-query steady-state capacity of a
 #:     50-seat/3-round cadence, so a documented one-round deferral tail
 #:     is now structural; scripts/window_math.py recomputes at open).
