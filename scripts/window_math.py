@@ -64,14 +64,23 @@ def main() -> None:
         if age >= 3:
             for n in sorted(by_age[age]):
                 print(f"    {n}")
+    staged: list[str] = []
+    try:
+        from kafka_connect_oss_spark import registry_staged_r12 as S
+        staged = sorted(set(S.STAGED_QUERIES) - set(qs))
+    except Exception:
+        pass
+    if staged:
+        print(f"staged seats awaiting registration (seat at the head — "
+              f"seating outranks staleness): {len(staged)} {staged}")
     hard = never + latest_red + [n for a, ns in by_age.items()
                                  if a >= 4 for n in ns]
     oblig = by_age.get(3, [])
-    print(f"\nseats: hard={len(hard)} + 3-round obligation={len(oblig)} "
-          f"= {len(hard) + len(oblig)} of {SAMPLE}"
+    total = len(hard) + len(oblig) + len(staged)
+    print(f"\nseats: hard={len(hard)} + staged={len(staged)} + "
+          f"3-round obligation={len(oblig)} = {total} of {SAMPLE}"
           + ("  ** OVERFLOW: defer the tail (TPC-H small-result first) **"
-             if len(hard) + len(oblig) > SAMPLE else
-             f"  ({SAMPLE - len(hard) - len(oblig)} spare)"))
+             if total > SAMPLE else f"  ({SAMPLE - total} spare)"))
 
 
 if __name__ == "__main__":
