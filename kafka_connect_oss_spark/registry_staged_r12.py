@@ -1,14 +1,12 @@
-"""Round-12 seat candidates, pre-built in the driver's registry shape.
+"""Round-11 staged seat definitions, SEATED at round 12.
 
-Same contract as the (now-seated) round-10 batch in registry_staged:
-each entry is the EXACT (query builder, oracle) pair the registry would
-hold, checked by tests/test_staged_seats_r12.py through the same
-tests/parity.compare contract the driver enforces. Seating them at
-round 12 is the identical mechanical move registry_seated performs for
-the r10 batch. Importing THIS module never mutates QUERIES/ORACLES.
-
-The r12 window already carries 6 deferred r08 rows + 47 r09-stale rows,
-so these two seat AFTER the deferrals at the window head.
+Same contract as the round-10 batch in registry_staged: each entry is
+the EXACT (query builder, oracle) pair the registry holds, proven
+through the tests/parity.compare driver contract BEFORE registration
+(tests/test_staged_seats_r12.py, round 11). registry_seated_r12
+performed the mechanical seating move at round 12; this module remains
+the single definition site. Importing THIS module never mutates
+QUERIES/ORACLES — only importing registry_seated_r12 does.
 """
 
 from __future__ import annotations
@@ -143,10 +141,12 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIFT_BASE_SQL = "(SELECT * FROM documents WHERE doc_id % 10 <> 9)"
+# SELECT * REPLACE keeps the oracle tracking the documents schema: a new
+# column can't silently diverge this subquery from the Spark side's
+# withColumn (r11 ADVICE item 1)
 _DRIFT_SNAP_SQL = (
-    "(SELECT doc_id, source, lang, n_chars, "
-    "CASE WHEN doc_id % 7 = 3 "
-    "THEN text || ' drifted vocabulary injection' ELSE text END AS text "
+    "(SELECT * REPLACE (CASE WHEN doc_id % 7 = 3 "
+    "THEN text || ' drifted vocabulary injection' ELSE text END AS text) "
     "FROM documents WHERE doc_id % 10 <> 0)")
 
 STAGED_QUERIES["corpus_drift_report"] = corpus_drift_report

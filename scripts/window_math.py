@@ -45,7 +45,16 @@ def main() -> None:
                     last_green[name] = n
     nxt = int(sys.argv[1]) if len(sys.argv) > 1 else (max(rounds) + 1)
     qs = list(E.queries())
-    print(f"registry={len(qs)}  rounds seen={rounds}  next round=r{nxt}")
+    retired = sorted(getattr(E, "RETIRED_SEATS", {}))
+    cap = 3 * SAMPLE
+    print(f"registry={len(qs)} (capacity {cap} = {SAMPLE} seats x 3-round "
+          f"ceiling; retired={len(retired)})  rounds seen={rounds}  "
+          f"next round=r{nxt}")
+    if len(qs) > cap:
+        print(f"** OVER CAPACITY by {len(qs) - cap}: retire near-redundant "
+              f"latest-green rows (RETIRED_SEATS) before registering **")
+    if retired:
+        print(f"retired (full-registry parity + bench only): {retired}")
 
     never = [n for n in qs if n not in last_green]
     latest_red = [n for n, (r, rec) in latest_row.items()

@@ -91,5 +91,41 @@ def test_oracles_exist_for_window():
     assert not no_oracle, f"window queries without oracle: {no_oracle}"
 
 
+#: the r12 capacity policy (__spark_entry__.py RETIRED_SEATS comment):
+#: 50 driver seats/round x 3-round staleness ceiling = 150 driver-visible
+#: queries max; beyond that some row must cross the 4-round ceiling
+#: every round, forever (the r11 judge's structural-debt finding).
+REGISTRY_CAPACITY = 3 * DRIVER_SAMPLE
+
+
+def test_registry_capacity():
+    e = _entry()
+    n = len(e.queries())
+    assert n <= REGISTRY_CAPACITY, (
+        f"driver-visible registry ({n}) exceeds the 50-seat/3-round "
+        f"rotation capacity ({REGISTRY_CAPACITY}); retire a near-redundant "
+        f"latest-green row into RETIRED_SEATS before registering")
+
+
+def test_retired_seats_valid():
+    """A retirement must not hide anything: the row stays in the full
+    registry (local DuckDB parity keeps running), it left the driver
+    shape, its LATEST driver row was green (never retire a red row),
+    and the waiver names a sibling."""
+    e = _entry()
+    from kafka_connect_oss_spark.registry import QUERIES
+    qs = e.queries()
+    past = _past_rounds()
+    for name, why in e.RETIRED_SEATS.items():
+        assert name in QUERIES, f"retired {name} missing from full registry"
+        assert name not in qs, f"retired {name} still driver-visible"
+        assert why.strip(), f"retired {name} has no waiver note"
+        row = past.get(name)
+        assert row is not None, f"retired {name} was never driver-attested"
+        assert (row.get("rows_match") and row.get("schema_match")
+                and row.get("hash_match")), (
+            f"retired {name} latest driver row is red — fix, don't retire")
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
