@@ -109,7 +109,8 @@ def pair_stats(docs: DataFrame, text_col: str = "text",
 
 
 def fit_bpe_merges(docs: DataFrame, n_merges: int,
-                   text_col: str = "text") -> list[tuple[str, str, int]]:
+                   text_col: str = "text",
+                   on_round=None) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Iterative by
     nature (each merge depends on the last — Sennrich alg. 1), so this
     is a driver loop like the k-means fits: per round ONE vocab-scale
@@ -124,6 +125,12 @@ def fit_bpe_merges(docs: DataFrame, n_merges: int,
     localCheckpoint-per-round discipline of the CC loop in
     dedup.connected components).
 
+    ``on_round`` is an optional monitoring hook — called after each
+    round as on_round(round_index, staged_word_frame); used by
+    scripts/probe_r12_bpe.py to record per-round wall time and pin the
+    flat-plan-depth claim at realistic merge counts. No effect on the
+    fit.
+
     Returns [(sym_a, sym_b, pair_freq), ...] in merge order.
     """
     from kafka_connect_oss_spark.operators.lifecycle import stage_local
@@ -131,7 +138,7 @@ def fit_bpe_merges(docs: DataFrame, n_merges: int,
     wf = stage_local(word_freq_table(docs, text_col).select(
         "freq", F.expr(_initial_symbols("word")).alias("syms")))
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for _round in range(n_merges):
         pairs = wf.select(
             "freq",
             F.explode(F.expr(
@@ -151,6 +158,8 @@ def fit_bpe_merges(docs: DataFrame, n_merges: int,
         merges.append((a, b, int(top[0].pair_freq)))
         wf = stage_local(wf.select(
             "freq", F.expr(_merge_fold("syms", a, b)).alias("syms")))
+        if on_round is not None:
+            on_round(_round, wf)
     return merges
 
 

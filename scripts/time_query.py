@@ -1,6 +1,12 @@
 """Min-of-N wall timer for registered queries: python scripts/time_query.py q1 [q2 ...]
 
 Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_REPS (default 3).
+
+Prints the fixed-plan ambient-load calibration probe (bench.py's
+_calibrate shape) before and after the queries: only believe a
+round-over-round delta when calib is at its quiet baseline (~0.26 s at
+32 cpus on a quiet box; >0.4 s marks the reading contaminated — the
+r10/r11 adjudication rule).
 """
 import os
 import sys
@@ -11,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from kafka_connect_oss_spark.registry import QUERIES as ALL_QUERIES  # noqa: E402
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
@@ -24,13 +31,36 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
+
+def calibrate() -> float:
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(2_000_000)
+         .selectExpr("conv(substring(md5(cast(id as string)), 1, 15),"
+                     " 16, 10) AS h")
+         .selectExpr("max(h)").collect())
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3)
+
+
+# warm-up (not timed): JVM/codegen + Python workers
+spark.range(1000).selectExpr("sum(id)").collect()
+spark.range(int(cpus) * 2).repartition(int(cpus)).mapInPandas(
+    lambda it: it, "id long").count()
+
+print(f"calib_before={calibrate()}")
+# retired rows (capacity policy) fall back to the full registry
 qs = entry_mod.queries()
 for name in sys.argv[1:]:
+    fn = qs.get(name) or ALL_QUERIES[name]
     times = []
     for _ in range(reps):
+        spark.catalog.clearCache()
         t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
+        df = fn(spark, sf_dir)
         n = df.count()
         times.append(time.monotonic() - t0)
     print(f"{name}: min={min(times):.2f}s all={[round(t, 2) for t in times]} rows={n}")
+print(f"calib_after={calibrate()}")
 spark.stop()
