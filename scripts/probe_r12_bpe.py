@@ -17,6 +17,13 @@ line: total wall, per-round wall summarized by quarter of the run
 (flat == quarters comparable), plan node counts sampled every 100
 rounds (flat == constant), and the learned-merge tail as a sanity
 check. Result recorded in the BENCH_SF1_r12 notes.
+
+Corpus: documents.text UNION customer.c_name. The synthetic documents
+table has a 31-word vocabulary, which exhausts BPE after ~93 merges
+(measured); c_name contributes 15k distinct words (numeric-ID shaped),
+sustaining 1k+ merges. Per-round cost is O(word-table size) by design,
+so a 15k-word table is exactly the realistic-regime probe — what the
+words spell doesn't matter to the wall-time claim.
 """
 from __future__ import annotations
 
@@ -35,6 +42,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def main() -> None:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from kafka_connect_oss_spark.operators import bpe
     from kafka_connect_oss_spark.sources.batch import load_table
@@ -51,7 +59,9 @@ def main() -> None:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
 
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = (load_table(spark, SF_DIR, "documents").select("text")
+            .unionByName(load_table(spark, SF_DIR, "customer")
+                         .select(F.col("c_name").alias("text"))))
     round_wall: list[float] = []
     plan_nodes: dict[int, int] = {}
     last = time.perf_counter()
