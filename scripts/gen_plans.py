@@ -295,8 +295,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
+    # RETIRED_SEATS rows keep their plan evidence: read the full registry
+    from kafka_connect_oss_spark.registry import QUERIES as _ALL
 
-    queries = entrymod.queries()
+    queries = dict(_ALL)
+    queries.update(entrymod.queries())
     out = [
         "# PLANS — physical-plan evidence (generated by scripts/gen_plans.py)",
         "",
