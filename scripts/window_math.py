@@ -91,6 +91,23 @@ def main() -> None:
           + ("  ** OVERFLOW: defer the tail (TPC-H small-result first) **"
              if total > SAMPLE else f"  ({SAMPLE - total} spare)"))
 
+    # forward forecast (the r12 capacity-policy done-criterion): simulate
+    # each future round seating hard rows first then oldest-first up to
+    # SAMPLE, all seats assumed green; report any row that would sit
+    # >= 4 rounds stale AFTER that round's seating — with the registry at
+    # capacity this must stay zero.
+    sim = dict(last_green)
+    for r in range(nxt, nxt + 3):
+        cands = sorted(qs, key=lambda n: sim.get(n, -10**9))
+        window = set(cands[:SAMPLE])
+        over = [n for n in qs
+                if n not in window and r - sim.get(n, -10**9) >= 4]
+        for n in window:
+            sim[n] = r
+        print(f"forecast r{r}: seats oldest {len(window)}; "
+              f"rows left >=4-stale after seating: {len(over)} "
+              f"{over if over else ''}")
+
 
 if __name__ == "__main__":
     main()
