@@ -16,7 +16,12 @@ from kafka_connect_oss_spark.sources.batch import load_table
 @pytest.fixture(scope="module")
 def mm(spark, sf_dir):
     ensure_package_on_executors(spark)
-    return MM.attach_binary(load_table(spark, sf_dir, "documents")).cache()
+    df = MM.attach_binary(load_table(spark, sf_dir, "documents")).cache()
+    yield df
+    # unpersist at module teardown: the CacheManager substitutes cached
+    # fragments into ANY later matching plan session-wide, which changed
+    # other tests' physical plans (caught by test_plan_guards)
+    df.unpersist()
 
 
 def test_real_decode_raises_on_missing_codec_or_junk():
