@@ -236,8 +236,6 @@ def main() -> None:
     # FULL registry, not the driver window
     from kafka_connect_oss_spark.registry import QUERIES as ALL_QUERIES
 
-    extra_thunks: dict = {}
-
     # the two BPE queries share the fit-once merge cache; warm it before
     # timing so the 24-round fit cost doesn't land in whichever of the
     # two benches first (both rows then measure encode-only)
@@ -254,7 +252,9 @@ def main() -> None:
     # min-of-N because the contention outlasts the whole rep window
     # (r10 adjudication: dedup_simhash_pairs "2.1 -> 12.2 spread 0.5"
     # reproduced at 2.5s quiet, bit-identical code bisected); a calib
-    # reading far above its quiet baseline (~1s at 32 cpus) marks the
+    # reading far above its quiet baseline (~0.26s min-of-3 at 32 cpus,
+    # r10-r12 measurements; scripts/time_query.py mirrors this probe and
+    # documents the same threshold) marks the
     # artifact contaminated and every row in it inflated.
     def _calibrate() -> float:
         ts = []
@@ -277,10 +277,10 @@ def main() -> None:
     calib_series: list[float] = [_calibrate()]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE + list(extra_thunks)):
+    for qi, name in enumerate(HEADLINE):
         if qi and qi % _CALIB_EVERY == 0:
             calib_series.append(_calibrate())
-        fn = extra_thunks.get(name) or queries.get(name) or ALL_QUERIES[name]
+        fn = queries.get(name) or ALL_QUERIES[name]
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()

@@ -294,12 +294,10 @@ def main() -> None:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as entrymod
+    import __spark_entry__ as entrymod  # noqa: F401 (registers all entries)
     # RETIRED_SEATS rows keep their plan evidence: read the full registry
-    from kafka_connect_oss_spark.registry import QUERIES as _ALL
-
-    queries = dict(_ALL)
-    queries.update(entrymod.queries())
+    # (the driver view is a strict subset holding the same callables)
+    from kafka_connect_oss_spark.registry import QUERIES as queries
     out = [
         "# PLANS — physical-plan evidence (generated by scripts/gen_plans.py)",
         "",

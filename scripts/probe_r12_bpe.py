@@ -66,23 +66,34 @@ def main() -> None:
     plan_nodes: dict[int, int] = {}
     last = time.perf_counter()
 
+    last_wf = {}
+
     def on_round(i: int, wf) -> None:
         nonlocal last
         now = time.perf_counter()
         round_wall.append(now - last)
         last = now
-        if i % 100 == 0 or i == N_MERGES - 1:
+        last_wf["i"], last_wf["wf"] = i, wf
+        if i % 100 == 0:
             plan = wf._jdf.queryExecution().explainString(jmode)
             plan_nodes[i] = len(re.findall(r"^\(\d+\) ", plan, re.M))
 
     t0 = time.perf_counter()
     merges = bpe.fit_bpe_merges(docs, N_MERGES, on_round=on_round)
     total = time.perf_counter() - t0
+    if last_wf and last_wf["i"] not in plan_nodes:
+        # sample the FINAL round too (the fit may exhaust early, so the
+        # last round index is only known after the loop)
+        plan = last_wf["wf"]._jdf.queryExecution().explainString(jmode)
+        plan_nodes[last_wf["i"]] = len(re.findall(r"^\(\d+\) ", plan, re.M))
 
     n = len(round_wall)
-    q = max(n // 4, 1)
-    quarters = [round(sum(round_wall[i:i + q]) / max(len(round_wall[i:i + q]), 1), 4)
-                for i in range(0, n, q)][:4]
+    # four near-equal quarters covering EVERY round (an early-exhausted
+    # fit must not drop its tail — that is where lineage pile-up shows)
+    bounds = [round(n * f / 4) for f in range(5)]
+    quarters = [
+        round(sum(round_wall[a:b]) / max(b - a, 1), 4)
+        for a, b in zip(bounds, bounds[1:]) if b > a]
     out = {
         "sf_dir": SF_DIR,
         "n_merges_requested": N_MERGES,

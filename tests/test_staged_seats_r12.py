@@ -14,6 +14,7 @@ module still pins is the seating itself:
 """
 
 import importlib
+import os
 import subprocess
 import sys
 
@@ -59,7 +60,8 @@ def test_staged_module_alone_does_not_register():
         "assert not leak, f'staged leaked into registry: {leak}'\n"
         "assert not set(S.STAGED_ORACLES) & set(ORACLES)\n"
     )
-    proc = subprocess.run([sys.executable, "-c", code],
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo,
                           capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
 
