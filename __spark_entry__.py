@@ -118,6 +118,24 @@ RETIRED_SEATS: dict[str, str] = {
                                   "the per-band aggregation",
 }
 
+#: Round-13 plan, written at r12 (the capacity policy above in action):
+#: registry_staged_r13 stages q2_min_cost_supplier + q11_important_supply
+#: (the TPC-H Q2/Q11 stand-ins — the r11 judge's one non-environment
+#: "missing" item), parity-proven pre-registration by
+#: tests/test_staged_seats_r13.py at two SFs. Seating them at r13 costs
+#: two seats, paid by retiring the two rows below (both latest-green,
+#: both with a stronger attested sibling). r13 arithmetic: 50 r10-stale
+#: rows − 2 retired + 2 staged = 50 exactly; the r14 forecast stays at
+#: zero deferrals (scripts/window_math.py models this plan).
+PLANNED_R13_RETIREMENTS: dict[str, str] = {
+    "dedup_minhash_signature": "dedup_minhash_lsh_pairs (r12 window) "
+                               "computes the same signatures as its "
+                               "first stage before banding",
+    "sim_ann_lsh_topk": "sim_ann_lsh_multiprobe_topk (green r11) is the "
+                        "same sign-LSH bucket machinery with probes=N "
+                        "(single-probe is its degenerate case)",
+}
+
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked

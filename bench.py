@@ -187,6 +187,10 @@ HEADLINE += [
     "text_span_dedup",
     "corpus_drift_report",
     "pack_nosplit_layout",
+    # round-12: staged for r13 (registry_staged_r13), benched pre-seating
+    # like every staged batch (these thunk rows retire at r13 seating)
+    "q2_min_cost_supplier",
+    "q11_important_supply",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
@@ -240,6 +244,7 @@ def main() -> None:
     # timing so the 24-round fit cost doesn't land in whichever of the
     # two benches first (both rows then measure encode-only)
     from kafka_connect_oss_spark import registry_staged_r12 as _r12
+    from kafka_connect_oss_spark import registry_staged_r13 as _r13
 
     _r12._bpe_merges(spark, SF_DIR)
 
@@ -280,7 +285,8 @@ def main() -> None:
     for qi, name in enumerate(HEADLINE):
         if qi and qi % _CALIB_EVERY == 0:
             calib_series.append(_calibrate())
-        fn = queries.get(name) or ALL_QUERIES[name]
+        fn = (queries.get(name) or ALL_QUERIES.get(name)
+              or _r13.STAGED_QUERIES[name])
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()

@@ -50,10 +50,13 @@ spark.range(int(cpus) * 2).repartition(int(cpus)).mapInPandas(
     lambda it: it, "id long").count()
 
 print(f"calib_before={calibrate()}")
-# retired rows (capacity policy) fall back to the full registry
+# retired rows (capacity policy) fall back to the full registry;
+# staged-for-next-round rows to their staging module
+from kafka_connect_oss_spark import registry_staged_r13 as _r13  # noqa: E402
+
 qs = entry_mod.queries()
 for name in sys.argv[1:]:
-    fn = qs.get(name) or ALL_QUERIES[name]
+    fn = qs.get(name) or ALL_QUERIES.get(name) or _r13.STAGED_QUERIES[name]
     times = []
     for _ in range(reps):
         spark.catalog.clearCache()

@@ -73,12 +73,17 @@ def main() -> None:
         if age >= 3:
             for n in sorted(by_age[age]):
                 print(f"    {n}")
-    staged: list[str] = []
-    try:
-        from kafka_connect_oss_spark import registry_staged_r12 as S
-        staged = sorted(set(S.STAGED_QUERIES) - set(qs))
-    except Exception:
-        pass
+    def staged_for(round_no: int) -> list[str]:
+        """Seat candidates in registry_staged_r{round_no} not yet live."""
+        mod = f"registry_staged_r{round_no}"
+        try:
+            S = __import__(f"kafka_connect_oss_spark.{mod}",
+                           fromlist=[mod])
+            return sorted(set(S.STAGED_QUERIES) - set(qs))
+        except Exception:
+            return []
+
+    staged = staged_for(nxt)
     if staged:
         print(f"staged seats awaiting registration (seat at the head — "
               f"seating outranks staleness): {len(staged)} {staged}")
@@ -95,12 +100,23 @@ def main() -> None:
     # each future round seating hard rows first then oldest-first up to
     # SAMPLE, all seats assumed green; report any row that would sit
     # >= 4 rounds stale AFTER that round's seating — with the registry at
-    # capacity this must stay zero.
+    # capacity this must stay zero. Future staged modules
+    # (registry_staged_r{r}) and their paired retirement plans
+    # (E.PLANNED_R{r}_RETIREMENTS) are applied at their target round.
     sim = dict(last_green)
+    live = list(qs)
     for r in range(nxt, nxt + 3):
-        cands = sorted(qs, key=lambda n: sim.get(n, -10**9))
-        window = set(cands[:SAMPLE])
-        over = [n for n in qs
+        retire = sorted(getattr(E, f"PLANNED_R{r}_RETIREMENTS", {}))
+        seats = staged_for(r)
+        if retire or seats:
+            live = [n for n in live if n not in retire] + seats
+            print(f"forecast r{r} plan: +{len(seats)} staged {seats} "
+                  f"-{len(retire)} retired {retire} -> registry {len(live)}")
+        # staged seats are hard (seat at registration), then oldest-first
+        rest = sorted((n for n in live if n not in seats),
+                      key=lambda n: sim.get(n, -10**9))
+        window = set(seats) | set(rest[:SAMPLE - len(seats)])
+        over = [n for n in live
                 if n not in window and r - sim.get(n, -10**9) >= 4]
         for n in window:
             sim[n] = r
