@@ -121,12 +121,15 @@ RETIRED_SEATS: dict[str, str] = {
 #: Round-13 plan, written at r12 (the capacity policy above in action):
 #: registry_staged_r13 stages q2_min_cost_supplier + q11_important_supply
 #: (the TPC-H Q2/Q11 stand-ins — the r11 judge's one non-environment
-#: "missing" item), parity-proven pre-registration by
-#: tests/test_staged_seats_r13.py at two SFs. Seating them at r13 costs
-#: two seats, paid by retiring the two rows below (both latest-green,
-#: both with a stronger attested sibling). r13 arithmetic: 50 r10-stale
-#: rows − 2 retired + 2 staged = 50 exactly; the r14 forecast stays at
-#: zero deferrals (scripts/window_math.py models this plan).
+#: "missing" item) and sketch_cms_calibration (the r10-written
+#: Count-Min-Sketch bounded-memory frequency path, wired + tested at
+#: r12), parity-proven pre-registration by tests/test_staged_seats_r13.py
+#: at two SFs. Seating them at r13 costs three seats, paid by retiring
+#: the three rows below (all latest-green r10 — so retiring them also
+#: shrinks the r13 rotation obligation by three — and each with a
+#: stronger attested sibling). r13 arithmetic: 50 r10-stale rows − 3
+#: retired + 3 staged = 50 exactly; the r14 forecast stays at zero
+#: deferrals (scripts/window_math.py models this plan).
 PLANNED_R13_RETIREMENTS: dict[str, str] = {
     "dedup_minhash_signature": "dedup_minhash_lsh_pairs (r12 window) "
                                "computes the same signatures as its "
@@ -134,6 +137,9 @@ PLANNED_R13_RETIREMENTS: dict[str, str] = {
     "sim_ann_lsh_topk": "sim_ann_lsh_multiprobe_topk (green r11) is the "
                         "same sign-LSH bucket machinery with probes=N "
                         "(single-probe is its degenerate case)",
+    "dedup_simhash": "dedup_simhash_pairs (r12 window) computes the same "
+                     "signatures as its first stage before the "
+                     "pigeonhole pairing",
 }
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in

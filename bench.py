@@ -191,6 +191,7 @@ HEADLINE += [
     # like every staged batch (these thunk rows retire at r13 seating)
     "q2_min_cost_supplier",
     "q11_important_supply",
+    "sketch_cms_calibration",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

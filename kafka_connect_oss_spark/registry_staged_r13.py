@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_connect_oss_spark.operators import sketches as SK
 from kafka_connect_oss_spark.registry_relational import _cents
 from kafka_connect_oss_spark.sources.batch import load_table
 
@@ -177,3 +178,22 @@ SELECT p_partkey, value_cents
 FROM v, t
 WHERE value_cents * n_parts > 2 * total_cents
 ORDER BY value_cents DESC, p_partkey"""
+
+
+def sketch_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch point-query error on the exact top-k tokens
+    (operators/sketches.cms_calibration, written r10 and wired here):
+    the bounded-memory token-frequency path for 100 TB — the d x w
+    counter table is mergeable across shards/micro-batches and at most
+    d*w rows ever cross the final shuffle, vs the corpus-scale exact
+    token table. The row reports (exact_freq, cms_est, overestimate)
+    for the exact top-20, attesting both the sketch build and its
+    one-sided guarantee (est >= exact always; tests/test_cms.py forces
+    collisions at tiny w to pin the non-trivial side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.cms_calibration(docs)
+
+
+STAGED_QUERIES["sketch_cms_calibration"] = sketch_cms_calibration
+STAGED_ORACLES["sketch_cms_calibration"] = SK.cms_calibration_oracle_sql(
+    "documents")

@@ -29,7 +29,8 @@ def duck(sf_dir):
 
 def test_staged_names_not_registered():
     staged = set(S.STAGED_QUERIES)
-    assert staged == {"q2_min_cost_supplier", "q11_important_supply"}
+    assert staged == {"q2_min_cost_supplier", "q11_important_supply",
+                      "sketch_cms_calibration"}
     assert not staged & set(QUERIES), "staged op leaked into the registry"
     assert not staged & set(ORACLES)
     assert not staged & set(LAZY_ORACLES)
