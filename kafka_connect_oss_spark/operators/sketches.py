@@ -322,6 +322,18 @@ def cms_table(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
 
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of any number of stacked CMS tables (same d, w):
+    the mergeability property as an operator. Input is the union (or a
+    partitioned parquet read) of per-shard/per-batch ``cms_table``
+    outputs; the result is exactly the sketch of the concatenated
+    corpora (pinned by tests/test_cms.py::test_mergeability). Cost is
+    one aggregate over (#shards * d * w) rows — kilobytes, never
+    corpus-scale."""
+    return (sketches.groupBy("j", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
 def cms_calibration(docs: DataFrame, k: int = 20, text_col: str = "text",
                     w: int = CMS_W) -> DataFrame:
     """CMS point-query error on the exact top-k tokens: (token,

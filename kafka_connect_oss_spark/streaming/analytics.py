@@ -607,6 +607,42 @@ def run_drift_monitor(stream_docs: DataFrame, baseline_path: str,
             .trigger(availableNow=True).start())
 
 
+def run_cms_monitor(stream_docs: DataFrame, out_path: str, checkpoint: str,
+                    text_col: str = "text", w: int | None = None):
+    """Streaming form of the Count-Min token-frequency sketch: each
+    micro-batch writes its OWN d x w counter table
+    (operators/sketches.cms_table) under ``out_path/batch_id=N``; the
+    corpus's running frequencies are ``sketches.cms_merge`` over the
+    whole partition set at read time — exact cell-wise equality with the
+    batch sketch of everything ingested so far (CMS mergeability,
+    pinned golden-vs-batch in tests/test_streaming_analytics.py).
+
+    This is the family's dynamic-partition-overwrite-by-batch_id
+    discipline doing double duty: there is NO read-modify-write running
+    state to corrupt — a replayed batch rewrites only its own partition
+    with the same deterministic d x w rows, and the merge over
+    partitions is automatically right again. State on disk grows at
+    d*w rows per batch (kilobytes); a maintenance job may fold old
+    partitions through cms_merge into one whenever the partition count
+    itself becomes the cost.
+    """
+    from kafka_connect_oss_spark.operators import sketches as SK
+
+    width = SK.CMS_W if w is None else w
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (SK.cms_table(batch, text_col, width)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_path))
+
+    return (stream_docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(sink)
+            .trigger(availableNow=True).start())
+
+
 def run_incremental_ivf(stream_emb: DataFrame, centroids: DataFrame,
                         out_path: str, checkpoint: str,
                         vec_col: str = "embedding",

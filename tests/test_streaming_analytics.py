@@ -693,3 +693,52 @@ def test_run_drift_monitor_matches_batch(spark, sf_dir, tmp_path):
         have = sorted(map(tuple, got.where(F.col("batch_id") == bid)
                           .drop("batch_id").collect()))
         assert have == want, f"batch {bid} drift rows diverge from batch op"
+
+
+def test_run_cms_monitor_matches_batch_and_replays_idempotent(
+        spark, sf_dir, tmp_path):
+    """Streaming CMS: the cell-wise merge of per-batch sketches equals
+    the batch sketch of the whole arrival set (mergeability end-to-end),
+    and replaying a batch_id partition leaves the merge unchanged."""
+    import glob
+    import shutil
+
+    from kafka_connect_oss_spark.operators import sketches as SK
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream_dir = tmp_path / "chunks"
+    stream_dir.mkdir()
+    chunks = [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1]
+    for i, pred in enumerate(chunks):
+        docs.where(pred).coalesce(1).write.parquet(
+            str(tmp_path / f"part{i}"))
+        src = glob.glob(str(tmp_path / f"part{i}" / "*.parquet"))[0]
+        shutil.copy(src, stream_dir / f"c{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    out = tmp_path / "cms_out"
+    w = 64
+    q = A.run_cms_monitor(sdf, str(out), str(tmp_path / "ck_cms"), w=w)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    assert got.select("batch_id").distinct().count() == 2
+    merged = {(r.j, r.bucket): r.cnt
+              for r in SK.cms_merge(got).collect()}
+    want = {(r.j, r.bucket): r.cnt
+            for r in SK.cms_table(docs, w=w).collect()}
+    assert merged == want, "merged per-batch sketches != whole-corpus sketch"
+
+    # replay: a second availableNow pass from a FRESH checkpoint re-sees
+    # both files and rewrites both batch_id partitions; dynamic
+    # partition overwrite keeps the merge identical (no double count)
+    sdf2 = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    q2 = A.run_cms_monitor(sdf2, str(out), str(tmp_path / "ck_cms2"), w=w)
+    q2.awaitTermination(180)
+    merged2 = {(r.j, r.bucket): r.cnt
+               for r in SK.cms_merge(spark.read.parquet(str(out))).collect()}
+    assert merged2 == want, "replay double-counted a batch partition"
