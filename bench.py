@@ -245,9 +245,11 @@ def main() -> None:
     # timing so the 24-round fit cost doesn't land in whichever of the
     # two benches first (both rows then measure encode-only)
     from kafka_connect_oss_spark import registry_staged_r12 as _r12
-    from kafka_connect_oss_spark import registry_staged_r13 as _r13
+    from kafka_connect_oss_spark.registry import staged_queries
 
     _r12._bpe_merges(spark, SF_DIR)
+    # rows staged for a future round keep wall-time rows pre-seating
+    staged = staged_queries()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -286,8 +288,7 @@ def main() -> None:
     for qi, name in enumerate(HEADLINE):
         if qi and qi % _CALIB_EVERY == 0:
             calib_series.append(_calibrate())
-        fn = (queries.get(name) or ALL_QUERIES.get(name)
-              or _r13.STAGED_QUERIES[name])
+        fn = queries.get(name) or ALL_QUERIES.get(name) or staged[name]
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()

@@ -51,12 +51,13 @@ spark.range(int(cpus) * 2).repartition(int(cpus)).mapInPandas(
 
 print(f"calib_before={calibrate()}")
 # retired rows (capacity policy) fall back to the full registry;
-# staged-for-next-round rows to their staging module
-from kafka_connect_oss_spark import registry_staged_r13 as _r13  # noqa: E402
+# staged-for-a-future-round rows to their staging modules
+from kafka_connect_oss_spark.registry import staged_queries  # noqa: E402
 
 qs = entry_mod.queries()
+staged = staged_queries()
 for name in sys.argv[1:]:
-    fn = qs.get(name) or ALL_QUERIES.get(name) or _r13.STAGED_QUERIES[name]
+    fn = qs.get(name) or ALL_QUERIES.get(name) or staged[name]
     times = []
     for _ in range(reps):
         spark.catalog.clearCache()

@@ -28,14 +28,6 @@ def docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
-def _exact_counts(docs):
-    from kafka_connect_oss_spark.functions import text as X
-
-    return (docs.select(F.explode(
-        F.expr(X.sql_tokens("text", "spark"))).alias("t"))
-        .groupBy("t").agg(F.count(F.lit(1)).alias("exact")))
-
-
 def test_cms_table_bounded(docs):
     w = 64
     rows = SK.cms_table(docs, w=w).collect()

@@ -47,26 +47,27 @@ def test_staged_parity(name, spark, sf_dir, duck):
 
 
 @pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity_sf001(name, spark):
-    """Second scale factor: the threshold constants must stay
-    non-degenerate (non-empty, non-everything) off the primary test SF."""
-    sf = "/root/testdata/sf0.001"
+def test_staged_parity_second_sf(name, spark, sf_dir):
+    """Second scale factor (the driver-compare SF, sf0.01 — distinct
+    from the conftest default sf0.001): the threshold constants must
+    stay non-degenerate (non-empty, non-everything) across SFs."""
+    sf = "/root/testdata/sf0.01"
+    if sf_dir.rstrip("/") == sf:
+        sf = "/root/testdata/sf0.001"
     con = duck_connection(sf)
     try:
         df = S.STAGED_QUERIES[name](spark, sf)
-        n = df.count()
-        assert 0 < n, f"{name} degenerate (empty) at sf0.001"
-        compare(S.STAGED_QUERIES[name](spark, sf), con,
-                S.STAGED_ORACLES[name], name)
+        assert df.count() > 0, f"{name} degenerate (empty) at {sf}"
+        compare(df, con, S.STAGED_ORACLES[name], name)
     finally:
         con.close()
 
 
 def test_planned_retirements_are_valid():
-    """The two r13 seats displace two retirements (capacity policy in
-    __spark_entry__.py). Each planned retirement must still be a live
-    registered row whose latest driver attestation is green, and its
-    named sibling must be registered and driver-visible."""
+    """Every staged r13 seat displaces one retirement (capacity policy
+    in __spark_entry__.py). Each planned retirement must still be a
+    live registered row whose latest driver attestation is green, and
+    its named sibling must be registered and driver-visible."""
     import __spark_entry__ as E
 
     planned = getattr(E, "PLANNED_R13_RETIREMENTS", {})
@@ -85,13 +86,19 @@ def test_planned_retirements_are_valid():
         assert name in QUERIES and name in visible, (
             f"{name}: planned retirement must still be seated pre-r13")
         rec = latest.get(name)
-        assert rec and rec.get("hash_match") and not rec.get("err"), (
+        # same green() predicate as scripts/window_math.py: all three
+        # match flags, no error
+        assert rec and rec.get("rows_match") and rec.get("schema_match") \
+            and rec.get("hash_match") and not rec.get("err"), (
             f"{name}: retirement requires a latest-green driver row")
         siblings = re.findall(r"[a-z][a-z0-9_]{3,}", sibling_note)
         named = [s for s in siblings if s in QUERIES]
         assert named, f"{name}: sibling note must name a registered row"
         assert any(s in visible for s in named), (
             f"{name}: at least one sibling must be driver-visible")
+        assert name not in E.DRIVER_WINDOW, (
+            f"{name}: a planned retirement must not consume a current-"
+            f"window seat (attest-then-retire wastes the seat)")
 
 
 def test_q2_tie_semantics(spark, tmp_path):
