@@ -31,6 +31,28 @@ Capacity arithmetic (the round-12 policy in __spark_entry__.py): seating
 these three at r13 requires three retirements; the planned rows are
 named in __spark_entry__.PLANNED_R13_RETIREMENTS with their attested
 siblings, keeping the driver-visible registry at exactly 150.
+
+SEATING CHECKLIST for the r13 builder (the mechanical move, mirroring
+registry_seated_r12's seating of the r11 batch):
+
+1. create registry_seated_r13.py — copy registry_seated_r12.py, swap
+   the module references (no lazy oracles in this batch, so the
+   LAZY_ORACLES.update line may drop);
+2. import it from __spark_entry__.py and tests/test_oracle_parity.py
+   (next to the registry_seated_r12 imports);
+3. move the three PLANNED_R13_RETIREMENTS entries from
+   __spark_entry__.py into RETIRED_SEATS, and delete
+   PLANNED_R13_RETIREMENTS (test_staged_seats_r13's retirement test
+   then auto-skips on the empty dict — update it to assert the three
+   names landed in RETIRED_SEATS instead);
+4. rebuild DRIVER_WINDOW: the three staged names at the head, then the
+   47 remaining r10-attested rows (scripts/window_math.py prints the
+   exact list); update the window comment's arithmetic;
+5. convert tests/test_staged_seats_r13.py to the seated form (copy the
+   r12 file's test_seated_verbatim shape) and move the plan pins from
+   test_plan_guards.STAGED_PINS into PINS;
+6. run: window_math (expect 50/50, zero ≥4-stale through r15+),
+   scripts/driver_sim.py at sf0.01, full pytest.
 """
 
 from __future__ import annotations
