@@ -57,7 +57,16 @@ def test_staged_parity_second_sf(name, spark, sf_dir):
     con = duck_connection(sf)
     try:
         df = S.STAGED_QUERIES[name](spark, sf)
-        assert df.count() > 0, f"{name} degenerate (empty) at {sf}"
+        n = df.count()
+        assert n > 0, f"{name} degenerate (empty) at {sf}"
+        if name == "q11_important_supply":
+            # non-everything: the 2x-mean-share threshold must actually
+            # filter (every part qualifying would make the HAVING shape
+            # vacuous at this SF)
+            n_parts = con.execute(
+                "SELECT COUNT(DISTINCT l_partkey) FROM lineitem"
+            ).fetchone()[0]
+            assert n < n_parts, f"{name}: threshold filtered nothing"
         compare(df, con, S.STAGED_ORACLES[name], name)
     finally:
         con.close()
