@@ -275,6 +275,26 @@ SHOWCASE = {
         "BroadcastHashJoin on the md5 digest, dup ranking is the "
         "digest-window min — ONE hash-partitioning Exchange for the "
         "entire per-doc decision"),
+    # --- staged for r13 (registry_staged_r13; pins in test_plan_guards
+    #     STAGED_PINS) — plan evidence recorded pre-seating ---
+    "q2_min_cost_supplier": (
+        "region + part filters applied as broadcast SEMI joins BELOW "
+        "the (partkey, suppkey) MIN aggregate (both commute with the "
+        "per-pair MIN; 8.70 -> 2.18 s sf1), correlated per-part MIN as "
+        "one window over the partkey Exchange, supplier/part detail "
+        "joins broadcast AFTER the aggregate, TakeOrderedAndProject "
+        "final — two shuffle Exchanges total"),
+    "q11_important_supply": (
+        "nation-group suppliers broadcast into ONE pruned lineitem "
+        "scan, partkey aggregate Exchange; the scalar (total, n_parts) "
+        "crossJoin branch resolves to a ReusedExchange of that same "
+        "aggregate on the AQE final plan — lineitem is scanned once"),
+    "sketch_cms_calibration": (
+        "ONE staged token explode (Scan ExistingRDD under both the "
+        "sketch and the exact-top-k branches), d-way cell fan-out via "
+        "a single explode of a literal struct array (no d-branch "
+        "union), d*w-bounded sketch aggregate, exact top-k via "
+        "TakeOrderedAndProject heap, k*d-cell estimate join broadcast"),
 }
 
 KEEP = re.compile(
@@ -298,6 +318,8 @@ def main() -> None:
     # RETIRED_SEATS rows keep their plan evidence: read the full registry
     # (the driver view is a strict subset holding the same callables)
     from kafka_connect_oss_spark.registry import QUERIES as queries
+    from kafka_connect_oss_spark.registry import staged_queries
+    staged = staged_queries()
     out = [
         "# PLANS — physical-plan evidence (generated by scripts/gen_plans.py)",
         "",
@@ -309,7 +331,7 @@ def main() -> None:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     for name, claim in SHOWCASE.items():
-        df = queries[name](spark, SF_DIR)
+        df = (queries.get(name) or staged[name])(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(jmode)
         tree, details = plan.split("\n\n", 1)[0], plan
         kept = [ln for ln in details.splitlines()
