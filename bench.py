@@ -197,11 +197,20 @@ HEADLINE += [
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared
 #: box (r06 VERDICT item 3): min-of-5 instead of min-of-3 so the
 #: recorded best + spread make any round-over-round delta attributable
-#: to code vs co-tenant noise
+#: to code vs co-tenant noise. Extended r12 with the rows whose
+#: BENCH_SF1_r12 spread exceeded their own min (embedding_cosine 51.7s
+#: spread vs 4.2s value, multimodal_catalog 38.3 vs 1.8, minhash_lsh
+#: 15.2 vs 2.7, ivf_kmeans 8.9 vs 3.7, q21 7.5 vs 7.3) — the repeat
+#: offenders behind every past phantom-regression adjudication.
 WIDE_SPREAD = {
     "dedup_clusters",
     "corpus_cross_source_overlap",
     "events_value_median_exact",
+    "dedup_embedding_cosine_pairs",
+    "multimodal_catalog",
+    "dedup_minhash_lsh_pairs",
+    "sim_ann_ivf_kmeans_topk",
+    "q21_waiting_suppliers",
 }
 
 
