@@ -56,23 +56,38 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Union of STAGED_QUERIES over every ``registry_staged_r*`` module,
-    minus anything already registered — the bench/timer fallback for rows
-    staged for a future round, discovered by round number so a new
-    staging round needs no edits in the consumers (bench.py,
-    scripts/time_query.py)."""
+def _staged_modules():
     import importlib
     import pkgutil
     import re
 
     import kafka_connect_oss_spark as pkg
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in pkgutil.iter_modules(pkg.__path__):
         if re.fullmatch(r"registry_staged_r\d+", m.name):
-            mod = importlib.import_module(f"kafka_connect_oss_spark.{m.name}")
-            out.update(getattr(mod, "STAGED_QUERIES", {}))
+            yield importlib.import_module(
+                f"kafka_connect_oss_spark.{m.name}")
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Union of STAGED_QUERIES over every ``registry_staged_r*`` module,
+    minus anything already registered — the bench/timer fallback for rows
+    staged for a future round, discovered by round number so a new
+    staging round needs no edits in the consumers (bench.py,
+    scripts/time_query.py)."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _staged_modules():
+        out.update(getattr(mod, "STAGED_QUERIES", {}))
+    return {k: v for k, v in out.items() if k not in QUERIES}
+
+
+def staged_oracles() -> dict[str, str]:
+    """Companion to :func:`staged_queries`: the static oracle strings of
+    not-yet-registered staged rows (lazy oracle factories are excluded —
+    resolve those through the staging module itself)."""
+    out: dict[str, str] = {}
+    for mod in _staged_modules():
+        out.update(getattr(mod, "STAGED_ORACLES", {}))
     return {k: v for k, v in out.items() if k not in QUERIES}
 
 

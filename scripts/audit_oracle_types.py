@@ -27,6 +27,12 @@ spark = (SparkSession.builder.master("local[32]")
 spark.sparkContext.setLogLevel("ERROR")
 
 qs, osql = E.queries(), E.oracle_sql()
+# rows staged for a future round join the sweep pre-seating
+from kafka_connect_oss_spark.registry import (  # noqa: E402
+    staged_oracles, staged_queries)
+
+qs = {**staged_queries(), **qs}
+osql = {**staged_oracles(), **osql}
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
