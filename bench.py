@@ -234,21 +234,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
-    # JVM/codegen warm-up on a trivial plan (not timed)
-    spark.range(1000).selectExpr("sum(id)").collect()
-    # Python-worker + Arrow warm-up so UDF queries measure steady state,
-    # not the one-time worker spawn (not timed)
-    spark.range(int(CPUS) * 2).repartition(int(CPUS)).mapInPandas(
-        lambda it: it, "id long").count()
+    # JVM/codegen + Python-worker/Arrow warm-up (not timed) — shared
+    # definition in measure.py so time_query.py measures the same state
+    from kafka_connect_oss_spark.measure import (calibrate, resolve_query,
+                                                 warm_up)
+
+    warm_up(spark, int(CPUS))
 
     # best-of-N per query: this box is co-tenant-noisy (identical code has
     # measured 2-3x run-to-run swings on trivial plans), so the minimum is
     # the faithful steady-state number. Data caches are cleared between
     # reps so only JVM/codegen warm-up is amortized, never cached results.
-    # RETIRED_SEATS rows (capacity policy, __spark_entry__.py) leave the
-    # driver shape but keep their wall-time row here — bench reads the
-    # FULL registry, not the driver window
-    from kafka_connect_oss_spark.registry import QUERIES as ALL_QUERIES
+    # resolve_query order: driver view -> full registry (RETIRED_SEATS
+    # rows keep wall-time rows) -> staged-for-a-future-round modules.
 
     # the two BPE queries share the fit-once merge cache; warm it before
     # timing so the 24-round fit cost doesn't land in whichever of the
@@ -257,32 +255,26 @@ def main() -> None:
     from kafka_connect_oss_spark.registry import staged_queries
 
     _r12._bpe_merges(spark, SF_DIR)
-    # rows staged for a future round keep wall-time rows pre-seating
-    staged = staged_queries()
+    # every staged row is benched pre-seating AUTOMATICALLY: a new
+    # registry_staged_r* module needs no bench.py edit (HEADLINE entries
+    # for staged rows are optional ordering hints, deduped here)
+    bench_names = HEADLINE + sorted(
+        n for n in staged_queries() if n not in HEADLINE)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    # ambient-load calibration: time a FIXED CPU-bound reference plan
-    # (md5-fold over 2M rows — no I/O, no shuffle, code identical every
-    # round) before and after the suite. Co-tenant load on this box has
-    # produced phantom per-query regressions up to 6x that survive
-    # min-of-N because the contention outlasts the whole rep window
-    # (r10 adjudication: dedup_simhash_pairs "2.1 -> 12.2 spread 0.5"
-    # reproduced at 2.5s quiet, bit-identical code bisected); a calib
-    # reading far above its quiet baseline (~0.26s min-of-3 at 32 cpus,
-    # r10-r12 measurements; scripts/time_query.py mirrors this probe and
-    # documents the same threshold) marks the
-    # artifact contaminated and every row in it inflated.
+    # ambient-load calibration (measure.calibrate — a FIXED CPU-bound
+    # reference plan, code identical every round) before and after the
+    # suite. Co-tenant load on this box has produced phantom per-query
+    # regressions up to 6x that survive min-of-N because the contention
+    # outlasts the whole rep window (r10 adjudication:
+    # dedup_simhash_pairs "2.1 -> 12.2 spread 0.5" reproduced at 2.5s
+    # quiet, bit-identical code bisected); a calib reading far above its
+    # quiet baseline (~0.26s min-of-3 at 32 cpus, r10-r12 measurements;
+    # scripts/time_query.py runs the same probe) marks the artifact
+    # contaminated and every row in it inflated.
     def _calibrate() -> float:
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            (spark.range(2_000_000)
-             .selectExpr("conv(substring(md5(cast(id as string)), 1, 15),"
-                         " 16, 10) AS h")
-             .selectExpr("max(h)").collect())
-            ts.append(time.perf_counter() - t0)
-        return round(min(ts), 3)
+        return calibrate(spark)
 
     # ...and INTERLEAVED through the suite, not just at the endpoints:
     # the r10 final-run lesson was a ~40% whole-suite inflation while
@@ -294,10 +286,10 @@ def main() -> None:
     calib_series: list[float] = [_calibrate()]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE):
+    for qi, name in enumerate(bench_names):
         if qi and qi % _CALIB_EVERY == 0:
             calib_series.append(_calibrate())
-        fn = queries.get(name) or ALL_QUERIES.get(name) or staged[name]
+        fn = resolve_query(name, queries)
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()

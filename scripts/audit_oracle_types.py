@@ -26,13 +26,21 @@ spark = (SparkSession.builder.master("local[32]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-qs, osql = E.queries(), E.oracle_sql()
-# rows staged for a future round join the sweep pre-seating
+# FULL registry, not the driver view: RETIRED_SEATS rows keep
+# full-registry checking (the capacity-policy promise), and rows staged
+# for a future round join the sweep pre-seating. Lazy oracles resolve
+# at the audit SF exactly as the driver's oracle_sql() does.
 from kafka_connect_oss_spark.registry import (  # noqa: E402
-    staged_oracles, staged_queries)
+    LAZY_ORACLES, ORACLES, QUERIES, staged_oracles, staged_queries)
 
-qs = {**staged_queries(), **qs}
-osql = {**staged_oracles(), **osql}
+qs = {**staged_queries(), **QUERIES}
+osql = {**staged_oracles(), **ORACLES}
+for _name, _factory in LAZY_ORACLES.items():
+    try:
+        osql[_name] = _factory(SF)
+    except Exception as ex:
+        print(f"{_name}: LAZY-ORACLE-UNRESOLVED "
+              f"{type(ex).__name__}: {str(ex)[:120]}")
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:

@@ -81,6 +81,13 @@ def main() -> None:
     t0 = time.perf_counter()
     merges = bpe.fit_bpe_merges(docs, N_MERGES, on_round=on_round)
     total = time.perf_counter() - t0
+    # on_round only fires after a RECORDED merge: when the fit stops
+    # EARLY (exhausted vocabulary / no pair with freq >= 2), the
+    # terminal round still ran the full vocab-scale aggregate — append
+    # its wall so the quarter means cover every round total_wall_sec
+    # covers. A fit that reaches the requested cap has no such round.
+    if len(merges) < N_MERGES:
+        round_wall.append(time.perf_counter() - last)
     if last_wf and last_wf["i"] not in plan_nodes:
         # sample the FINAL round too (the fit may exhaust early, so the
         # last round index is only known after the loop)

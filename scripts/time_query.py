@@ -17,7 +17,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from kafka_connect_oss_spark.registry import QUERIES as ALL_QUERIES  # noqa: E402
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
@@ -32,32 +31,22 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 
 
+# calibration + warm-up + lookup shared with bench.py (measure.py —
+# the probe must stay code-identical across both consumers)
+from kafka_connect_oss_spark.measure import (  # noqa: E402
+    calibrate as _calib, resolve_query, warm_up)
+
+
 def calibrate() -> float:
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (spark.range(2_000_000)
-         .selectExpr("conv(substring(md5(cast(id as string)), 1, 15),"
-                     " 16, 10) AS h")
-         .selectExpr("max(h)").collect())
-        ts.append(time.perf_counter() - t0)
-    return round(min(ts), 3)
+    return _calib(spark)
 
 
-# warm-up (not timed): JVM/codegen + Python workers
-spark.range(1000).selectExpr("sum(id)").collect()
-spark.range(int(cpus) * 2).repartition(int(cpus)).mapInPandas(
-    lambda it: it, "id long").count()
+warm_up(spark, int(cpus))
 
 print(f"calib_before={calibrate()}")
-# retired rows (capacity policy) fall back to the full registry;
-# staged-for-a-future-round rows to their staging modules
-from kafka_connect_oss_spark.registry import staged_queries  # noqa: E402
-
 qs = entry_mod.queries()
-staged = staged_queries()
 for name in sys.argv[1:]:
-    fn = qs.get(name) or ALL_QUERIES.get(name) or staged[name]
+    fn = resolve_query(name, qs)
     times = []
     for _ in range(reps):
         spark.catalog.clearCache()

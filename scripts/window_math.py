@@ -73,20 +73,44 @@ def main() -> None:
         if age >= 3:
             for n in sorted(by_age[age]):
                 print(f"    {n}")
+    def unseated_staged_by_round() -> dict[int, list[str]]:
+        """round -> unseated seat candidates, scanning EVERY
+        registry_staged_r* module (not just next round's): a staging
+        module whose seating slipped past its target round must keep
+        appearing in the arithmetic, at the next round that can seat
+        it, until it is actually registered."""
+        import importlib
+        import pkgutil
+
+        import kafka_connect_oss_spark as pkg
+
+        out: dict[int, list[str]] = {}
+        for m in pkgutil.iter_modules(pkg.__path__):
+            mm = re.fullmatch(r"registry_staged_r(\d+)", m.name)
+            if not mm:
+                continue
+            mod = importlib.import_module(
+                f"kafka_connect_oss_spark.{m.name}")
+            pend = sorted(set(getattr(mod, "STAGED_QUERIES", {})) - set(qs))
+            if pend:
+                out[int(mm.group(1))] = pend
+        return out
+
+    staged_by_round = unseated_staged_by_round()
+
     def staged_for(round_no: int) -> list[str]:
-        """Seat candidates in registry_staged_r{round_no} not yet live."""
-        mod = f"registry_staged_r{round_no}"
-        try:
-            S = __import__(f"kafka_connect_oss_spark.{mod}",
-                           fromlist=[mod])
-            return sorted(set(S.STAGED_QUERIES) - set(qs))
-        except Exception:
-            return []
+        """Candidates due AT OR BEFORE round_no and not yet simulated."""
+        return sorted(n for r, ns in staged_by_round.items()
+                      if r <= round_no for n in ns)
 
     staged = staged_for(nxt)
     if staged:
+        overdue = sorted(n for r, ns in staged_by_round.items()
+                         if r < nxt for n in ns)
         print(f"staged seats awaiting registration (seat at the head — "
-              f"seating outranks staleness): {len(staged)} {staged}")
+              f"seating outranks staleness): {len(staged)} {staged}"
+              + (f"  ** {len(overdue)} OVERDUE from an earlier round: "
+                 f"{overdue} **" if overdue else ""))
     hard = never + latest_red + [n for a, ns in by_age.items()
                                  if a >= 4 for n in ns]
     oblig = by_age.get(3, [])
@@ -105,9 +129,23 @@ def main() -> None:
     # (E.PLANNED_R{r}_RETIREMENTS) are applied at their target round.
     sim = dict(last_green)
     live = list(qs)
+    seated_in_sim: set[str] = set()
     for r in range(nxt, nxt + 3):
-        retire = sorted(getattr(E, f"PLANNED_R{r}_RETIREMENTS", {}))
-        seats = staged_for(r)
+        # each staging cohort seats at its target round (or the first
+        # simulated round after, if seating slipped), and brings its
+        # same-round retirement plan with it
+        seats: list[str] = []
+        retire: set[str] = set()
+        for r0 in sorted(staged_by_round):
+            if r0 > r:
+                continue
+            pend = [n for n in staged_by_round[r0]
+                    if n not in seated_in_sim]
+            if pend:
+                seats += pend
+                retire |= set(getattr(E, f"PLANNED_R{r0}_RETIREMENTS", {}))
+        seated_in_sim.update(seats)
+        retire = sorted(retire & set(live))
         if retire or seats:
             live = [n for n in live if n not in retire] + seats
             print(f"forecast r{r} plan: +{len(seats)} staged {seats} "
