@@ -192,6 +192,29 @@ HEADLINE += [
     "q2_min_cost_supplier",
     "q11_important_supply",
     "sketch_cms_calibration",
+    # round-12 coverage completion (found by
+    # test_bench_covers_every_query_and_staged_row): the five P-family
+    # projections and the fourteen TPC-H shapes registered across
+    # r08-r10 never had wall-time rows — every registered query now does
+    "p1_route_topicpartition",
+    "p2_default_partitioner",
+    "p3_field_partitioner",
+    "p4_duration_bucket",
+    "p5_timestamp_extract",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_dominant_suppliers",
+    "q22_dormant_customers",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -127,5 +127,39 @@ def test_retired_seats_valid():
             f"retired {name} latest driver row is red — fix, don't retire")
 
 
+def test_measure_resolver_three_tiers():
+    """measure.resolve_query must cover all three timer tiers: a
+    driver-window row, a RETIRED_SEATS row (full registry only), and a
+    staged-for-a-future-round row — the bench/time_query contract that
+    keeps every wall-time row alive across the capacity policy (r12
+    harness-review fix; regressions here drop rows SILENTLY from the
+    bench artifact)."""
+    e = _entry()
+    from kafka_connect_oss_spark.measure import resolve_query
+    from kafka_connect_oss_spark.registry import staged_queries
+
+    qs = e.queries()
+    assert resolve_query("q1_pricing_summary", qs) is qs["q1_pricing_summary"]
+    retired = sorted(e.RETIRED_SEATS)[0]
+    assert callable(resolve_query(retired, qs))
+    staged = staged_queries()
+    for name in staged:
+        assert resolve_query(name, qs) is staged[name]
+
+
+def test_bench_covers_every_query_and_staged_row():
+    """Every full-registry query AND every staged row must have a bench
+    wall-time row: HEADLINE + the auto-enumerated staged set (bench.py
+    builds bench_names the same way)."""
+    _entry()  # fully register the live registry first (order-independent)
+    import bench as B
+    from kafka_connect_oss_spark.registry import QUERIES, staged_queries
+
+    bench_names = set(B.HEADLINE) | set(staged_queries())
+    missing = sorted(set(QUERIES) - bench_names)
+    assert not missing, f"registered rows with no bench row: {missing}"
+    assert len(B.HEADLINE) == len(set(B.HEADLINE)), "duplicate HEADLINE row"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
