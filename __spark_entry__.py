@@ -20,6 +20,7 @@ import kafka_connect_oss_spark.registry_multimodal  # noqa: E402,F401 (registers
 import kafka_connect_oss_spark.registry_relational  # noqa: E402,F401 (registers entries)
 import kafka_connect_oss_spark.registry_seated  # noqa: E402,F401 (seats the r10 staged ops)
 import kafka_connect_oss_spark.registry_seated_r12  # noqa: E402,F401 (seats the r12 staged ops)
+import kafka_connect_oss_spark.registry_seated_r13  # noqa: E402,F401 (seats the r13 staged ops)
 import kafka_connect_oss_spark.registry_tpch  # noqa: E402,F401 (registers entries)
 from kafka_connect_oss_spark.registry import (LAZY_ORACLES, ORACLES,  # noqa: E402
                                               QUERIES)
@@ -116,21 +117,9 @@ RETIRED_SEATS: dict[str, str] = {
                                   "+ corpus_domain_profile (seated r12) "
                                   "attest the md5-window dup rate and "
                                   "the per-band aggregation",
-}
-
-#: Round-13 plan, written at r12 (the capacity policy above in action):
-#: registry_staged_r13 stages q2_min_cost_supplier + q11_important_supply
-#: (the TPC-H Q2/Q11 stand-ins — the r11 judge's one non-environment
-#: "missing" item) and sketch_cms_calibration (the r10-written
-#: Count-Min-Sketch bounded-memory frequency path, wired + tested at
-#: r12), parity-proven pre-registration by tests/test_staged_seats_r13.py
-#: at two SFs. Seating them at r13 costs three seats, paid by retiring
-#: the three rows below (all latest-green r10 — so retiring them also
-#: shrinks the r13 rotation obligation by three — and each with a
-#: stronger attested sibling). r13 arithmetic: 50 r10-stale rows − 3
-#: retired + 3 staged = 50 exactly; the r14 forecast stays at zero
-#: deferrals (scripts/window_math.py models this plan).
-PLANNED_R13_RETIREMENTS: dict[str, str] = {
+    # round-13 retirements (the PLANNED_R13_RETIREMENTS written at r12,
+    # executed with the r13 seating; all were latest-green r10, so
+    # retiring them also shrank the r13 rotation obligation by three)
     "dedup_minhash_signature": "dedup_minhash_lsh_pairs (r12 window) "
                                "computes the same signatures as its "
                                "first stage before banding",
@@ -145,35 +134,42 @@ PLANNED_R13_RETIREMENTS: dict[str, str] = {
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked
-#: queries). The r12 window, per the arithmetic above:
+#: queries). The r13 window, per the arithmetic above: the 50 rows last
+#: attested r10 were the obligation; the 3 of them retired with the
+#: seating (dedup_minhash_signature, dedup_simhash, sim_ann_lsh_topk)
+#: leave 47, plus the 3 newly seated r13 rows at the head = 50 exactly,
+#: zero deferrals (scripts/window_math.py forecast: zero rows
+#: ≥4-rounds-stale through r15+; r14 then rotates the 50 r11 rows).
 DRIVER_WINDOW: list[str] = [
-    # (1) the 6 rows deferred at r11, now 4 rounds stale — hard seats,
-    #     head of the window (untouched small-result TPC-H aggregates)
-    "q4_order_priority", "q6_forecast_revenue", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    # (2) the 5 r11-staged operators, seated this round via
-    #     registry_seated_r12 (parity-proven in test_staged_seats_r12)
-    "text_bpe_encode", "text_bpe_fertility", "text_span_dedup",
-    "corpus_drift_report", "pack_nosplit_layout",
-    # (3) 39 of the 47 r09-attested rows, 3 rounds stale — rotation
-    #     obligation (the other 8 are RETIRED_SEATS, not deferred)
-    "c2_offsets_to_commit", "corpus_blocklist_filter",
-    "corpus_curriculum_order", "corpus_domain_profile",
-    "corpus_leakage_safe_split", "corpus_semantic_decontam",
-    "dedup_cleaned_corpus", "dedup_cluster_stats", "dedup_clusters",
-    "dedup_containment_pairs", "dedup_exact", "dedup_incremental_status",
-    "dedup_lsh_recall_eval", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs", "e2_schema_projection", "e3_json_decode",
-    "e3_json_dlq_routing", "e3_json_envelope_decode", "e4_protobuf_decode",
-    "e6_json_encode", "p1_route_topicpartition", "p2_default_partitioner",
-    "p3_field_partitioner", "p4_duration_bucket", "p4_hourly_partitioner",
-    "p5_timestamp_extract", "pack_training_sequences",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "r1_interleaved_commit_files", "r3_partition_change_rotation",
-    "range_join_purchase_errors", "sim_ann_ivfpq_topk",
-    "sim_ann_sq8_adc_topk", "text_gopher_quality_flags", "text_stats",
-    "text_tfidf_salient_terms",
+    # (1) the 3 r12-staged operators, seated this round via
+    #     registry_seated_r13 (parity-proven in test_staged_seats_r13)
+    "q2_min_cost_supplier", "q11_important_supply",
+    "sketch_cms_calibration",
+    # (2) the 47 remaining r10-attested rows, 3 rounds stale — the full
+    #     rotation obligation (the other 3 are RETIRED_SEATS, not
+    #     deferred), including the four §2 rotation-file rows
+    "asof_purchase_attribution", "corpus_cluster_quota_sample",
+    "corpus_cross_source_overlap", "corpus_curated",
+    "corpus_decontaminated", "corpus_dsir_weights",
+    "corpus_mixture_sample", "corpus_publish_decisions",
+    "corpus_shard_manifest", "corpus_split_assign",
+    "corpus_weighted_sample", "dedup_multi_signal",
+    "dedup_semantic_flags", "dedup_takedown_expansion",
+    "events_daily_anomaly_zscore", "events_daily_pivot",
+    "events_day_over_day_retention", "events_hourly_rollup",
+    "events_top_users_per_type", "events_user_running_value",
+    "events_value_median_exact", "events_value_percentiles",
+    "multimodal_catalog", "multimodal_embed", "multimodal_image_resize",
+    "multimodal_near_dup", "multimodal_video_frames",
+    "pack_efficiency_report", "r1_size_rotation_files",
+    "r2_anchored_rotation_files", "r2_interval_rotation_files",
+    "r4_scheduled_rotation", "sessions_per_user",
+    "sim_ann_ivf_kmeans_topk", "sim_ann_ivf_topk",
+    "sim_embedding_diversity", "sim_hybrid_rrf_topk",
+    "sketch_distinct_users_kmv", "text_bm25_topk", "text_fingerprints",
+    "text_language_id", "text_line_dedup", "text_ngram_topk",
+    "text_novelty_score", "text_pii_redacted",
+    "text_prune_frequent_tokens", "text_vocab_stats",
 ]
 
 

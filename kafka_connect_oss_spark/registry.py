@@ -56,6 +56,25 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _force_full_registration() -> None:
+    """Import every registration module (registry_* plus the seated
+    shims) so the QUERIES snapshot the staged_* helpers subtract is
+    complete. Without this, staged_queries() called before
+    __spark_entry__ imported the seated modules would report
+    already-seated rows as 'staged' (observed: 8 instead of 3) — the
+    result depended on the caller's import order."""
+    import importlib
+    import pkgutil
+    import re
+
+    import kafka_connect_oss_spark as pkg
+
+    for m in pkgutil.iter_modules(pkg.__path__):
+        if re.fullmatch(r"registry_(seated|llm|multimodal|relational|"
+                        r"tpch)(_r\d+)?", m.name):
+            importlib.import_module(f"kafka_connect_oss_spark.{m.name}")
+
+
 def _staged_modules():
     import importlib
     import pkgutil
@@ -63,6 +82,7 @@ def _staged_modules():
 
     import kafka_connect_oss_spark as pkg
 
+    _force_full_registration()
     for m in pkgutil.iter_modules(pkg.__path__):
         if re.fullmatch(r"registry_staged_r\d+", m.name):
             yield importlib.import_module(

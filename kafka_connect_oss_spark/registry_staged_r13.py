@@ -175,8 +175,12 @@ def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing scalar-total pattern — and its branch resolves to a
     ReusedExchange of the partkey aggregate at runtime (verified on the
     AQE final plan), so lineitem is scanned ONCE. Exactness: BIGINT
-    cents and an integer cross-multiplied comparison (headroom to
-    ~9e18: at 100 TB move the compare to DECIMAL(38,0))."""
+    cents end-to-end; the cross-multiplied comparison is evaluated in
+    DECIMAL(38,0) on the Spark side to match DuckDB's HUGEINT widening
+    — BIGINT*BIGINT would silently wrap near ~9e18 (a 100 TB corpus's
+    total_cents * n_parts crosses that), diverging from the oracle
+    instead of erroring. The cast is scalar-side (post-aggregate), so
+    the plan shape is untouched."""
     nat = (load_table(spark, sf_dir, "nation")
            .where(F.col("n_name").isin(*_Q11_NATIONS)))
     sup = (load_table(spark, sf_dir, "supplier")
@@ -189,9 +193,10 @@ def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.sum(F.expr(_cents("l_extendedprice"))).alias("value_cents")))
     totals = v.agg(F.sum("value_cents").alias("total_cents"),
                    F.count(F.lit(1)).alias("n_parts"))
+    dec = "decimal(38,0)"
     return (v.crossJoin(F.broadcast(totals))
-            .where(F.col("value_cents") * F.col("n_parts")
-                   > 2 * F.col("total_cents"))
+            .where(F.col("value_cents").cast(dec) * F.col("n_parts")
+                   > 2 * F.col("total_cents").cast(dec))
             .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
             .orderBy(F.col("value_cents").desc(), "p_partkey"))
 

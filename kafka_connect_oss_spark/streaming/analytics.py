@@ -625,6 +625,15 @@ def run_cms_monitor(stream_docs: DataFrame, out_path: str, checkpoint: str,
     d*w rows per batch (kilobytes); a maintenance job may fold old
     partitions through cms_merge into one whenever the partition count
     itself becomes the cost.
+
+    The idempotence guarantee is scoped to CHECKPOINT-DRIVEN replays
+    (same checkpoint => same batch_id => same files). Restarting from a
+    FRESH checkpoint over a source that has grown re-buckets files into
+    different batch_ids, so partitions written by the earlier run are
+    no longer overwritten and cms_merge would double-count them: when
+    starting a new checkpoint, point the sink at a fresh (or truncated)
+    ``out_path`` too — the (checkpoint, out_path) pair is the unit of
+    state, not out_path alone.
     """
     from kafka_connect_oss_spark.operators import sketches as SK
 
@@ -670,10 +679,14 @@ def run_incremental_ivf(stream_emb: DataFrame, centroids: DataFrame,
       claim in ``ivf_assign``'s docstring), reading nprobe/K of the
       postings regardless of how many batches built them.
     * ``batch_id`` is the OUTER partition + dynamic-partition-overwrite
-      key: a checkpoint-wipe replay rewrites each batch's partitions
+      key: a checkpoint-driven replay rewrites each batch's partitions
       with identical deterministic rows instead of double-inserting —
       the offset-commit idempotence cycle of the reference
-      (OSSSinkTask.java:196-208) expressed as storage layout.
+      (OSSSinkTask.java:196-208) expressed as storage layout. As with
+      every sink in this family, the guarantee is scoped to the SAME
+      checkpoint: a fresh checkpoint over a grown source re-buckets
+      files into different batch_ids, so pair a new checkpoint with a
+      fresh (or truncated) ``out_path``.
 
     Per-batch cost is linear in the batch and independent of the
     accumulated index size (the stream never reads ``out_path``).

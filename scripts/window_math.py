@@ -153,7 +153,14 @@ def main() -> None:
         # staged seats are hard (seat at registration), then oldest-first
         rest = sorted((n for n in live if n not in seats),
                       key=lambda n: sim.get(n, -10**9))
-        window = set(seats) | set(rest[:SAMPLE - len(seats)])
+        if len(seats) > SAMPLE:
+            # a pile-up of staging cohorts beyond the sample size would
+            # make rest[:negative] silently truncate from the tail and
+            # the forecast arithmetic wrong — surface it instead
+            print(f"forecast r{r}: ** OVER-CAPACITY: {len(seats)} staged "
+                  f"seats exceed the {SAMPLE}-row sample; "
+                  f"{len(seats) - SAMPLE} cannot seat this round **")
+        window = set(seats) | set(rest[:max(SAMPLE - len(seats), 0)])
         over = [n for n in live
                 if n not in window and r - sim.get(n, -10**9) >= 4]
         for n in window:

@@ -1,113 +1,99 @@
-"""Round-13 seat candidates (registry_staged_r13) run through the exact
-driver contract — tests/parity.compare — before they are ever
-registered, so seating them at r13 carries zero new correctness risk.
-Also pins that importing the staged module does NOT touch the live
-registry (the freeze-after-sweep invariant), and that the capacity
-policy's planned retirements name rows that are (a) still registered,
-(b) latest-green, and (c) covered by a still-attested sibling."""
+"""Round-12 staged operators, seated at round 13 (registry_seated_r13).
 
-import json
+In round 12 this module ran the staged (query, oracle) pairs through
+tests/parity.compare at two SFs BEFORE registration so seating carried
+zero new correctness risk; the parity burden now lives in the
+registry-wide sweep (tests/test_oracle_parity.py picks the three up
+automatically). What this module still pins is the seating itself:
+
+* every staged name is registered, and the registry's callable is the
+  staged callable (the seat is verbatim, not a re-implementation);
+* every staged oracle string is the registered one;
+* the staged module on its own still never mutates the registry — only
+  importing registry_seated_r13 does (the freeze-after-sweep invariant);
+* the three PLANNED_R13_RETIREMENTS written at r12 landed in
+  RETIRED_SEATS (the capacity policy's seat-for-seat trade);
+* the constructed Q2 tie fixture (window-min equality keeps BOTH
+  suppliers; region filter precedes the min) stays as a semantics pin.
+"""
+
+import importlib
 import os
-import re
+import subprocess
+import sys
 
 import pytest
 from pyspark.sql import functions as F
 
-import kafka_connect_oss_spark.registry_llm  # noqa: F401 (registers entries)
+from kafka_connect_oss_spark import registry_seated_r13  # noqa: F401 (seats)
 from kafka_connect_oss_spark import registry_staged_r13 as S
 from kafka_connect_oss_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
-from tests.parity import compare, duck_connection
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duck_connection(sf_dir)
-    yield con
-    con.close()
+SEATED = {"q2_min_cost_supplier", "q11_important_supply",
+          "sketch_cms_calibration"}
 
 
-def test_staged_names_not_registered():
-    staged = set(S.STAGED_QUERIES)
-    assert staged == {"q2_min_cost_supplier", "q11_important_supply",
-                      "sketch_cms_calibration"}
-    assert not staged & set(QUERIES), "staged op leaked into the registry"
-    assert not staged & set(ORACLES)
-    assert not staged & set(LAZY_ORACLES)
-    # every staged query has exactly one oracle form
-    assert set(S.STAGED_ORACLES) | set(S.STAGED_LAZY_ORACLES) == staged
-    assert not set(S.STAGED_ORACLES) & set(S.STAGED_LAZY_ORACLES)
+def test_staged_set_is_exactly_the_r12_three():
+    assert set(S.STAGED_QUERIES) == SEATED
+    # every staged query has exactly one oracle form (no lazy oracles
+    # in this batch)
+    assert set(S.STAGED_ORACLES) == SEATED
+    assert not S.STAGED_LAZY_ORACLES
 
 
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity(name, spark, sf_dir, duck):
-    df = S.STAGED_QUERIES[name](spark, sf_dir)
-    compare(df, duck, S.STAGED_ORACLES[name], name)
+@pytest.mark.parametrize("name", sorted(SEATED))
+def test_seated_verbatim(name):
+    assert name in QUERIES, f"{name} not seated"
+    # registry.register wraps the callable (timezone pin + package ship);
+    # the wrapped closure must close over the staged function itself
+    wrapped = QUERIES[name]
+    cell_fns = [c.cell_contents for c in (wrapped.__closure__ or ())]
+    assert S.STAGED_QUERIES[name] in cell_fns, (
+        f"{name}: registry callable does not wrap the staged definition")
+    assert ORACLES[name] == S.STAGED_ORACLES[name]
+    assert name not in LAZY_ORACLES
 
 
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity_second_sf(name, spark, sf_dir):
-    """Second scale factor (the driver-compare SF, sf0.01 — distinct
-    from the conftest default sf0.001): the threshold constants must
-    stay non-degenerate (non-empty, non-everything) across SFs."""
-    sf = "/root/testdata/sf0.01"
-    if sf_dir.rstrip("/") == sf:
-        sf = "/root/testdata/sf0.001"
-    con = duck_connection(sf)
-    try:
-        df = S.STAGED_QUERIES[name](spark, sf)
-        n = df.count()
-        assert n > 0, f"{name} degenerate (empty) at {sf}"
-        if name == "q11_important_supply":
-            # non-everything: the 2x-mean-share threshold must actually
-            # filter (every part qualifying would make the HAVING shape
-            # vacuous at this SF)
-            n_parts = con.execute(
-                "SELECT COUNT(DISTINCT l_partkey) FROM lineitem"
-            ).fetchone()[0]
-            assert n < n_parts, f"{name}: threshold filtered nothing"
-        compare(df, con, S.STAGED_ORACLES[name], name)
-    finally:
-        con.close()
+def test_staged_module_alone_does_not_register():
+    # fresh interpreter: importing registry_staged_r13 must leave the live
+    # registry untouched (seating happens only via registry_seated_r13)
+    code = (
+        "from kafka_connect_oss_spark import registry_staged_r13 as S\n"
+        "from kafka_connect_oss_spark.registry import QUERIES, ORACLES\n"
+        "leak = set(S.STAGED_QUERIES) & set(QUERIES)\n"
+        "assert not leak, f'staged leaked into registry: {leak}'\n"
+        "assert not set(S.STAGED_ORACLES) & set(ORACLES)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                          capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
 
 
-def test_planned_retirements_are_valid():
-    """Every staged r13 seat displaces one retirement (capacity policy
-    in __spark_entry__.py). Each planned retirement must still be a
-    live registered row whose latest driver attestation is green, and
-    its named sibling must be registered and driver-visible."""
+def test_reimport_is_idempotent():
+    before = len(QUERIES)
+    importlib.reload(registry_seated_r13)
+    assert len(QUERIES) == before
+
+
+def test_planned_retirements_executed():
+    """The three retirements named at r12 (PLANNED_R13_RETIREMENTS)
+    were executed with the seating: each now lives in RETIRED_SEATS,
+    stays in the full registry (parity sweep + bench keep covering it),
+    and no longer consumes a driver seat."""
     import __spark_entry__ as E
 
-    planned = getattr(E, "PLANNED_R13_RETIREMENTS", {})
-    assert len(planned) == len(S.STAGED_QUERIES), (
-        "one retirement per staged seat")
+    assert not hasattr(E, "PLANNED_R13_RETIREMENTS"), (
+        "the r13 plan was executed — the planning dict must be gone")
+    executed = {"dedup_minhash_signature", "dedup_simhash",
+                "sim_ann_lsh_topk"}
+    assert executed <= set(E.RETIRED_SEATS)
     visible = set(E.queries())
-    rounds = sorted(
-        int(m.group(1)) for f in os.listdir(REPO)
-        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)))
-    latest: dict[str, dict] = {}
-    for r in rounds:
-        with open(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")) as fh:
-            for k, rec in json.load(fh).items():
-                latest[k] = rec
-    for name, sibling_note in planned.items():
-        assert name in QUERIES and name in visible, (
-            f"{name}: planned retirement must still be seated pre-r13")
-        rec = latest.get(name)
-        # same green() predicate as scripts/window_math.py: all three
-        # match flags, no error
-        assert rec and rec.get("rows_match") and rec.get("schema_match") \
-            and rec.get("hash_match") and not rec.get("err"), (
-            f"{name}: retirement requires a latest-green driver row")
-        siblings = re.findall(r"[a-z][a-z0-9_]{3,}", sibling_note)
-        named = [s for s in siblings if s in QUERIES]
-        assert named, f"{name}: sibling note must name a registered row"
-        assert any(s in visible for s in named), (
-            f"{name}: at least one sibling must be driver-visible")
-        assert name not in E.DRIVER_WINDOW, (
-            f"{name}: a planned retirement must not consume a current-"
-            f"window seat (attest-then-retire wastes the seat)")
+    for name in executed:
+        assert name in QUERIES, f"{name}: retired rows stay registered"
+        assert name in ORACLES or name in LAZY_ORACLES
+        assert name not in visible, f"{name}: retired but driver-visible"
+        assert name not in E.DRIVER_WINDOW
 
 
 def test_q2_tie_semantics(spark, tmp_path):
