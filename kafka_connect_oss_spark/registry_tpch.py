@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_connect_oss_spark.registry import register
 from kafka_connect_oss_spark.registry_relational import _cents
@@ -595,8 +596,11 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (no partsupp: 'available quantity' becomes observed
     shipped quantity; selects suppliers shipping >50% of a PROMO part's 1996
-    volume). The per-part total reuses the (part, supplier) aggregate — the
-    second agg's input is already tiny — and the share test is exact
+    volume). The per-part total is a window SUM over the (part, supplier)
+    aggregate — the q2 pattern: a pq-join-pt self-join would scan and
+    aggregate lineitem twice in the static plan and re-shuffle pq a second
+    time; the window reuses the aggregate's own partkey Exchange, so
+    lineitem is scanned ONCE (pinned) and the share test stays exact
     integer arithmetic."""
     part = (load_table(spark, sf_dir, "part")
             .where(F.col("p_type") == "PROMO").select("p_partkey"))
@@ -607,13 +611,12 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
           .groupBy("l_partkey", "l_suppkey")
           .agg(F.sum(F.expr(_cents("l_quantity"))).alias("sq")))
-    pt = (pq.groupBy(F.col("l_partkey").alias("t_partkey"))
-          .agg(F.sum("sq").alias("tq")))
+    w = Window.partitionBy("l_partkey")
     nat = load_table(spark, sf_dir, "nation")
     sup = (load_table(spark, sf_dir, "supplier")
            .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
            .select("s_suppkey", "s_name", "n_name"))
-    return (pq.join(pt, pq.l_partkey == pt.t_partkey)
+    return (pq.withColumn("tq", F.sum("sq").over(w))
             .where(2 * F.col("sq") > F.col("tq"))
             .join(F.broadcast(sup), pq.l_suppkey == sup.s_suppkey)
             .select("s_suppkey", "s_name", "n_name")

@@ -275,8 +275,33 @@ SHOWCASE = {
         "BroadcastHashJoin on the md5 digest, dup ranking is the "
         "digest-window min — ONE hash-partitioning Exchange for the "
         "entire per-doc decision"),
-    # --- staged for r13 (registry_staged_r13; pins in test_plan_guards
-    #     STAGED_PINS) — plan evidence recorded pre-seating ---
+    # --- r13: the four priciest previously-unpinned TPC-H rows, pinned
+    #     in test_plan_guards.PINS with these claims ---
+    "q7_volume_shipping": (
+        "both geo dims (supplier-region, customer-region) broadcast "
+        "below the fact join; the orders<->lineitem fact-fact join is "
+        "the one legitimate shuffle pair (SMJ at pin SF, AQE re-plans "
+        "by size at runtime) + the final (region-pair, year) agg "
+        "Exchange — 3 Exchanges, each fact scanned once, filters "
+        "pushed on both"),
+    "q8_market_share": (
+        "promo flag projected BEFORE the part join so the shuffled row "
+        "stays narrow; ASIA-customer dim chain broadcast; conditional "
+        "and total sums ride ONE aggregation pass — 3 Exchanges, "
+        "lineitem and orders each scanned once"),
+    "q12_late_shipment_priority": (
+        "the >60-day lag predicate is a JOIN-TIME condition on the "
+        "orders<->lineitem broadcast join (non-late lines never leave "
+        "the join); both priority-class conditional counts ride one "
+        "year-key aggregate — a single shuffle Exchange total"),
+    "q20_dominant_suppliers": (
+        "per-part total as a window SUM over the (partkey, suppkey) "
+        "aggregate (the q2 pattern — r13 rewrite of the pq-join-pt "
+        "self-join): lineitem scanned ONCE (was 2), 3 Exchanges (was "
+        "5); PROMO part filter a broadcast semi below the aggregate, "
+        "supplier dim broadcast above it, share test exact integer"),
+    # --- seated at r13 (registry_seated_r13; pins in test_plan_guards
+    #     PINS) — plan evidence first recorded pre-seating at r12 ---
     "q2_min_cost_supplier": (
         "region + part filters applied as broadcast SEMI joins BELOW "
         "the (partkey, suppkey) MIN aggregate (both commute with the "
