@@ -86,8 +86,16 @@ def kmv_oracle_sql(group_cols_sql: str, key_sql: str, from_sql: str,
     GROUP BY {group_cols_sql}, n_exact ORDER BY {group_cols_sql}"""
 
 
+#: exact_quantile_disc collects one stats row and <= n_bins histogram
+#: rows PER GROUP; the cap makes the bounded-groups contract
+#: self-enforcing (at the default 4096 bins, 100k groups ~ a few
+#: hundred MB of driver rows — the practical ceiling of the design).
+QUANTILE_MAX_GROUPS = 100_000
+
+
 def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
-                        group_col: str, n_bins: int = 4096) -> DataFrame:
+                        group_col: str, n_bins: int = 4096,
+                        max_groups: int = QUANTILE_MAX_GROUPS) -> DataFrame:
     """EXACT discrete quantile per group WITHOUT a per-group sort — the
     100 TB path to exact percentiles (`percentile`/`percentile_disc` sort
     every group's values; this never sorts more than one histogram bin).
@@ -95,8 +103,13 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
     Two scans + driver routing over tiny aggregates:
 
       1. per-group (min, max, count) — one map-side-combined aggregate,
-         collected (groups are bounded by assumption: event types,
-         languages, sources — document before using on unbounded keys);
+         collected. The bounded-groups contract is ENFORCED, not
+         assumed: the collect is capped at ``max_groups`` rows
+         (LocalLimit — the job never ships more than the cap + 1 to
+         the driver) and a cap overflow raises ValueError naming the
+         key, so pointing this at an unbounded key (doc_id, user_id)
+         fails fast instead of melting the driver. Intended keys stay
+         the documented ones: event types, languages, sources;
       2. per-group fixed-width bin histogram (<= groups x n_bins rows,
          collected) — the driver walks the cumulative to find the bin
          holding rank k = ceil(p * n) (DuckDB's quantile_disc rule,
@@ -129,10 +142,20 @@ def exact_quantile_disc(df: DataFrame, value_col: str, p: float,
 
     df = df.where(F.col(value_col).isNotNull())
     gtype = df.schema[group_col].dataType
-    stats = {r[0]: (r[1], r[2], r[3]) for r in
-             (df.groupBy(group_col)
-              .agg(F.min(value_col), F.max(value_col),
-                   F.count(value_col))).collect()}
+    stat_rows = (df.groupBy(group_col)
+                 .agg(F.min(value_col), F.max(value_col),
+                      F.count(value_col))
+                 .limit(max_groups + 1).collect())
+    if len(stat_rows) > max_groups:
+        raise ValueError(
+            f"exact_quantile_disc: group key {group_col!r} has more than "
+            f"max_groups={max_groups} distinct values — this operator "
+            f"collects per-group stats and histograms on the driver and "
+            f"is designed for bounded keys (event types, languages, "
+            f"sources). Use approx percentile_approx, or raise "
+            f"max_groups explicitly if the driver can hold "
+            f"~groups x n_bins rows.")
+    stats = {r[0]: (r[1], r[2], r[3]) for r in stat_rows}
 
     def bin_expr(mn_col: str, mx_col: str) -> F.Column:
         spread = F.col(mx_col) - F.col(mn_col)

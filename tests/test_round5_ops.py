@@ -168,3 +168,23 @@ def test_exact_quantile_null_values_and_numeric_group(spark):
            SK.exact_quantile_disc(df, "value", 0.5, "grp").collect()}
     assert got == {big: sorted(range(1, 11))[math.ceil(0.5 * 10) - 1] * 1.0,
                    7: 5.0, None: 1.0}
+
+
+def test_exact_quantile_unbounded_group_key_fails_fast(spark):
+    """The bounded-groups contract is self-enforcing (r12 VERDICT item 1):
+    a group key whose cardinality exceeds max_groups raises an actionable
+    ValueError instead of collecting an unbounded stats/histogram set on
+    the driver — and the guard's own job ships at most max_groups + 1
+    rows (LocalLimit), so the failure itself is cheap."""
+    import pytest
+
+    from kafka_connect_oss_spark.operators import sketches as SK
+
+    df = spark.range(0, 500).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "CAST(id AS DOUBLE) AS value")
+    with pytest.raises(ValueError, match="doc_id.*max_groups=100"):
+        SK.exact_quantile_disc(df, "value", 0.5, "doc_id", max_groups=100)
+    # at-the-cap cardinality still works (the cap is exclusive)
+    out = SK.exact_quantile_disc(df.limit(100), "value", 0.5, "doc_id",
+                                 max_groups=100)
+    assert out.count() == 100
