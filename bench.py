@@ -12,6 +12,7 @@ row transfer). Session build/warm-up is excluded from timings.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -225,6 +226,15 @@ HEADLINE += [
 #: spread vs 4.2s value, multimodal_catalog 38.3 vs 1.8, minhash_lsh
 #: 15.2 vs 2.7, ivf_kmeans 8.9 vs 3.7, q21 7.5 vs 7.3) — the repeat
 #: offenders behind every past phantom-regression adjudication.
+#: r13 adjudication of the two worst sf0.1 offenders
+#: (corpus_cross_source_overlap spread 13.1 on min 1.94,
+#: dedup_minhash_lsh_pairs 5.6 on 1.71): NOT co-tenant noise and not
+#: JVM GC (calib quiet at 0.26, JVM GC <= 165 ms in spiking reps) —
+#: Python's cyclic GC firing MID-REP, releasing the previous rep's
+#: DataFrame/py4j refs inside the timed region (blocking gateway
+#: detach + localCheckpoint unpersist; staged-plan rows hold the most
+#: such refs). gc.collect() before each timed rep (the loop below)
+#: reproducibly collapses the 10-rep spread 8.2 s -> 0.5 s.
 WIDE_SPREAD = {
     "dedup_clusters",
     "corpus_cross_source_overlap",
@@ -316,6 +326,13 @@ def main() -> None:
         times: list[float] = []
         for _ in range(max(reps, 5) if name in WIDE_SPREAD else reps):
             spark.catalog.clearCache()
+            # drain Python GC OUTSIDE the timed region: collecting a
+            # prior rep's DataFrame refs mid-rep stalls the driver in
+            # blocking py4j detach + localCheckpoint unpersist calls —
+            # the r12-adjudicated cause of the sporadic 5-10x rep
+            # spikes on staged-plan rows (corpus_cross_source_overlap
+            # 11s spikes -> 0.5s spread once drained; BENCH_DETAIL r13)
+            gc.collect()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             times.append(time.perf_counter() - t0)

@@ -50,6 +50,12 @@ for name in sys.argv[1:]:
     times = []
     for _ in range(reps):
         spark.catalog.clearCache()
+        # same discipline as bench.py: drain Python GC outside the
+        # timed region (mid-rep collection of a prior rep's DataFrame
+        # refs stalls the driver in py4j detach/unpersist — the cause
+        # of the sporadic 5-10x rep spikes on staged-plan rows)
+        import gc
+        gc.collect()
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         n = df.count()
