@@ -131,6 +131,34 @@ RETIRED_SEATS: dict[str, str] = {
                      "pigeonhole pairing",
 }
 
+#: Round-14 plan, written at r13 (the capacity policy in action, same
+#: shape as the executed r13 plan above): registry_staged_r14 stages
+#: stream_cms_batch_equivalence (the streaming CMS monitor driven
+#: end-to-end inside a driver row — the r12 judge's item-6 candidate)
+#: and sketch_kmv_source_overlap (the all-pairs KMV overlap planner),
+#: parity-proven pre-registration by tests/test_staged_seats_r14.py at
+#: two SFs. Seating them at r14 costs two seats, paid by retiring the
+#: two rows below (both latest-green r11 — so retiring them also
+#: shrinks the r14 rotation obligation by two — and each a variant row
+#: with stronger attested siblings). r14 arithmetic: 50 r11-stale rows
+#: − 2 retired + 2 staged = 50 exactly; the r15 forecast stays at zero
+#: deferrals (scripts/window_math.py models this plan).
+PLANNED_R14_RETIREMENTS: dict[str, str] = {
+    "events_hourly_rollup_approx": "sketch_distinct_users_kmv (r13 "
+                                   "window) attests the same mergeable "
+                                   "two-level KMV aggregate and "
+                                   "events_hourly_rollup (r13 window) "
+                                   "the same hourly grouping",
+    "events_value_percentiles_sampled": "events_value_percentiles (r13 "
+                                        "window) attests the percentile "
+                                        "surface and "
+                                        "events_value_median_exact (r13 "
+                                        "window) the exact-rank path; "
+                                        "the sampled variant is the "
+                                        "same machinery behind a "
+                                        "deterministic hash sample",
+}
+
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked

@@ -268,6 +268,110 @@ def kmv_key_overlap(a: DataFrame, b: DataFrame, key_col: str,
                     .alias("inter_est")))
 
 
+def kmv_source_overlap(docs: DataFrame, ngram: int = 3, k: int = KMV_K,
+                       text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """The cross-source overlap PLANNER: every source pair's shared-
+    shingle estimate from per-source KMV sketches — what a mixture
+    planner runs over a 100 TB corpus BEFORE deciding whether any pair
+    is contaminated enough to pay for the exact matrix
+    (text.cross_source_overlap). kmv_key_overlap is the two-frame
+    primitive; this is its all-pairs form over one grouped corpus scan.
+
+    Cost vs exact: the exact matrix needs the corpus-sized distinct
+    plus a groupBy(hash) collect_set plus the pair aggregate (three
+    corpus-scale shuffles); the planner pays the distinct once and then
+    folds to |sources| x K longs (the kmv_distinct two-level partial
+    shape), so the pair stage is a broadcast self-join of a
+    sources-sized frame — estimates for every pair at roughly a third
+    of the exact cost, with output bounded by C(|sources|, 2).
+
+    Estimator: per pair, union sketch = K smallest of the merged mins,
+    jaccard_est = fraction of union mins in both sides, inter_est =
+    jaccard x union-cardinality (standard KMV set algebra, same
+    expressions as kmv_key_overlap). Exact per-source distinct counts
+    (n_a, n_b) ride the sketch aggregate for free. Deterministic
+    (shared md5-fold hash) so DuckDB reproduces every value.
+
+    Returns (source_a, source_b, n_a, n_b, union_est, jaccard_est,
+    inter_est) for all pairs, source_a < source_b.
+    """
+    from kafka_connect_oss_spark.functions import text as X
+    from kafka_connect_oss_spark.operators.dedup import _fan_out
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    tok = X.sql_tokens(text_col, "spark")
+    hh = H.shingle_hashes(H.word_shingles(tok, ngram, "spark"), "spark")
+    sh = (_fan_out(docs)
+          .select(F.col(source_col).alias("src"),
+                  F.explode(F.expr(hh)).alias("h"))
+          .distinct())
+    partials = (sh.groupBy("src", F.spark_partition_id().alias("_pid"))
+                .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k)
+                     .alias("ph"),
+                     F.count(F.lit(1)).alias("pn")))
+    # both sides of the pair self-join read this sources-sized frame —
+    # staged so the corpus scan/distinct/fold pipeline runs ONCE
+    # (without it Catalyst duplicates the whole subtree per side:
+    # 2 corpus scans, 7 Exchanges vs 3 + the sort)
+    sk = stage_local(
+        partials.groupBy("src")
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("ph"))),
+                     1, k).alias("km"),
+             F.sum("pn").alias("n")))
+    a = sk.select(F.col("src").alias("source_a"),
+                  F.col("km").alias("ka"), F.col("n").alias("n_a"))
+    b = sk.select(F.col("src").alias("source_b"),
+                  F.col("km").alias("kb"), F.col("n").alias("n_b"))
+    u = f"slice(array_sort(array_distinct(concat(ka, kb))), 1, {k})"
+    both = (f"size(filter({u}, x -> array_contains(ka, x) "
+            f"AND array_contains(kb, x)))")
+    usz = f"size({u})"
+    union_est = (f"CASE WHEN {usz} < {k} THEN CAST({usz} AS DOUBLE) "
+                 f"ELSE ({k} - 1) * {HASH_SPACE} "
+                 f"/ element_at({u}, {k}) END")
+    jac = f"{both} / CAST({usz} AS DOUBLE)"
+    return (a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b", "n_a", "n_b",
+                    F.round(F.expr(union_est), 4).alias("union_est"),
+                    F.round(F.expr(jac), 4).alias("jaccard_est"),
+                    F.round(F.expr(f"({jac}) * ({union_est})"), 4)
+                    .alias("inter_est"))
+            .orderBy("source_a", "source_b"))
+
+
+def kmv_source_overlap_oracle_sql(table_expr: str, ngram: int = 3,
+                                  k: int = KMV_K, text_col: str = "text",
+                                  source_col: str = "source") -> str:
+    """DuckDB oracle for kmv_source_overlap: same hashes, same k-min
+    algebra, per-source grouped form."""
+    from kafka_connect_oss_spark.functions import text as X
+
+    dtok = X.sql_tokens(text_col, "duckdb")
+    hh = H.shingle_hashes(H.word_shingles(dtok, ngram, "duckdb"), "duckdb")
+    u = f"list_sort(list_distinct(ka || kb))[1:{k}]"
+    both = (f"len(list_filter({u}, x -> list_contains(ka, x) "
+            f"AND list_contains(kb, x)))")
+    usz = f"len({u})"
+    union_est = (f"CASE WHEN {usz} < {k} THEN CAST({usz} AS DOUBLE) "
+                 f"ELSE ({k} - 1) * {HASH_SPACE} / ({u})[{k}] END")
+    jac = f"{both} / CAST({usz} AS DOUBLE)"
+    return f"""WITH sh AS (
+      SELECT DISTINCT {source_col} AS src, UNNEST({hh}) AS h
+      FROM {table_expr}),
+    sk AS (SELECT src, list_sort(list(h))[1:{k}] AS km,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY src)
+    SELECT a.src AS source_a, b.src AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND({union_est}, 4) AS union_est,
+           ROUND({jac}, 4) AS jaccard_est,
+           ROUND(({jac}) * ({union_est}), 4) AS inter_est
+    FROM (SELECT src, km AS ka, n FROM sk) a
+    JOIN (SELECT src, km AS kb, n FROM sk) b ON a.src < b.src
+    ORDER BY source_a, source_b"""
+
+
 def kmv_overlap_oracle_sql(a_sql: str, b_sql: str, key_sql: str,
                            k: int = KMV_K) -> str:
     """DuckDB oracle for kmv_key_overlap over the same two key sets."""
@@ -396,6 +500,28 @@ def cms_calibration(docs: DataFrame, k: int = 20, text_col: str = "text",
     return est.select(
         F.col("t").alias("token"), "exact_freq", "cms_est",
         (F.col("cms_est") - F.col("exact_freq")).alias("overestimate"))
+
+
+def cms_table_oracle_sql(table_expr: str, text_col: str = "text",
+                         w: int = CMS_W) -> str:
+    """DuckDB mirror of ``cms_table`` — the whole-corpus d x w counter
+    table. Because the table is mergeable (cms_merge), this is ALSO the
+    oracle for any sharded/streamed build over the same rows: the merge
+    of per-batch sketches must equal this batch sketch cell-for-cell."""
+    from kafka_connect_oss_spark.functions import text as X
+
+    hv = H.base_hash("t", "duckdb")
+    buckets = _cms_buckets("h", w)
+    cms_rows = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS j, CAST({b} AS BIGINT) AS bucket"
+        f" FROM h" for j, b in enumerate(buckets))
+    return f"""WITH tok AS (
+      SELECT unnest({X.sql_tokens(text_col, 'duckdb')}) AS t
+      FROM {table_expr}),
+    h AS (SELECT {hv} AS h FROM tok)
+    SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ({cms_rows}) GROUP BY j, bucket
+    ORDER BY j, bucket"""
 
 
 def cms_calibration_oracle_sql(table_expr: str, k: int = 20,

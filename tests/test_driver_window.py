@@ -161,5 +161,36 @@ def test_bench_covers_every_query_and_staged_row():
     assert len(B.HEADLINE) == len(set(B.HEADLINE)), "duplicate HEADLINE row"
 
 
+def test_staged_queries_order_independent():
+    """staged_queries() must not depend on the caller's import order
+    (r12 ADVICE item 1): called in a FRESH interpreter before anything
+    imported the seated/entry modules, it must still exclude every
+    already-seated row — registry._force_full_registration() makes the
+    QUERIES snapshot complete before the subtraction."""
+    import subprocess
+    import sys
+
+    code = (
+        "from kafka_connect_oss_spark.registry import staged_queries\n"
+        "import kafka_connect_oss_spark.registry_seated_r13 as s13\n"
+        "from kafka_connect_oss_spark import registry_staged_r13 as S\n"
+        "got = set(staged_queries())\n"
+        "leak = got & set(S.STAGED_QUERIES)\n"
+        "assert not leak, f'seated rows reported as staged: {leak}'\n"
+    )
+    # stricter still: call staged_queries with NO other imports at all
+    code2 = (
+        "from kafka_connect_oss_spark.registry import staged_queries\n"
+        "got = set(staged_queries())\n"
+        "assert 'q2_min_cost_supplier' not in got, got\n"
+        "assert 'text_bpe_encode' not in got, got\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for c in (code, code2):
+        proc = subprocess.run([sys.executable, "-c", c], cwd=repo,
+                              capture_output=True, text=True)
+        assert proc.returncode == 0, proc.stderr
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
