@@ -721,7 +721,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (phone prefixes -> nation keys; 'no orders' -> 'no
     orders since 2000', since every synthetic customer has some order).
     The above-average test is exact: bal > avg(bal) rewritten as
-    bal*n > sum(bal). The scalar aggregate is a broadcast singleton; the
+    bal*n > sum(bal), evaluated in DECIMAL(38,0) to match DuckDB's
+    HUGEINT widening (the q11 discipline: BIGINT*BIGINT wraps silently
+    once cents x customer-count crosses ~9e18 — a 100 TB-corpus
+    magnitude). The scalar aggregate is a broadcast singleton; the
     dormancy test is a left-anti join against date-filtered orders."""
     pool = (load_table(spark, sf_dir, "customer")
             .where(F.col("c_nationkey").isin(1, 3, 5, 7))
@@ -732,8 +735,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = (load_table(spark, sf_dir, "orders")
               .where(F.col("o_orderdate") >= _ts("2000-01-01"))
               .select("o_custkey"))
+    dec = "decimal(38,0)"
     return (pool.crossJoin(F.broadcast(stat))
-            .where(F.col("bal_c") * F.col("n") > F.col("s"))
+            .where(F.col("bal_c").cast(dec) * F.col("n")
+                   > F.col("s").cast(dec))
             .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
