@@ -412,12 +412,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: revenue view + max-equality selection. Revenue is exact
     integer cents so `= MAX(...)` is a safe equality (no float ties); the
     singleton max is broadcast back against the per-supplier aggregate —
-    no collect(), no second scan of lineitem."""
+    no collect(). The supplier-bounded aggregate is STAGED (r13): both
+    consumers (the scalar max and the equality join) previously planned
+    their own copy of the scan+aggregate subtree, and unlike q11's
+    same-key branches AQE never collapsed it to a ReusedExchange
+    (verified on the final plan: 0 reuses, lineitem scanned twice) —
+    staging pins lineitem to ONE scan at any SF."""
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
     li = (load_table(spark, sf_dir, "lineitem")
           .where((F.col("l_shipdate") >= _ts("1996-01-01")) &
                  (F.col("l_shipdate") < _ts("1996-04-01")))
           .select("l_suppkey", "l_extendedprice", "l_discount"))
-    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_col()).alias("rev_c"))
+    rev = stage_local(
+        li.groupBy("l_suppkey").agg(F.sum(_rev_col()).alias("rev_c")))
     top = rev.agg(F.max("rev_c").alias("max_c"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.join(F.broadcast(top), rev.rev_c == top.max_c)
@@ -481,19 +489,25 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: lineitems below 20% of their part's average quantity
     (container filter dropped: no container column). The correlated average
     is exact integer algebra — qty < 0.2*avg(qty) rewritten as
-    5*qty*n < sum(qty), no float division before the comparison. The
-    per-part aggregate is broadcast: bounded by the brand-filtered part
-    count, not by lineitem."""
+    5*qty*n < sum(qty), no float division before the comparison.
+
+    r13 rewrite to the q2/q20 window pattern: the per-part (sum, count)
+    rides a window over the brand-pruned rows' own partkey Exchange —
+    the previous agg-then-broadcast-join shape scanned lineitem TWICE
+    (AQE's reuse was partial: final plan still showed 2 scans) and
+    broadcast an aggregate bounded by the brand's PART COUNT, a
+    ~100 MB+ broadcast at 100 TB scale. Now: ONE scan, one Exchange of
+    the pruned rows, no large broadcast."""
     part = (load_table(spark, sf_dir, "part")
             .where(F.col("p_brand") == "Brand#23").select("p_partkey"))
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
-    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    pavg = (brand_li.groupBy(F.col("l_partkey").alias("avg_partkey"))
-            .agg(F.sum(F.expr(_cents("l_quantity"))).alias("sq"),
-                 F.count(F.lit(1)).alias("n")))
-    small = (brand_li.join(F.broadcast(pavg),
-                           brand_li.l_partkey == pavg.avg_partkey)
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                       "semi")
+    w = Window.partitionBy("l_partkey")
+    small = (brand_li
+             .withColumn("sq", F.sum(F.expr(_cents("l_quantity"))).over(w))
+             .withColumn("n", F.count(F.lit(1)).over(w))
              .where(F.expr(f"5 * {_cents('l_quantity')} * n < sq")))
     return small.agg(
         (F.sum(F.expr(_cents("l_extendedprice"))).cast("double") / 700.0)

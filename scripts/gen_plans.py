@@ -300,6 +300,19 @@ SHOWCASE = {
         "self-join): lineitem scanned ONCE (was 2), 3 Exchanges (was "
         "5); PROMO part filter a broadcast semi below the aggregate, "
         "supplier dim broadcast above it, share test exact integer"),
+    "q15_top_supplier": (
+        "the supplier-bounded revenue aggregate is staged (r13: both "
+        "the scalar max and the equality join read the Scan "
+        "ExistingRDD — unstaged, AQE never collapsed the duplicated "
+        "subtree, final plan scanned lineitem twice); the singleton "
+        "max and the supplier dim broadcast — 1 Exchange total"),
+    "q17_small_quantity_revenue": (
+        "correlated per-part average as a window over the "
+        "brand-pruned rows' own partkey Exchange (r13 rewrite — the "
+        "agg+broadcast-join form scanned lineitem twice and broadcast "
+        "an aggregate bounded by the brand's PART COUNT, ~100 MB+ at "
+        "100 TB): ONE scan, broadcast semi part filter, exact "
+        "5*qty*n < sum(qty) integer compare"),
     # --- seated at r13 (registry_seated_r13; pins in test_plan_guards
     #     PINS) — plan evidence first recorded pre-seating at r12 ---
     "q2_min_cost_supplier": (
@@ -320,6 +333,20 @@ SHOWCASE = {
         "a single explode of a literal struct array (no d-branch "
         "union), d*w-bounded sketch aggregate, exact top-k via "
         "TakeOrderedAndProject heap, k*d-cell estimate join broadcast"),
+    # --- staged for r14 (registry_staged_r14; pins in test_plan_guards
+    #     STAGED_PINS) — plan evidence recorded pre-seating ---
+    "stream_cms_batch_equivalence": (
+        "the row's own plan is the collected+re-staged d x w merge "
+        "(bounded at d*w rows, zero Exchanges); the streaming work — "
+        "multi-batch availableNow file stream, per-batch sketch "
+        "partitions, cell-wise cms_merge — happens inside the builder "
+        "and is attested by equality with the batch-sketch oracle"),
+    "sketch_kmv_source_overlap": (
+        "corpus scan/distinct/K-min fold staged ONCE (Scan ExistingRDD "
+        "on both self-join sides — unstaged, Catalyst duplicates the "
+        "whole corpus subtree per side: 2 scans, 7 Exchanges vs 1); "
+        "pair stage is a sources-bounded BroadcastNestedLoopJoin; the "
+        "one Exchange is the tiny ordered output"),
 }
 
 KEEP = re.compile(
