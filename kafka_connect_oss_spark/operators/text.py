@@ -481,12 +481,20 @@ def token_budget(docs: DataFrame, text_col: str = "text",
     output) plus a single-row corpus total broadcast back — counts stay
     exact BIGINTs, the share is one double division rounded identically
     to the oracle. Returns (source, n_docs, n_tokens, token_share).
+
+    The sources-sized aggregate is STAGED (r13 multi-scan audit): the
+    scalar-total branch otherwise re-plans the whole scan+tokenize+agg
+    subtree — AQE never collapsed it to a ReusedExchange, so the corpus
+    was scanned AND tokenized twice at runtime.
     """
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
     tok = X.sql_tokens(text_col, "spark")
-    per_source = (docs.groupBy(F.col(source_col).alias("source"))
-                  .agg(F.count(F.lit(1)).alias("n_docs"),
-                       F.sum(F.expr(f"size({tok})")).cast("long")
-                       .alias("n_tokens")))
+    per_source = stage_local(
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.expr(f"size({tok})")).cast("long")
+             .alias("n_tokens")))
     total = per_source.agg(F.sum("n_tokens").alias("_total"))
     return (per_source.crossJoin(F.broadcast(total))
             .select("source", "n_docs", "n_tokens",
@@ -1081,14 +1089,22 @@ def unigram_nll(docs: DataFrame, text_col: str = "text",
     then a per-doc mean. Shuffles carry (token, count) and
     (id, token) pairs only. Empty docs emit no row.
 
+    The vocabulary-sized tf model is STAGED (r13 multi-scan audit):
+    the scalar-total branch otherwise re-plans the scan+explode+agg
+    subtree, tokenizing the corpus a third time at runtime (fit +
+    total + apply); staged, the corpus is tokenized exactly twice —
+    the inherent fit-then-apply minimum.
+
     Returns (id_col, n_tokens, nll) with nll in nats rounded to 4.
     """
     from kafka_connect_oss_spark.operators.dedup import _fan_out
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     tok = X.sql_tokens(text_col, "spark")
     pairs = _fan_out(docs).select(
         F.col(id_col), F.explode(F.expr(tok)).alias("_w"))
-    tf = pairs.groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    tf = stage_local(
+        pairs.groupBy("_w").agg(F.count(F.lit(1)).cast("long").alias("_tf")))
     total = tf.agg(F.sum("_tf").cast("double").alias("_total"))
     return (pairs.join(tf, "_w")
             .crossJoin(F.broadcast(total))
@@ -1314,9 +1330,16 @@ def bigram_nll(docs: DataFrame, text_col: str = "text",
     broadcasts a vocabulary-sized model), one per-doc mean. Documents
     with < 2 tokens emit no row.
 
+    The vocabulary-sized bigram model is STAGED (r13 multi-scan audit):
+    the context-count branch derives FROM the bigram counts, but
+    unstaged it re-planned the whole scan+explode+agg subtree —
+    tokenizing the corpus once more than the fit + vocab + apply
+    minimum of three passes.
+
     Returns (id_col, n_bigrams, nll) in nats rounded to 4.
     """
     from kafka_connect_oss_spark.operators.dedup import _fan_out
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     tok = X.sql_tokens(text_col, "spark")
     big = (f"CASE WHEN size({tok}) < 2 THEN array() "
@@ -1325,8 +1348,8 @@ def bigram_nll(docs: DataFrame, text_col: str = "text",
            f"element_at({tok}, i + 1))) END")
     pairs = _fan_out(docs).select(
         F.col(id_col), F.explode(F.expr(big)).alias("_b"))
-    bc = pairs.groupBy("_b").agg(
-        F.count(F.lit(1)).cast("long").alias("_bc"))
+    bc = stage_local(pairs.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_bc")))
     cc = (bc.groupBy(F.substring_index("_b", " ", 1).alias("_w1"))
           .agg(F.sum("_bc").alias("_cc")))
     v = (_fan_out(docs)
