@@ -145,9 +145,11 @@ SHOWCASE = {
         "over the scan, TakeOrderedAndProject top-k (per-partition "
         "heaps) — zero data-sized shuffles"),
     "text_unigram_nll": (
-        "corpus TF aggregate (word-count shape, map-side combined), "
-        "1-row total broadcast, UNFORCED token join (AQE decides "
-        "broadcast vs shuffle as the vocabulary grows), per-doc mean"),
+        "corpus TF aggregate (word-count shape, map-side combined) "
+        "STAGED (r13: Scan ExistingRDD under both the scalar total and "
+        "the model join — unstaged, the corpus tokenized 3x), 1-row "
+        "total broadcast, UNFORCED token join (AQE decides broadcast "
+        "vs shuffle as the vocabulary grows), per-doc mean"),
     "text_token_entropy": (
         "single word-count aggregate keyed (id, token) with map-side "
         "combine, then an id-keyed entropy fold — no second corpus scan"),
@@ -180,11 +182,12 @@ SHOWCASE = {
         "shuffle) + one shard-level partial-agg rollup — n_shards "
         "output rows, fragments derived in-expression, no second scan"),
     "text_bigram_nll": (
-        "bigram word-count aggregate (map-side combined); context "
-        "counts derived FROM the bigram counts (vocabulary-sized "
-        "second agg, not a second corpus pass); 1-row V broadcast; "
-        "UNFORCED model join (AQE broadcasts while the model fits); "
-        "per-doc partial avg map-side"),
+        "bigram word-count aggregate (map-side combined) STAGED (r13: "
+        "the context-count agg derives from it — unstaged it re-ran "
+        "the corpus explode, 4 passes vs the fit+vocab+apply minimum "
+        "of 3); context counts a vocabulary-sized second agg; 1-row V "
+        "broadcast; UNFORCED model join (AQE broadcasts while the "
+        "model fits); per-doc partial avg map-side"),
     "text_vocab_stats": (
         "one (source, term) word-count aggregate with map-side "
         "combine, then a source-level rollup over vocabulary-sized "
