@@ -184,11 +184,20 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported only if both sides hash to the same bucket; identical
     payloads embed identically and always share a bucket, and near-dup
     recall rises with payload similarity. The oracle mirrors the bucket
-    computation exactly."""
+    computation exactly.
+
+    The embedded catalog (doc_id, embedding, modality, bucket — the
+    BINARY payload already dropped) is STAGED before the pairwise
+    operator (r13): embedding_near_dup consumes its input on both
+    self-join sides plus the block-sizes branch, so unstaged the
+    MapInPandas binary_embed pass re-ran per branch (8 planned scans of
+    the payload-bearing table; 8.9 -> 7.15 s min-of-4 at sf1, and the
+    rep spread tightens ~4x)."""
     from pyspark.sql import functions as F
 
     from kafka_connect_oss_spark.functions import vectors as V
     from kafka_connect_oss_spark.operators import dedup
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     mm = _mm(spark, sf_dir)
     emb = MM.binary_embed(mm)
@@ -197,8 +206,9 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"v{j}") for j in range(MM.EMBED_DIMS)])
         .alias("embedding"))
     bucket = V.lsh_bucket_sql(_MM_CENTER_SPARK, _MM_PLANES, "spark")
-    joined = (arr.join(mm.select("doc_id", "modality"), "doc_id")
-              .withColumn("bucket", F.expr(bucket)))
+    joined = stage_local(
+        arr.join(mm.select("doc_id", "modality"), "doc_id")
+        .withColumn("bucket", F.expr(bucket)))
     return dedup.embedding_near_dup(joined, threshold=_MM_COSINE,
                                     vec_col="embedding", id_col="doc_id",
                                     block_col=["modality", "bucket"])
