@@ -228,13 +228,23 @@ HEADLINE += [
 #: offenders behind every past phantom-regression adjudication.
 #: r13 adjudication of the two worst sf0.1 offenders
 #: (corpus_cross_source_overlap spread 13.1 on min 1.94,
-#: dedup_minhash_lsh_pairs 5.6 on 1.71): NOT co-tenant noise and not
-#: JVM GC (calib quiet at 0.26, JVM GC <= 165 ms in spiking reps) —
-#: Python's cyclic GC firing MID-REP, releasing the previous rep's
+#: dedup_minhash_lsh_pairs 5.6 on 1.71) — TWO distinct causes found:
+#: (1) Python's cyclic GC firing MID-REP, releasing the previous rep's
 #: DataFrame/py4j refs inside the timed region (blocking gateway
-#: detach + localCheckpoint unpersist; staged-plan rows hold the most
-#: such refs). gc.collect() before each timed rep (the loop below)
-#: reproducibly collapses the 10-rep spread 8.2 s -> 0.5 s.
+#: detach + unpersist). gc.collect() before each timed rep (the loop
+#: below) fixes this class: minhash_lsh spread 5.6 -> 1.6 in the r13
+#: run, and most other spreads collapsed with it.
+#: (2) A residual RARE stall (~5-15 s, <= 1 rep in 5) that still hits
+#: corpus_cross_source_overlap: present with staging disabled too, NOT
+#: reproduced by 30-rep raw-scan or 12-rep raw-shuffle loops on the
+#: same data (stable 0.2-0.3 s), not CPU co-tenancy (calib quiet), not
+#: JVM GC (<= 165 ms in spiking reps), not Python GC (persists after
+#: the pre-rep collect), not leftover persistent RDDs (unpersist-all
+#: between reps does not cure it). Conclusion: an environment-level
+#: scheduling/IO hiccup that preferentially lands on the
+#: most-job-stages row in the suite; the min-of-5 best is the sound
+#: reading (min stable 1.7-2.3 s across ~40 diagnostic reps) and the
+#: recorded spread is the honest noise bar.
 WIDE_SPREAD = {
     "dedup_clusters",
     "corpus_cross_source_overlap",
