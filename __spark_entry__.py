@@ -21,6 +21,7 @@ import kafka_connect_oss_spark.registry_relational  # noqa: E402,F401 (registers
 import kafka_connect_oss_spark.registry_seated  # noqa: E402,F401 (seats the r10 staged ops)
 import kafka_connect_oss_spark.registry_seated_r12  # noqa: E402,F401 (seats the r12 staged ops)
 import kafka_connect_oss_spark.registry_seated_r13  # noqa: E402,F401 (seats the r13 staged ops)
+import kafka_connect_oss_spark.registry_seated_r14  # noqa: E402,F401 (seats the r14 staged ops)
 import kafka_connect_oss_spark.registry_tpch  # noqa: E402,F401 (registers entries)
 from kafka_connect_oss_spark.registry import (LAZY_ORACLES, ORACLES,  # noqa: E402
                                               QUERIES)
@@ -129,75 +130,114 @@ RETIRED_SEATS: dict[str, str] = {
     "dedup_simhash": "dedup_simhash_pairs (r12 window) computes the same "
                      "signatures as its first stage before the "
                      "pigeonhole pairing",
-}
-
-#: Round-14 plan, written at r13 (the capacity policy in action, same
-#: shape as the executed r13 plan above): registry_staged_r14 stages
-#: stream_cms_batch_equivalence (the streaming CMS monitor driven
-#: end-to-end inside a driver row — the r12 judge's item-6 candidate)
-#: and sketch_kmv_source_overlap (the all-pairs KMV overlap planner),
-#: parity-proven pre-registration by tests/test_staged_seats_r14.py at
-#: two SFs. Seating them at r14 costs two seats, paid by retiring the
-#: two rows below (both latest-green r11 — so retiring them also
-#: shrinks the r14 rotation obligation by two — and each a variant row
-#: with stronger attested siblings). r14 arithmetic: 50 r11-stale rows
-#: − 2 retired + 2 staged = 50 exactly; the r15 forecast stays at zero
-#: deferrals (scripts/window_math.py models this plan).
-PLANNED_R14_RETIREMENTS: dict[str, str] = {
+    # round-14 retirements, part 1: the PLANNED_R14_RETIREMENTS written
+    # at r13, executed with the r14 seating (both latest-green r11, so
+    # retiring them also shrank the r14 rotation obligation by two)
     "events_hourly_rollup_approx": "sketch_distinct_users_kmv (r13 "
                                    "window) attests the same mergeable "
                                    "two-level KMV aggregate and "
-                                   "events_hourly_rollup (r13 window) "
+                                   "events_hourly_rollup (r14 window) "
                                    "the same hourly grouping",
-    "events_value_percentiles_sampled": "events_value_percentiles (r13 "
+    "events_value_percentiles_sampled": "events_value_percentiles (r14 "
                                         "window) attests the percentile "
                                         "surface and "
-                                        "events_value_median_exact (r13 "
+                                        "events_value_median_exact (r14 "
                                         "window) the exact-rank path; "
                                         "the sampled variant is the "
                                         "same machinery behind a "
                                         "deterministic hash sample",
+    # round-14 retirements, part 2 (the r13 judge's item 2): the
+    # rewrite-resets-staleness rule (REWRITTEN below) makes the
+    # r13-rewritten q15/q17 hard seats at r14, so two MORE seats are
+    # freed by retiring these latest-green-r11 variant rows — each the
+    # degenerate/eval form of stronger machinery seated this very round
+    "sketch_user_overlap_kmv": "sketch_kmv_source_overlap (seated r14) "
+                               "is the all-pairs grouped form of the "
+                               "same kmv_key_overlap two-level K-min "
+                               "fold (the two-frame primitive is its "
+                               "pair stage); sketch_distinct_users_kmv "
+                               "(green r13) attests the per-group KMV "
+                               "estimator",
+    "text_langid_confusion": "text_language_id (green r13) attests the "
+                             "n-gram langid scorer the confusion matrix "
+                             "evaluates, and events_daily_pivot (green "
+                             "r13) the groupBy-pivot aggregation shape; "
+                             "the per-class precision/recall arithmetic "
+                             "is pinned vs sklearn-free numpy in pytest",
+}
+
+#: REWRITE-RESETS-STALENESS RULE (round 14, closes the r13 judge's
+#: item 2): pure staleness rotation models "how long since the driver
+#: attested this row" but not "the code under the row changed since".
+#: q15/q17 had their physical plans rewritten at r13 right AFTER their
+#: r12 attestation and would not have rotated back until r15 — two
+#: rounds of rewritten code covered only by local parity and plan pins.
+#: The rule, in force from r14: a row whose QUERY-PATH code changes in
+#: round R has its last-green treated as reset — it must seat at the
+#: head of round R+1's window (hard seat, like a staged registration).
+#: Mechanics: record {row: rewrite round} here when the rewrite lands;
+#: scripts/window_math.py flags any driver-visible row with
+#: REWRITTEN[row] > last_green as a hard seat (the driver attests at
+#: round END, so a same-round attestation already covers the rewrite),
+#: and tests/test_driver_window.py pins that every such row is in the
+#: current DRIVER_WINDOW. Entries are history — the flag self-clears
+#: once an attestation at or after the rewrite round lands.
+REWRITTEN: dict[str, int] = {
+    # round-13 single-scan plan rewrites (VERDICT r13 "Real wins")
+    "q15_top_supplier": 13,
+    "q17_small_quantity_revenue": 13,
+    "q20_dominant_suppliers": 13,
+    "corpus_token_budget": 13,
+    "text_unigram_nll": 13,
+    "text_bigram_nll": 13,   # retired seat: full-registry parity covers it
+    "multimodal_near_dup": 13,  # attested green r13 AFTER the rewrite
 }
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked
-#: queries). The r13 window, per the arithmetic above: the 50 rows last
-#: attested r10 were the obligation; the 3 of them retired with the
-#: seating (dedup_minhash_signature, dedup_simhash, sim_ann_lsh_topk)
-#: leave 47, plus the 3 newly seated r13 rows at the head = 50 exactly,
-#: zero deferrals (scripts/window_math.py forecast: zero rows
-#: ≥4-rounds-stale through r15+; r14 then rotates the 50 r11 rows).
+#: queries). The r14 window, per the arithmetic above: the 50 rows last
+#: attested r11 were the obligation; the 4 of them retired with the
+#: seating (events_hourly_rollup_approx, events_value_percentiles_
+#: sampled, sketch_user_overlap_kmv, text_langid_confusion) leave 46,
+#: plus the 2 newly seated r14 rows and the 2 REWRITTEN hard seats
+#: (q15/q17 — r13-rewritten, re-attesting on the new plans) at the
+#: head = 50 exactly, zero deferrals (scripts/window_math.py forecast:
+#: zero rows ≥4-rounds-stale through r16+; r15 then rotates the 48
+#: remaining r12 rows, leaving 2 spare seats for the r15 staging).
 DRIVER_WINDOW: list[str] = [
-    # (1) the 3 r12-staged operators, seated this round via
-    #     registry_seated_r13 (parity-proven in test_staged_seats_r13)
-    "q2_min_cost_supplier", "q11_important_supply",
-    "sketch_cms_calibration",
-    # (2) the 47 remaining r10-attested rows, 3 rounds stale — the full
-    #     rotation obligation (the other 3 are RETIRED_SEATS, not
-    #     deferred), including the four §2 rotation-file rows
-    "asof_purchase_attribution", "corpus_cluster_quota_sample",
-    "corpus_cross_source_overlap", "corpus_curated",
-    "corpus_decontaminated", "corpus_dsir_weights",
-    "corpus_mixture_sample", "corpus_publish_decisions",
-    "corpus_shard_manifest", "corpus_split_assign",
-    "corpus_weighted_sample", "dedup_multi_signal",
-    "dedup_semantic_flags", "dedup_takedown_expansion",
-    "events_daily_anomaly_zscore", "events_daily_pivot",
-    "events_day_over_day_retention", "events_hourly_rollup",
-    "events_top_users_per_type", "events_user_running_value",
-    "events_value_median_exact", "events_value_percentiles",
-    "multimodal_catalog", "multimodal_embed", "multimodal_image_resize",
-    "multimodal_near_dup", "multimodal_video_frames",
-    "pack_efficiency_report", "r1_size_rotation_files",
-    "r2_anchored_rotation_files", "r2_interval_rotation_files",
-    "r4_scheduled_rotation", "sessions_per_user",
-    "sim_ann_ivf_kmeans_topk", "sim_ann_ivf_topk",
-    "sim_embedding_diversity", "sim_hybrid_rrf_topk",
-    "sketch_distinct_users_kmv", "text_bm25_topk", "text_fingerprints",
-    "text_language_id", "text_line_dedup", "text_ngram_topk",
-    "text_novelty_score", "text_pii_redacted",
-    "text_prune_frequent_tokens", "text_vocab_stats",
+    # (1) the 2 r13-staged operators, seated this round via
+    #     registry_seated_r14 (parity-proven in test_staged_seats_r14;
+    #     streaming row additionally 5x-stability-proven at seating)
+    "stream_cms_batch_equivalence", "sketch_kmv_source_overlap",
+    # (2) the 2 REWRITTEN hard seats: plans rewritten r13 after their
+    #     r12 attestation (single-scan q15, window-not-broadcast q17) —
+    #     first driver attestation of the rewritten plans
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    # (3) the 46 remaining r11-attested rows, 3 rounds stale — the full
+    #     rotation obligation (the other 4 are RETIRED_SEATS, not
+    #     deferred), including the r13-rewritten q20 / corpus_token_
+    #     budget / text_unigram_nll on their new single-pass plans
+    "corpus_chunk_windows", "corpus_decontam_overlap",
+    "corpus_dup_rate_by_source", "corpus_duplicate_spans",
+    "corpus_epoch_plan", "corpus_expectations_report",
+    "corpus_global_shuffle", "corpus_pagerank_centrality",
+    "corpus_snapshot_diff", "corpus_source_cap", "corpus_token_budget",
+    "corpus_training_order_export", "dedup_embedding_cosine_pairs",
+    "dedup_ngram_jaccard_pairs", "events_cohort_retention_matrix",
+    "events_rollup_day_type", "events_signup_funnel",
+    "events_sliding_rollup", "events_value_histogram",
+    "orders_without_recent_lineitems", "q10_returned_items",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q16_parts_supplier_relationship", "q18_large_volume_customers",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "sim_ann_lsh_multiprobe_topk",
+    "sim_ann_pq_topk", "sim_ann_recall_eval", "sim_ann_rp_topk",
+    "sim_embedding_quantize", "sim_knn_join", "sim_random_projection",
+    "sim_topk_bruteforce", "text_bpe_pair_stats", "text_normalized",
+    "text_quality_model_score", "text_rare_token_score",
+    "text_repetition_signals", "text_token_entropy", "text_unigram_nll",
 ]
 
 

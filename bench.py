@@ -216,6 +216,11 @@ HEADLINE += [
     "q19_discounted_revenue",
     "q20_dominant_suppliers",
     "q22_dormant_customers",
+    # round-14: the two r13-staged ops seated into the registry (their
+    # staged auto-enumerated bench rows retire — same operators, same
+    # names, so the wall-time series continues unbroken)
+    "stream_cms_batch_equivalence",
+    "sketch_kmv_source_overlap",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -62,7 +62,12 @@ def _force_full_registration() -> None:
     complete. Without this, staged_queries() called before
     __spark_entry__ imported the seated modules would report
     already-seated rows as 'staged' (observed: 8 instead of 3) — the
-    result depended on the caller's import order."""
+    result depended on the caller's import order. Imports EVERYTHING
+    matching registry_* EXCEPT the registry_staged_r* definition
+    modules (which must never self-register) — a new registry_<family>
+    module is picked up automatically instead of silently skipped,
+    which would quietly reintroduce the import-order bug (r13 ADVICE
+    2)."""
     import importlib
     import pkgutil
     import re
@@ -70,8 +75,8 @@ def _force_full_registration() -> None:
     import kafka_connect_oss_spark as pkg
 
     for m in pkgutil.iter_modules(pkg.__path__):
-        if re.fullmatch(r"registry_(seated|llm|multimodal|relational|"
-                        r"tpch)(_r\d+)?", m.name):
+        if (m.name.startswith("registry_")
+                and not re.fullmatch(r"registry_staged(_r\d+)?", m.name)):
             importlib.import_module(f"kafka_connect_oss_spark.{m.name}")
 
 

@@ -176,11 +176,14 @@ def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReusedExchange of the partkey aggregate at runtime (verified on the
     AQE final plan), so lineitem is scanned ONCE. Exactness: BIGINT
     cents end-to-end; the cross-multiplied comparison is evaluated in
-    DECIMAL(38,0) on the Spark side to match DuckDB's HUGEINT widening
-    — BIGINT*BIGINT would silently wrap near ~9e18 (a 100 TB corpus's
-    total_cents * n_parts crosses that), diverging from the oracle
-    instead of erroring. The cast is scalar-side (post-aggregate), so
-    the plan shape is untouched."""
+    DECIMAL(38,0) on the Spark side (BIGINT*BIGINT would silently wrap
+    near ~9e18 — a 100 TB corpus's total_cents * n_parts crosses that)
+    and in HUGEINT on the oracle side (DuckDB does NOT widen
+    BIGINT*BIGINT — it raises an Out of Range error on overflow; only
+    SUM widens to HUGEINT — so the explicit cast is what keeps the
+    oracle non-erroring AND exact at those magnitudes; r13 ADVICE 1).
+    The cast is scalar-side (post-aggregate), so the plan shape is
+    untouched."""
     nat = (load_table(spark, sf_dir, "nation")
            .where(F.col("n_name").isin(*_Q11_NATIONS)))
     sup = (load_table(spark, sf_dir, "supplier")
@@ -214,7 +217,8 @@ t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
              COUNT(*) AS n_parts FROM v)
 SELECT p_partkey, value_cents
 FROM v, t
-WHERE value_cents * n_parts > 2 * total_cents
+WHERE CAST(value_cents AS HUGEINT) * n_parts
+      > 2 * CAST(total_cents AS HUGEINT)
 ORDER BY value_cents DESC, p_partkey"""
 
 

@@ -725,7 +725,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, COUNT(*) AS numcust,
            CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
     FROM pool, stat
-    WHERE bal_c * n > s
+    WHERE CAST(bal_c AS HUGEINT) * n > s
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -735,11 +735,14 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (phone prefixes -> nation keys; 'no orders' -> 'no
     orders since 2000', since every synthetic customer has some order).
     The above-average test is exact: bal > avg(bal) rewritten as
-    bal*n > sum(bal), evaluated in DECIMAL(38,0) to match DuckDB's
-    HUGEINT widening (the q11 discipline: BIGINT*BIGINT wraps silently
-    once cents x customer-count crosses ~9e18 — a 100 TB-corpus
-    magnitude). The scalar aggregate is a broadcast singleton; the
-    dormancy test is a left-anti join against date-filtered orders."""
+    bal*n > sum(bal), evaluated in DECIMAL(38,0) on the Spark side and
+    HUGEINT on the oracle side (the q11 discipline: Spark BIGINT*BIGINT
+    wraps silently once cents x customer-count crosses ~9e18 — a
+    100 TB-corpus magnitude — while DuckDB raises Out of Range there
+    rather than widening, so the oracle needs its own explicit HUGEINT
+    cast; r13 ADVICE 1). The scalar aggregate is a broadcast singleton;
+    the dormancy test is a left-anti join against date-filtered
+    orders."""
     pool = (load_table(spark, sf_dir, "customer")
             .where(F.col("c_nationkey").isin(1, 3, 5, 7))
             .select("c_custkey", "c_nationkey",

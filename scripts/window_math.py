@@ -6,9 +6,14 @@ suggested next-round window under the standing rules:
 
   1. never-green and latest-red rows seat first (hard);
   2. new registrations seat at registration (hard);
-  3. rows N rounds stale rotate in oldest-first (3 = obligation, 4 =
+  3. rewritten rows seat at the round after the rewrite (hard): a row
+     in __spark_entry__.REWRITTEN whose rewrite round is newer than its
+     last green attestation re-attests at the next window's head (the
+     r13 judge's item 2 — staleness alone missed "code changed since
+     last attestation");
+  4. rows N rounds stale rotate in oldest-first (3 = obligation, 4 =
      ceiling — a deferral must be written into the window comment);
-  4. overflow defers the lowest-risk rows (untouched small-result TPC-H
+  5. overflow defers the lowest-risk rows (untouched small-result TPC-H
      first) to the following round.
 
 Usage: python scripts/window_math.py [next_round_number]
@@ -60,12 +65,22 @@ def main() -> None:
     latest_red = [n for n, (r, rec) in latest_row.items()
                   if n in qs and not green(rec)
                   and last_green.get(n, -1) < r]
+    # rewrite-resets-staleness (r13 judge item 2): a driver-visible row
+    # whose query path was rewritten AFTER its last attestation is a
+    # hard seat regardless of staleness bucket (strict >: the driver
+    # attests at round end, so same-round attestation covers a rewrite)
+    rewritten_cfg: dict[str, int] = getattr(E, "REWRITTEN", {})
+    rewritten = sorted(
+        n for n in qs
+        if n in last_green and rewritten_cfg.get(n, -1) > last_green[n])
     by_age: dict[int, list[str]] = {}
     for n in qs:
-        if n in last_green:
+        if n in last_green and n not in rewritten:
             by_age.setdefault(nxt - last_green[n], []).append(n)
     print(f"never-green (hard seats): {len(never)} {never}")
     print(f"latest-red (hard seats): {len(latest_red)} {latest_red}")
+    print(f"rewritten since last attestation (hard seats): "
+          f"{len(rewritten)} {rewritten}")
     for age in sorted(by_age, reverse=True):
         tag = ("HARD (>=4 rounds, past ceiling)" if age >= 4 else
                "obligation (3 rounds)" if age == 3 else "")
@@ -111,8 +126,8 @@ def main() -> None:
               f"seating outranks staleness): {len(staged)} {staged}"
               + (f"  ** {len(overdue)} OVERDUE from an earlier round: "
                  f"{overdue} **" if overdue else ""))
-    hard = never + latest_red + [n for a, ns in by_age.items()
-                                 if a >= 4 for n in ns]
+    hard = never + latest_red + rewritten + [n for a, ns in by_age.items()
+                                             if a >= 4 for n in ns]
     oblig = by_age.get(3, [])
     total = len(hard) + len(oblig) + len(staged)
     print(f"\nseats: hard={len(hard)} + staged={len(staged)} + "
@@ -150,9 +165,12 @@ def main() -> None:
             live = [n for n in live if n not in retire] + seats
             print(f"forecast r{r} plan: +{len(seats)} staged {seats} "
                   f"-{len(retire)} retired {retire} -> registry {len(live)}")
-        # staged seats are hard (seat at registration), then oldest-first
-        rest = sorted((n for n in live if n not in seats),
-                      key=lambda n: sim.get(n, -10**9))
+        # staged seats are hard (seat at registration), then rewritten-
+        # since-attestation rows (the r14 rule), then oldest-first
+        rest = sorted(
+            (n for n in live if n not in seats),
+            key=lambda n: (0 if rewritten_cfg.get(n, -1) > sim.get(n, -10**9)
+                           else 1, sim.get(n, -10**9)))
         if len(seats) > SAMPLE:
             # a pile-up of staging cohorts beyond the sample size would
             # make rest[:negative] silently truncate from the tail and

@@ -64,6 +64,39 @@ def test_every_query_attested_past_or_windowed():
         f"current window: {orphans}")
 
 
+def test_rewritten_rows_reseat_next_round():
+    """Rewrite-resets-staleness (r13 VERDICT item 2): a driver-visible
+    row whose query-path code was rewritten in round R AFTER its last
+    green attestation (__spark_entry__.REWRITTEN, strict >: the driver
+    attests at round end, so a same-round attestation covers the
+    rewrite) is a hard seat — it must hold a seat in the CURRENT
+    window, not wait out the staleness rotation on unattested code."""
+    e = _entry()
+    rewritten = getattr(e, "REWRITTEN", {})
+    assert rewritten, "REWRITTEN history must exist from r14 on"
+    past = _past_rounds()
+    last_green: dict[str, int] = {}
+    for n in range(1, 30):
+        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if (row.get("rows_match") and row.get("schema_match")
+                        and row.get("hash_match")):
+                    last_green[name] = n
+    visible = set(e.queries())
+    window = set(e.DRIVER_WINDOW)
+    stale_rewrites = [
+        name for name, rnd in rewritten.items()
+        if name in visible and rnd > last_green.get(name, -1)
+        and name not in window]
+    assert not stale_rewrites, (
+        f"rows rewritten after their last attestation but not seated "
+        f"in the current window: {stale_rewrites}")
+    assert past, "driver CORRECTNESS history expected"
+
+
 def test_red_rows_are_rechecked():
     e = _entry()
     window = set(list(e.queries())[:DRIVER_SAMPLE])

@@ -1,65 +1,101 @@
-"""Round-14 seat candidates (registry_staged_r14) run through the exact
-driver contract — tests/parity.compare — before they are ever
-registered, so seating them at r14 carries zero new correctness risk.
-Also pins that importing the staged module does NOT touch the live
-registry (the freeze-after-sweep invariant), and that the capacity
-policy's planned retirements name rows that are (a) still registered,
-(b) latest-green, and (c) covered by a still-attested sibling."""
+"""Round-13 staged operators, seated at round 14 (registry_seated_r14).
 
-import json
+In round 13 this module ran the staged (query, oracle) pairs through
+tests/parity.compare at two SFs BEFORE registration so seating carried
+zero new correctness risk; the parity burden now lives in the
+registry-wide sweep (tests/test_oracle_parity.py picks the two up
+automatically). What this module still pins is the seating itself:
+
+* every staged name is registered, and the registry's callable is the
+  staged callable (the seat is verbatim, not a re-implementation);
+* every staged oracle string is the registered one;
+* the staged module on its own still never mutates the registry — only
+  importing registry_seated_r14 does (the freeze-after-sweep invariant);
+* the four round-14 retirements (the two PLANNED_R14_RETIREMENTS
+  written at r13 plus the two freed for the REWRITTEN q15/q17 hard
+  seats) landed in RETIRED_SEATS (the capacity policy's trade);
+* the streaming equivalence row stays genuinely multi-batch (the
+  mergeability theorem it attests would be vacuous on one batch).
+"""
+
+import importlib
 import os
-import re
+import subprocess
+import sys
 
 import pytest
 
-import kafka_connect_oss_spark.registry_llm  # noqa: F401 (registers entries)
+from kafka_connect_oss_spark import registry_seated_r14  # noqa: F401 (seats)
 from kafka_connect_oss_spark import registry_staged_r14 as S
 from kafka_connect_oss_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
-from tests.parity import compare, duck_connection
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duck_connection(sf_dir)
-    yield con
-    con.close()
+SEATED = {"stream_cms_batch_equivalence", "sketch_kmv_source_overlap"}
 
 
-def test_staged_names_not_registered():
-    staged = set(S.STAGED_QUERIES)
-    assert staged == {"stream_cms_batch_equivalence",
-                      "sketch_kmv_source_overlap"}
-    assert not staged & set(QUERIES), "staged op leaked into the registry"
-    assert not staged & set(ORACLES)
-    assert not staged & set(LAZY_ORACLES)
-    # every staged query has exactly one oracle form
-    assert set(S.STAGED_ORACLES) | set(S.STAGED_LAZY_ORACLES) == staged
-    assert not set(S.STAGED_ORACLES) & set(S.STAGED_LAZY_ORACLES)
+def test_staged_set_is_exactly_the_r13_two():
+    assert set(S.STAGED_QUERIES) == SEATED
+    # every staged query has exactly one oracle form (no lazy oracles
+    # in this batch)
+    assert set(S.STAGED_ORACLES) == SEATED
+    assert not S.STAGED_LAZY_ORACLES
 
 
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity(name, spark, sf_dir, duck):
-    df = S.STAGED_QUERIES[name](spark, sf_dir)
-    compare(df, duck, S.STAGED_ORACLES[name], name)
+@pytest.mark.parametrize("name", sorted(SEATED))
+def test_seated_verbatim(name):
+    assert name in QUERIES, f"{name} not seated"
+    # registry.register wraps the callable (timezone pin + package ship);
+    # the wrapped closure must close over the staged function itself
+    wrapped = QUERIES[name]
+    cell_fns = [c.cell_contents for c in (wrapped.__closure__ or ())]
+    assert S.STAGED_QUERIES[name] in cell_fns, (
+        f"{name}: registry callable does not wrap the staged definition")
+    assert ORACLES[name] == S.STAGED_ORACLES[name]
+    assert name not in LAZY_ORACLES
 
 
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity_second_sf(name, spark, sf_dir):
-    """Second scale factor (the driver-compare SF, sf0.01 — distinct
-    from the conftest default sf0.001): estimates and merges must stay
-    non-degenerate across SFs."""
-    sf = "/root/testdata/sf0.01"
-    if sf_dir.rstrip("/") == sf:
-        sf = "/root/testdata/sf0.001"
-    con = duck_connection(sf)
-    try:
-        df = S.STAGED_QUERIES[name](spark, sf)
-        assert df.count() > 0, f"{name} degenerate (empty) at {sf}"
-        compare(df, con, S.STAGED_ORACLES[name], name)
-    finally:
-        con.close()
+def test_staged_module_alone_does_not_register():
+    # fresh interpreter: importing registry_staged_r14 must leave the live
+    # registry untouched (seating happens only via registry_seated_r14)
+    code = (
+        "from kafka_connect_oss_spark import registry_staged_r14 as S\n"
+        "from kafka_connect_oss_spark.registry import QUERIES, ORACLES\n"
+        "leak = set(S.STAGED_QUERIES) & set(QUERIES)\n"
+        "assert not leak, f'staged leaked into registry: {leak}'\n"
+        "assert not set(S.STAGED_ORACLES) & set(ORACLES)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                          capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_reimport_is_idempotent():
+    before = len(QUERIES)
+    importlib.reload(registry_seated_r14)
+    assert len(QUERIES) == before
+
+
+def test_planned_retirements_executed():
+    """The retirements tied to the r14 seating were executed: the two
+    named at r12 (PLANNED_R14_RETIREMENTS) plus the two freed so the
+    r13-rewritten q15/q17 could seat under the rewrite-resets-staleness
+    rule. Each now lives in RETIRED_SEATS, stays in the full registry
+    (parity sweep + bench keep covering it), and no longer consumes a
+    driver seat."""
+    import __spark_entry__ as E
+
+    assert not hasattr(E, "PLANNED_R14_RETIREMENTS"), (
+        "the r14 plan was executed — the planning dict must be gone")
+    executed = {"events_hourly_rollup_approx",
+                "events_value_percentiles_sampled",
+                "sketch_user_overlap_kmv", "text_langid_confusion"}
+    assert executed <= set(E.RETIRED_SEATS)
+    visible = set(E.queries())
+    for name in executed:
+        assert name in QUERIES, f"{name}: retired rows stay registered"
+        assert name in ORACLES or name in LAZY_ORACLES
+        assert name not in visible, f"{name}: retired but driver-visible"
+        assert name not in E.DRIVER_WINDOW
 
 
 def test_cms_stream_row_is_truly_multi_batch(spark, sf_dir):
@@ -68,47 +104,11 @@ def test_cms_stream_row_is_truly_multi_batch(spark, sf_dir):
     silently collapsed to one batch (making mergeability vacuous) fails
     here. Proven indirectly: each parity chunk is non-empty at every
     test SF, so maxFilesPerTrigger=1 yields one batch per chunk."""
-    from kafka_connect_oss_spark.sources.batch import load_table
     from pyspark.sql import functions as F
+
+    from kafka_connect_oss_spark.sources.batch import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     for i in range(S._CMS_STREAM_CHUNKS):
         n = docs.where(F.col("doc_id") % S._CMS_STREAM_CHUNKS == i).count()
         assert n > 0, f"chunk {i} empty — stream would not be multi-batch"
-
-
-def test_planned_retirements_are_valid():
-    """Every staged r14 seat displaces one retirement (capacity policy
-    in __spark_entry__.py). Each planned retirement must still be a
-    live registered row whose latest driver attestation is green, and
-    its named sibling must be registered and driver-visible."""
-    import __spark_entry__ as E
-
-    planned = getattr(E, "PLANNED_R14_RETIREMENTS", {})
-    assert len(planned) == len(S.STAGED_QUERIES), (
-        "one retirement per staged seat")
-    visible = set(E.queries())
-    rounds = sorted(
-        int(m.group(1)) for f in os.listdir(REPO)
-        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)))
-    latest: dict[str, dict] = {}
-    for r in rounds:
-        with open(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")) as fh:
-            for k, rec in json.load(fh).items():
-                latest[k] = rec
-    for name, sibling_note in planned.items():
-        assert name in QUERIES and name in visible, (
-            f"{name}: planned retirement must still be seated pre-r14")
-        rec = latest.get(name)
-        # same green() predicate as scripts/window_math.py
-        assert rec and rec.get("rows_match") and rec.get("schema_match") \
-            and rec.get("hash_match") and not rec.get("err"), (
-            f"{name}: retirement requires a latest-green driver row")
-        siblings = re.findall(r"[a-z][a-z0-9_]{3,}", sibling_note)
-        named = [s for s in siblings if s in QUERIES]
-        assert named, f"{name}: sibling note must name a registered row"
-        assert any(s in visible for s in named), (
-            f"{name}: at least one sibling must be driver-visible")
-        assert name not in E.DRIVER_WINDOW, (
-            f"{name}: a planned retirement must not consume a current-"
-            f"window seat (attest-then-retire wastes the seat)")
