@@ -39,6 +39,13 @@ SHOWCASE = {
         "(BroadcastHashJoin), candidate set restricted to nprobe cids, "
         "normalized scoring only on candidates (no corpus self-join), "
         "TopK final"),
+    "sim_ann_ivf_kmeans_topk": (
+        "fitted-centroid IVF (faiss-style coarse quantizer): the numpy "
+        "Lloyd's fit runs OUTSIDE the plan on a bounded deterministic "
+        "hash-stride sample, so the plan is the same zero-shuffle "
+        "literal-centroid argmax assign as sim_ann_ivf_topk — ONE "
+        "Exchange total (the top-k), embeddings scanned at most 3x "
+        "(query vector + assign + score), TakeOrderedAndProject final"),
     "multimodal_catalog": (
         "single ArrowEvalPython/MapInPandas stage over the scan — binary "
         "payloads never shuffle, parallelism = input splits (fan-out "
