@@ -166,6 +166,20 @@ RETIRED_SEATS: dict[str, str] = {
                              "is pinned vs sklearn-free numpy in pytest",
 }
 
+#: Round-15 plan, written at r14: registry_staged_r15 stages
+#: stream_incremental_dedup_refresh (the incremental-dedup STATE path:
+#: compacted bucketed tables + per-batch classify + kept-doc fold,
+#: driven through two stream epochs with checkpoint resume) and
+#: stream_asof_batch_equivalence (the applyInPandasWithState as-of
+#: join, sentinel-flushed to full determinism against the batch
+#: oracle), parity-proven pre-registration by
+#: tests/test_staged_seats_r15.py at two SFs. The four r14 retirements
+#: left the driver-visible registry at 148, so seating these two at
+#: r15 requires ZERO retirements (148 + 2 = 150 exactly) — there is
+#: deliberately no PLANNED_R15_RETIREMENTS dict, and
+#: tests/test_staged_seats_r15.py pins that arithmetic. r15 window
+#: forecast: 2 staged + the 48 r12-attested rows = 50, zero deferrals.
+
 #: REWRITE-RESETS-STALENESS RULE (round 14, closes the r13 judge's
 #: item 2): pure staleness rotation models "how long since the driver
 #: attested this row" but not "the code under the row changed since".
