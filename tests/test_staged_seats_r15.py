@@ -132,6 +132,39 @@ def test_asof_row_emits_every_left_row(spark, sf_dir):
     assert all(r.key != -1 and r.l_id != -1 for r in got), "sentinel leaked"
 
 
+def test_asof_edge_semantics_constructed(spark, tmp_path):
+    """As-of shape contract on a constructed corpus (the Q2-tie-fixture
+    precedent — the synthetic events may never produce these edges at
+    a given SF): (a) equal timestamps match (at-or-BEFORE is
+    inclusive), (b) a purchase with no preceding click yields NULL r_*,
+    (c) the match is the LATEST preceding click, not just any."""
+    import datetime
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: purchase at 10:00 with click at exactly 10:00 -> match
+        (101, 1, t(0), "click"),
+        (102, 1, t(0), "purchase"),
+        # user 1: purchase BEFORE any click -> NULL
+        (103, 1, t(0) - datetime.timedelta(hours=1), "purchase"),
+        # user 2: clicks 10:00 and 10:05, purchase 10:03 -> 10:00 click
+        (201, 2, t(0), "click"),
+        (202, 2, t(5), "click"),
+        (203, 2, t(3), "purchase"),
+    ]
+    (spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+     .write.parquet(str(tmp_path / "events.parquet")))
+
+    got = {(r.key, r.l_id): (r.r_ts, r.r_id)
+           for r in S.STAGED_QUERIES["stream_asof_batch_equivalence"](
+               spark, str(tmp_path)).collect()}
+    assert got[(1, 102)] == (t(0), 101), got
+    assert got[(1, 103)] == (None, None), got
+    assert got[(2, 203)] == (t(0), 201), got
+    assert len(got) == 3
+
+
 def test_no_planned_r15_retirements_by_design():
     """Capacity arithmetic: the four r14 retirements left the registry
     at 148, so the two r15 seats fit with zero retirements — pin that
