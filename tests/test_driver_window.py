@@ -95,6 +95,11 @@ def test_rewritten_rows_reseat_next_round():
         f"rows rewritten after their last attestation but not seated "
         f"in the current window: {stale_rewrites}")
     assert past, "driver CORRECTNESS history expected"
+    # typo guard: a REWRITTEN key that names nothing in the full
+    # registry would silently never trigger the rule
+    from kafka_connect_oss_spark.registry import QUERIES
+    ghosts = [n for n in rewritten if n not in QUERIES]
+    assert not ghosts, f"REWRITTEN names unregistered rows: {ghosts}"
 
 
 def test_red_rows_are_rechecked():
