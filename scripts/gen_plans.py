@@ -279,6 +279,19 @@ SHOWCASE = {
         "verify join only on candidates; the works side is "
         "request-sized — at deploy scale the _from_tables form reads "
         "bucketed postings co-located and only work shingles shuffle"),
+    "dedup_ngram_jaccard_pairs": (
+        "banded-candidate pipeline fully staged (Scan ExistingRDD on "
+        "both verify sides, documents never re-scanned): the consumer "
+        "plan has ZERO shuffle Exchanges — every corpus-sized exchange "
+        "happened once at staging and is GC-released after the action"),
+    "dedup_simhash_pairs": (
+        "simhash signatures staged once; pigeonhole 16-bit block join "
+        "on a broadcast build side, exact hamming verify only on "
+        "candidate pairs — two Exchanges total"),
+    "events_value_median_exact": (
+        "exact median by rank arithmetic: ONE event_type-keyed "
+        "Exchange; per-type counts broadcast back; rank Window reuses "
+        "the same partitioning so no second shuffle"),
     "corpus_publish_decisions": (
         "r10 publisher verdict: Gopher gates ride the scan projection "
         "(keep_cols passthrough, no join-back), takedown verdict is a "
