@@ -159,7 +159,11 @@ def stream_asof_batch_equivalence(spark: SparkSession,
     Scale note: state per key is O(in-flight horizon) — the operator
     prunes to the newest right row at-or-below the watermark plus
     unexpired rows — so a 100 TB stream's state is bounded by skew in
-    the watermark lag, never by history length."""
+    the watermark lag, never by history length. The global-sort ntile
+    chunking (and the coalesce(1) file drops) below are HARNESS-ONLY:
+    they exist to replay the batch table as time-ordered micro-batch
+    files; a deployed stream arrives from Kafka already in arrival
+    order and never sorts globally."""
     from pyspark.sql import Window
 
     from kafka_connect_oss_spark.shipping import ensure_package_on_executors
