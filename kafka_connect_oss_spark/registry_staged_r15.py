@@ -53,6 +53,19 @@ dict. r15 window forecast: 48 r12-attested rows (50 minus the
 re-attested q15/q17) + these 2 = 50 exactly, zero deferrals
 (scripts/window_math.py models this).
 
+r16 STAGING CANDIDATES (for the r15 builder's end-of-round staging —
+retirements WILL be needed again, the registry is back at 150 after
+this cohort seats): the remaining pytest-only streaming golden forms,
+in value order: (a) stream_sessionize_batch_equivalence — sessionize
+(applyInPandasWithState session windows) made deterministic with the
+SAME sentinel-flush trick this cohort proved for asof
+(test_sessionize_terminal_flush already pins the flush mechanics;
+the batch oracle is the gaps-and-islands SQL sessions_per_user uses);
+(b) a run_windowed_topk or run_drift_monitor foreachBatch row (both
+have matches-batch pytest with SQL-shaped oracles). Natural
+retirements: latest-green variant rows with seated siblings, chosen
+by the same criteria as the r14 four.
+
 SEATING CHECKLIST for the r15 builder (mirror registry_seated_r14's
 move): (1) create registry_seated_r15.py importing this module;
 (2) import it from __spark_entry__.py, tests/test_oracle_parity.py and
