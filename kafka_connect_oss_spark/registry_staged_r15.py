@@ -183,6 +183,19 @@ def stream_asof_batch_equivalence(spark: SparkSession,
     from kafka_connect_oss_spark.streaming import analytics as A
 
     ensure_package_on_executors(spark)
+    # the sentinel flush relies on Spark running no-data micro-batches
+    # after the last file so the event-time timeouts fire (default on;
+    # with it off the row would silently emit a watermark-dependent
+    # SUBSET and hash-mismatch the oracle) — fail loudly instead
+    nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    if nodata.lower() != "true":
+        raise RuntimeError(
+            "stream_asof_batch_equivalence requires "
+            "spark.sql.streaming.noDataMicroBatches.enabled=true "
+            f"(got {nodata}): without no-data batches the sentinel "
+            "cannot fire the event-time timeouts that flush the "
+            "final rows")
     workdir = tempfile.mkdtemp(prefix="kafka_connect_oss_spark_asof_")
     try:
         ev = load_table(spark, sf_dir, "events")
