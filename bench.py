@@ -221,6 +221,13 @@ HEADLINE += [
     # names, so the wall-time series continues unbroken)
     "stream_cms_batch_equivalence",
     "sketch_kmv_source_overlap",
+    # round-15: the two r14-staged streaming-state ops seated into the
+    # registry (their staged auto-enumerated bench rows retire — same
+    # operators, same names, so the wall-time series continues
+    # unbroken; both now return lazy sink reads, so the r15 numbers
+    # re-anchor the series without the driver-collect overhead)
+    "stream_asof_batch_equivalence",
+    "stream_incremental_dedup_refresh",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -149,7 +149,13 @@ def test_retired_seats_valid():
     """A retirement must not hide anything: the row stays in the full
     registry (local DuckDB parity keeps running), it left the driver
     shape, its LATEST driver row was green (never retire a red row),
-    and the waiver names a sibling."""
+    and the waiver names at least one sibling query that is still
+    DRIVER-VISIBLE — the machinery the retired row exercised keeps
+    earning driver attestations (r14 ADVICE item 3: membership checks
+    alone would let a future retirement silently lose the only
+    attestation of broken machinery)."""
+    import re
+
     e = _entry()
     from kafka_connect_oss_spark.registry import QUERIES
     qs = e.queries()
@@ -163,6 +169,10 @@ def test_retired_seats_valid():
         assert (row.get("rows_match") and row.get("schema_match")
                 and row.get("hash_match")), (
             f"retired {name} latest driver row is red — fix, don't retire")
+        siblings = set(re.findall(r"[a-z0-9_]+", why)) & set(qs)
+        assert siblings, (
+            f"retired {name}: waiver names no driver-visible sibling — "
+            f"the covered machinery would stop earning attestations")
 
 
 def test_measure_resolver_three_tiers():
