@@ -182,6 +182,42 @@ RETIRED_SEATS: dict[str, str] = {
 #: retirements (148 + 2 = 150 exactly) — there was deliberately no
 #: PLANNED_R15_RETIREMENTS dict.
 
+#: Round-16 plan, written at r15: registry_staged_r16 stages
+#: stream_sessionize_batch_equivalence (the applyInPandasWithState
+#: session operator, sentinel-flushed to full determinism against the
+#: gaps-and-islands batch oracle — the first driver attestation of
+#: running-aggregate state) and stream_windowed_topk_batch_equivalence
+#: (append-final windowed counts + per-batch foreachBatch ranking,
+#: sentinel-flushed so every window closes — attesting the
+#: closed-window-emits-once invariant that makes per-batch rank equal
+#: global rank), parity-proven pre-registration by
+#: tests/test_staged_seats_r16.py at two SFs. The registry is at
+#: capacity (150), so the r16 seating retires the two rows below —
+#: each the batch variant whose machinery its staged streaming sibling
+#: attests strictly more of, and both in the r13-attested cohort that
+#: is r16's rotation obligation (retiring them shrinks it from 50 to
+#: 48, so the r16 window is 2 staged + 48 = 50 exactly, zero
+#: deferrals). The r16 builder executes this dict into RETIRED_SEATS
+#: (with COVERAGE.md waiver notes) and deletes it.
+PLANNED_R16_RETIREMENTS: dict[str, str] = {
+    "sessions_per_user": "stream_sessionize_batch_equivalence (seats "
+                         "r16) attests the same 30-min gap "
+                         "sessionization end-to-end — its oracle IS "
+                         "this row's gaps-and-islands SQL — and "
+                         "events_user_running_value (r16 window) keeps "
+                         "the per-user ordered-window batch machinery "
+                         "attested",
+    "events_top_users_per_type": "stream_windowed_topk_batch_"
+                                 "equivalence (seats r16) attests the "
+                                 "same row_number top-3 ranking with "
+                                 "the same n_events-desc/user_id "
+                                 "tie-break over strictly finer keys "
+                                 "(hour window x event_type vs "
+                                 "event_type), and events_daily_pivot "
+                                 "(r16 window) keeps the per-type "
+                                 "batch aggregation attested",
+}
+
 #: REWRITE-RESETS-STALENESS RULE (round 14, closes the r13 judge's
 #: item 2): pure staleness rotation models "how long since the driver
 #: attested this row" but not "the code under the row changed since".
