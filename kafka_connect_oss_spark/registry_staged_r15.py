@@ -80,8 +80,6 @@ deliberately unpinned — r13 ADVICE 3 rationale); (5) run window_math
 
 from __future__ import annotations
 
-import atexit
-import glob
 import os
 import shutil
 import tempfile
@@ -101,16 +99,14 @@ STAGED_ORACLES: dict[str, str] = {}
 STAGED_LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
 
 
-def _ephemeral_out_dir(prefix: str) -> str:
-    """Sink directory OUTSIDE the row's torn-down workdir so the row
-    can return a LAZY parquet read instead of collect()-materializing
-    the result on the driver (r14 judge item 1). Result-sized, cleaned
-    at interpreter exit — by then the driver/pytest has consumed the
-    frame; a deployed stream writes to a durable sink and never needs
-    this."""
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+#: shared bounded-replay plumbing (streaming/replay.py) — the r16
+#: cohort uses the same helpers, so the harness has ONE definition site
+from kafka_connect_oss_spark.streaming.replay import (  # noqa: E402
+    drop_single_file as _drop_single_file,
+    ephemeral_out_dir as _ephemeral_out_dir,
+    pin_time_order as _pin_time_order,
+    require_nodata_microbatches as _require_nodata_microbatches,
+)
 
 #: operator-default threshold (dedup.incremental_dedup_status)
 _J_THRESHOLD = 0.3
@@ -199,19 +195,7 @@ def stream_asof_batch_equivalence(spark: SparkSession,
     from kafka_connect_oss_spark.streaming import analytics as A
 
     ensure_package_on_executors(spark)
-    # the sentinel flush relies on Spark running no-data micro-batches
-    # after the last file so the event-time timeouts fire (default on;
-    # with it off the row would silently emit a watermark-dependent
-    # SUBSET and hash-mismatch the oracle) — fail loudly instead
-    nodata = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    if nodata.lower() != "true":
-        raise RuntimeError(
-            "stream_asof_batch_equivalence requires "
-            "spark.sql.streaming.noDataMicroBatches.enabled=true "
-            f"(got {nodata}): without no-data batches the sentinel "
-            "cannot fire the event-time timeouts that flush the "
-            "final rows")
+    _require_nodata_microbatches(spark, "stream_asof_batch_equivalence")
     workdir = tempfile.mkdtemp(prefix="kafka_connect_oss_spark_asof_")
     try:
         ev = load_table(spark, sf_dir, "events")
@@ -228,31 +212,23 @@ def stream_asof_batch_equivalence(spark: SparkSession,
 
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-
-        def drop_file(df: DataFrame, name: str) -> None:
-            part = f"{workdir}/{name}_part"
-            df.coalesce(1).write.parquet(part)
-            shutil.copy(glob.glob(f"{part}/*.parquet")[0],
-                        f"{chunk_dir}/{name}.parquet")
-
-        for i in range(1, _ASOF_CHUNKS + 1):
-            drop_file(chunked.where(F.col("q") == i).drop("q"), f"c{i}")
+        names = [f"c{i}" for i in range(1, _ASOF_CHUNKS + 1)]
+        for i, name in enumerate(names, start=1):
+            _drop_single_file(chunked.where(F.col("q") == i).drop("q"),
+                              workdir, chunk_dir, name)
         import datetime
 
         maxts = ev.agg(F.max("ts")).collect()[0][0]
-        drop_file(spark.createDataFrame(
+        _drop_single_file(spark.createDataFrame(
             [(-1, maxts + datetime.timedelta(hours=1), -1, 0)],
             "user_id long, ts timestamp, event_id long, side int"),
-            "c9_sentinel")
+            workdir, chunk_dir, "c9_sentinel")
         # Spark's file source schedules files oldest-mtime-first; pin
-        # the sentinel strictly NEWEST so it is provably the last
-        # micro-batch (copy order + the 'c9_' name are not a contract —
-        # an mtime tie ordering it earlier would advance the watermark
-        # past every real row and silently drop late rows)
-        chunks = glob.glob(f"{chunk_dir}/c*.parquet")
-        sentinel = f"{chunk_dir}/c9_sentinel.parquet"
-        latest = max(os.path.getmtime(p) for p in chunks)
-        os.utime(sentinel, (latest + 2, latest + 2))
+        # EVERY file's order, not just the sentinel's: an mtime tie
+        # between c1/c2 could replay c2 first, making every c1 row late
+        # against c2's watermark (r15 code-review finding — the same
+        # hazard the r14 ADVICE flagged for the sentinel alone)
+        _pin_time_order(chunk_dir, names + ["c9_sentinel"])
 
         schema = spark.read.parquet(chunk_dir).schema
         sdf = (spark.readStream.schema(schema)
@@ -320,6 +296,15 @@ def stream_incremental_dedup_refresh(spark: SparkSession,
     # warehouse, a second session) are isolated, and the destructive
     # DROP in `finally` only ever targets THIS invocation's state
     db = "iidstate_" + os.path.basename(workdir).rsplit("iid_", 1)[-1]
+    # self-heal catalog garbage from crashed prior runs (code-review
+    # finding: unique names mean a run killed before `finally` leaves
+    # its database registered forever). Only databases whose LOCATION
+    # is gone are dropped — a live concurrent run's tempdir exists, so
+    # this can never clobber it (the r14 ADVICE 2 isolation holds).
+    for d in spark.catalog.listDatabases(pattern="iidstate_*"):
+        loc = d.locationUri.removeprefix("file:")
+        if not os.path.exists(loc):
+            spark.sql(f"DROP DATABASE IF EXISTS {d.name} CASCADE")
     try:
         docs = load_table(spark, sf_dir, "documents")
         B.ensure_database(spark, db, f"{workdir}/state")
@@ -331,11 +316,9 @@ def stream_incremental_dedup_refresh(spark: SparkSession,
         os.makedirs(chunk_dir)
 
         def drop_chunk(i: int) -> None:
-            part = f"{workdir}/part{i}"
-            (docs.where(F.col("doc_id") % _STREAM_SPLIT_MOD == i)
-             .coalesce(1).write.parquet(part))
-            src = glob.glob(f"{part}/*.parquet")[0]
-            shutil.copy(src, f"{chunk_dir}/c{i}.parquet")
+            _drop_single_file(
+                docs.where(F.col("doc_id") % _STREAM_SPLIT_MOD == i),
+                workdir, chunk_dir, f"c{i}")
 
         drop_chunk(1)
         schema = spark.read.parquet(chunk_dir).schema

@@ -80,8 +80,6 @@ lazy sink reads, the r13 ADVICE 3 rationale); (6) run window_math
 
 from __future__ import annotations
 
-import atexit
-import glob
 import os
 import shutil
 import tempfile
@@ -91,6 +89,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_oss_spark.sources.batch import load_table
+# shared bounded-replay plumbing — single definition site for the
+# streaming golden rows' harness (see streaming/replay.py docstring)
+from kafka_connect_oss_spark.streaming.replay import (
+    drop_single_file as _drop_single_file,
+    ephemeral_out_dir as _ephemeral_out_dir,
+    pin_time_order as _pin_time_order,
+    require_nodata_microbatches as _require_nodata_microbatches,
+)
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 STAGED_ORACLES: dict[str, str] = {}
@@ -106,35 +112,7 @@ _TOPK_WINDOW = "1 hour"
 _TOPK_WATERMARK = "2 hours"
 
 
-def _ephemeral_out_dir(prefix: str) -> str:
-    """Sink directory OUTSIDE the row's torn-down workdir so the row
-    can return a LAZY parquet read instead of collect()-materializing
-    the result on the driver (the r14 judge's item 1, applied to this
-    cohort from the start). Result-sized, cleaned at interpreter exit —
-    by then the driver/pytest has consumed the frame; a deployed
-    stream writes to a durable sink and never needs this."""
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
-
-
-def _require_nodata_microbatches(spark: SparkSession, row: str) -> None:
-    """Both rows' sentinel flush relies on Spark running no-data
-    micro-batches after the last file so event-time timeouts fire /
-    final windows close (default on; with it off the row would
-    silently emit a watermark-dependent SUBSET and hash-mismatch the
-    oracle) — fail loudly instead (the r15 asof row's guard)."""
-    nodata = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    if nodata.lower() != "true":
-        raise RuntimeError(
-            f"{row} requires "
-            "spark.sql.streaming.noDataMicroBatches.enabled=true "
-            f"(got {nodata}): without no-data batches the sentinel "
-            "cannot flush the final state")
-
-
-def _session_cut_ts(spark: SparkSession, ev: DataFrame):
+def _session_cut_ts(ev: DataFrame):
     """A timestamp strictly INSIDE some session — the 2nd distinct ts
     of the earliest multi-ts session — so splitting the replay at it
     (ts < cut | ts >= cut) forces at least one session's state to
@@ -171,7 +149,7 @@ def _session_cut_ts(spark: SparkSession, ev: DataFrame):
     return row[0][0] if row else None
 
 
-def _window_cut_ts(spark: SparkSession, ev: DataFrame):
+def _window_cut_ts(ev: DataFrame):
     """Same idea for the top-k row: a timestamp strictly inside the
     earliest hourly window that has >= 2 distinct ts, so at least one
     window's streaming aggregate accumulates across two micro-batches
@@ -191,45 +169,20 @@ def _window_cut_ts(spark: SparkSession, ev: DataFrame):
 
 
 def _drop_time_cut_chunks(df: DataFrame, cut, workdir: str,
-                          chunk_dir: str) -> None:
+                          chunk_dir: str) -> list[str]:
     """Split the replay at `cut` into two globally time-ordered
     micro-batch files (everything before the cut, then the rest); with
-    no cut, one real batch."""
+    no cut, one real batch. Returns the chunk names in replay order —
+    the caller appends its sentinel and pins the whole order with
+    replay.pin_time_order."""
     if cut is None:
         _drop_single_file(df, workdir, chunk_dir, "c1")
-        return
+        return ["c1"]
     _drop_single_file(df.where(F.col("ts") < F.lit(cut)),
                       workdir, chunk_dir, "c1")
     _drop_single_file(df.where(F.col("ts") >= F.lit(cut)),
                       workdir, chunk_dir, "c2")
-    # pin c2 strictly newer than c1: the file source schedules by
-    # mtime, and a same-second tie ordering c2 first would make every
-    # c1 row late against c2's watermark and silently drop it
-    t = os.path.getmtime(f"{chunk_dir}/c1.parquet")
-    os.utime(f"{chunk_dir}/c2.parquet", (t + 2, t + 2))
-
-
-def _drop_single_file(df: DataFrame, workdir: str, chunk_dir: str,
-                      name: str) -> None:
-    """Write df as ONE parquet file named {chunk_dir}/{name}.parquet —
-    one file == one micro-batch under maxFilesPerTrigger=1."""
-    part = f"{workdir}/{name}_part"
-    df.coalesce(1).write.parquet(part)
-    shutil.copy(glob.glob(f"{part}/*.parquet")[0],
-                f"{chunk_dir}/{name}.parquet")
-
-
-def _pin_sentinel_newest(chunk_dir: str) -> None:
-    """Spark's file source schedules files oldest-mtime-first; pin the
-    sentinel strictly NEWEST so it is provably the last micro-batch
-    (copy order + the 'c9_' name are not a contract — an mtime tie
-    ordering it earlier would advance the watermark past every real
-    row and silently drop state; the r14 ADVICE item 1 fix, applied to
-    this cohort from the start)."""
-    chunks = glob.glob(f"{chunk_dir}/c*.parquet")
-    sentinel = f"{chunk_dir}/c9_sentinel.parquet"
-    latest = max(os.path.getmtime(p) for p in chunks)
-    os.utime(sentinel, (latest + 2, latest + 2))
+    return ["c1", "c2"]
 
 
 def stream_sessionize_batch_equivalence(spark: SparkSession,
@@ -263,15 +216,15 @@ def stream_sessionize_batch_equivalence(spark: SparkSession,
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        _drop_time_cut_chunks(ev, _session_cut_ts(spark, ev),
-                              workdir, chunk_dir)
+        names = _drop_time_cut_chunks(ev, _session_cut_ts(ev),
+                                      workdir, chunk_dir)
         maxts = ev.agg(F.max("ts")).collect()[0][0]
         _drop_single_file(spark.createDataFrame(
             [(A.SESSION_FLUSH_USER,
               A.session_flush_ts(maxts, gap_ms=_SESS_GAP_MS))],
             "user_id long, ts timestamp"), workdir, chunk_dir,
             "c9_sentinel")
-        _pin_sentinel_newest(chunk_dir)
+        _pin_time_order(chunk_dir, names + ["c9_sentinel"])
 
         schema = spark.read.parquet(chunk_dir).schema
         sdf = (spark.readStream.schema(schema)
@@ -359,15 +312,15 @@ def stream_windowed_topk_batch_equivalence(spark: SparkSession,
             "ts", "event_type", "user_id")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        _drop_time_cut_chunks(ev, _window_cut_ts(spark, ev),
-                              workdir, chunk_dir)
+        names = _drop_time_cut_chunks(ev, _window_cut_ts(ev),
+                                      workdir, chunk_dir)
         maxts = ev.agg(F.max("ts")).collect()[0][0]
         _drop_single_file(spark.createDataFrame(
             [(A.session_flush_ts(maxts, gap_ms=3_600_000), "sentinel",
               -1)],
             "ts timestamp, event_type string, user_id long"),
             workdir, chunk_dir, "c9_sentinel")
-        _pin_sentinel_newest(chunk_dir)
+        _pin_time_order(chunk_dir, names + ["c9_sentinel"])
 
         schema = spark.read.parquet(chunk_dir).schema
         sdf = (spark.readStream.schema(schema)

@@ -12,7 +12,6 @@ of them; these invariants make that impossible to repeat:
   round's CORRECTNESS file, or a seat in the current window.
 """
 
-import json
 import os
 
 import pytest
@@ -28,16 +27,9 @@ def _entry():
 
 
 def _past_rounds() -> dict[str, dict]:
-    rows: dict[str, dict] = {}
-    for n in range(1, 30):
-        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
-        if not os.path.exists(path):
-            continue
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                # later rounds win; a red row overwrites older green
-                rows[name] = row
-    return rows
+    from tests.driver_records import latest_rows
+
+    return latest_rows()
 
 
 def test_window_names_valid_and_within_sample():
@@ -74,17 +66,10 @@ def test_rewritten_rows_reseat_next_round():
     e = _entry()
     rewritten = getattr(e, "REWRITTEN", {})
     assert rewritten, "REWRITTEN history must exist from r14 on"
+    from tests.driver_records import last_green_round
+
     past = _past_rounds()
-    last_green: dict[str, int] = {}
-    for n in range(1, 30):
-        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
-        if not os.path.exists(path):
-            continue
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                if (row.get("rows_match") and row.get("schema_match")
-                        and row.get("hash_match")):
-                    last_green[name] = n
+    last_green = last_green_round()
     visible = set(e.queries())
     window = set(e.DRIVER_WINDOW)
     stale_rewrites = [

@@ -96,7 +96,7 @@ def test_session_state_crosses_chunk_boundary(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir, ["user_id", "ts"])
-    cut = S._session_cut_ts(spark, ev)
+    cut = S._session_cut_ts(ev)
     assert cut is not None, "no multi-ts session at this SF"
     w = Window.partitionBy("user_id").orderBy("ts")
     lab = (ev
@@ -121,7 +121,7 @@ def test_topk_window_crosses_chunk_boundary(spark, sf_dir):
     so that window's streaming aggregate really accumulates across
     micro-batches before the watermark closes it."""
     ev = _events(spark, sf_dir, ["user_id", "ts", "event_type"])
-    cut = S._window_cut_ts(spark, ev)
+    cut = S._window_cut_ts(ev)
     assert cut is not None, "no multi-ts hourly window at this SF"
     spanning = (ev
                 .withColumn("q", (F.col("ts") >= F.lit(cut)).cast("int"))
@@ -160,7 +160,11 @@ def test_sessionize_edge_semantics_constructed(spark, tmp_path):
     got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events)
            for r in S.STAGED_QUERIES["stream_sessionize_batch_equivalence"](
                spark, str(tmp_path)).collect()}
-    us = lambda dt: int(dt.timestamp() * 1_000_000)  # noqa: E731
+    # the session TZ is pinned UTC (conftest), so naive fixture wall
+    # times are UTC wall times; a bare dt.timestamp() would use the
+    # HOST timezone and break on any non-UTC box (code-review finding)
+    us = lambda dt: int(dt.replace(  # noqa: E731
+        tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
     assert got == {
         (1, us(m(0)), us(m(30)), 2),
         (1, us(m(60, 1)), us(m(60, 1)), 1),
@@ -176,27 +180,19 @@ def test_planned_r16_retirements_are_valid():
     names a sibling that will be driver-visible after the trade (a
     staged row or a surviving registry row). Post-trade arithmetic
     lands back at exactly 150."""
-    import json
-
     import __spark_entry__ as E
+    from tests.driver_records import green, latest_rows
 
     plan = E.PLANNED_R16_RETIREMENTS
     assert len(plan) == len(S.STAGED_QUERIES) == 2
     qs = E.queries()
-    latest: dict[str, dict] = {}
-    for n in range(1, 30):
-        path = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
-        if not os.path.exists(path):
-            continue
-        with open(path) as f:
-            latest.update(json.load(f))
+    latest = latest_rows()
     for name, why in plan.items():
         assert name in qs, f"{name} not driver-visible"
         assert name not in E.RETIRED_SEATS
         row = latest.get(name)
         assert row is not None, f"{name} never driver-attested"
-        assert (row.get("rows_match") and row.get("schema_match")
-                and row.get("hash_match")), (
+        assert green(row), (
             f"{name} latest driver row is red — fix, don't retire")
         survivors = (set(qs) - set(plan)) | set(S.STAGED_QUERIES)
         mentioned = set(re.findall(r"[a-z0-9_]+", why)) & survivors
