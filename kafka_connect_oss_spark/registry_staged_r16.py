@@ -58,11 +58,16 @@ remaining r13-attested rows = 50 exactly, zero deferrals
 r17 STAGING CANDIDATES (for the r16 builder's end-of-round staging —
 retirements will be needed again): the remaining pytest-only
 foreachBatch golden forms, in value order: (a) a run_drift_monitor row
-(per-batch distribution vs a baseline profile — matches-batch pytest
-with an SQL-shaped oracle); (b) a run_ingest_qc row (per-batch
-expectation checks + quarantine routing). Natural retirements:
-latest-green variant rows with seated siblings, chosen by the same
-criteria as the r14/r16 pairs.
+(per-batch distribution vs a baseline profile); (b) a run_ingest_qc
+row (per-batch quality/gopher/dup telemetry). BOTH ARE ALREADY
+DE-RISKED: scripts/probe_r17_monitors.py drives each as a two-batch
+pinned-order replay against a composed DuckDB oracle and prints MATCH
+at sf0.01 — lift those compositions into the staged module. Both are
+stateless across batches, so no sentinel flush is needed; the only
+harness subtlety is the deterministic batch labeling, which
+replay.pin_time_order settles. Natural retirements: latest-green
+variant rows with seated siblings, chosen by the same criteria as the
+r14/r16 pairs.
 
 SEATING CHECKLIST for the r16 builder (mirror registry_seated_r15's
 move): (1) create registry_seated_r16.py importing this module;
