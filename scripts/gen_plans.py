@@ -370,6 +370,25 @@ SHOWCASE = {
         "whole corpus subtree per side: 2 scans, 7 Exchanges vs 1); "
         "pair stage is a sources-bounded BroadcastNestedLoopJoin; the "
         "one Exchange is the tiny ordered output"),
+    # --- r15: the next cost tier of BENCH_SF1_r15's unpinned rows,
+    #     pinned in test_plan_guards.PINS with these claims ---
+    "dedup_embedding_cosine_pairs": (
+        "norm-bucket banding keeps the candidate join banded, never "
+        "all-pairs: the bucketed candidate sides meet in a "
+        "BroadcastHashJoin and only candidates pay the exact cosine — "
+        "6 Exchanges, 4 embeddings branches (norms + both pair sides "
+        "+ verify), filters pushed"),
+    "sim_ann_ivf_topk": (
+        "centroid assignment is a literal-centroid broadcast argmax "
+        "(no shuffle until the final top-k): probe-list filter pushed "
+        "to the posting scan, ONE Exchange, "
+        "TakeOrderedAndProject heap instead of a global sort"),
+    "sim_hybrid_rrf_topk": (
+        "reciprocal-rank fusion joins the lexical (BM25) and vector "
+        "top-k LISTS, not the corpora: both rank Windows run over "
+        "k-bounded frames, the fusion join is k x k (SMJ on the pin "
+        "plan; AQE localizes the k-row sides at runtime), final "
+        "TakeOrderedAndProject — 2 Exchanges, 2 scans per modality"),
 }
 
 KEEP = re.compile(
