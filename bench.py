@@ -228,6 +228,12 @@ HEADLINE += [
     # re-anchor the series without the driver-collect overhead)
     "stream_asof_batch_equivalence",
     "stream_incremental_dedup_refresh",
+    # round-16: the two r15-staged streaming rows seated into the
+    # registry (same continuation story as above; the whole streaming
+    # family's r16 numbers re-anchor after the replay-overhead cut —
+    # reduced-shuffle span, one-job chunk drops, merged sentinel)
+    "stream_sessionize_batch_equivalence",
+    "stream_windowed_topk_batch_equivalence",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

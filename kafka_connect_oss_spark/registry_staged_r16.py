@@ -97,9 +97,10 @@ from kafka_connect_oss_spark.sources.batch import load_table
 # shared bounded-replay plumbing — single definition site for the
 # streaming golden rows' harness (see streaming/replay.py docstring)
 from kafka_connect_oss_spark.streaming.replay import (
-    drop_single_file as _drop_single_file,
+    drop_labeled_chunks as _drop_labeled_chunks,
     ephemeral_out_dir as _ephemeral_out_dir,
     pin_time_order as _pin_time_order,
+    reduced_shuffle as _reduced_shuffle,
     require_nodata_microbatches as _require_nodata_microbatches,
 )
 
@@ -113,8 +114,17 @@ STAGED_LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
 _SESS_GAP_MS = 30 * 60 * 1000
 
 _TOPK_K = 3
-_TOPK_WINDOW = "1 hour"
-_TOPK_WATERMARK = "2 hours"
+#: the sentinel arithmetic (session_flush_ts) needs these horizons in
+#: ms, and the stream API needs them as interval strings — the ms value
+#: is primary and the string DERIVED so the two can never drift (r15
+#: ADVICE: the topk sentinel silently relied on session_flush_ts's
+#: default watermark_delay_ms equaling the "2 hours" literal)
+_TOPK_WINDOW_MS = 60 * 60 * 1000
+_TOPK_WINDOW = f"{_TOPK_WINDOW_MS // 60000} minutes"
+_TOPK_WATERMARK_MS = 2 * 3600 * 1000
+_TOPK_WATERMARK = f"{_TOPK_WATERMARK_MS // 60000} minutes"
+_SESS_WATERMARK_MS = 2 * 3600 * 1000
+_SESS_WATERMARK = f"{_SESS_WATERMARK_MS // 60000} minutes"
 
 
 def _session_cut_ts(ev: DataFrame):
@@ -173,32 +183,39 @@ def _window_cut_ts(ev: DataFrame):
     return row[0][0] if row else None
 
 
-def _drop_time_cut_chunks(df: DataFrame, cut, workdir: str,
-                          chunk_dir: str) -> list[str]:
+def _drop_cut_chunks_with_sentinel(df: DataFrame, cut, sent: DataFrame,
+                                   workdir: str, chunk_dir: str):
     """Split the replay at `cut` into two globally time-ordered
-    micro-batch files (everything before the cut, then the rest); with
-    no cut, one real batch. Returns the chunk names in replay order —
-    the caller appends its sentinel and pins the whole order with
-    replay.pin_time_order."""
-    if cut is None:
-        _drop_single_file(df, workdir, chunk_dir, "c1")
-        return ["c1"]
-    _drop_single_file(df.where(F.col("ts") < F.lit(cut)),
-                      workdir, chunk_dir, "c1")
-    _drop_single_file(df.where(F.col("ts") >= F.lit(cut)),
-                      workdir, chunk_dir, "c2")
-    return ["c1", "c2"]
+    micro-batch files (everything before the cut, then the rest; with
+    no cut, one real batch), with the sentinel row riding INSIDE the
+    final chunk file — it only has to be processed with-or-after every
+    real row for the flush argument to hold, and merging it saves one
+    whole micro-batch of fixed overhead (r15 VERDICT item 2). All
+    chunks land in ONE write job (replay.drop_labeled_chunks) and the
+    replay order is mtime-pinned. Returns the chunk row schema for
+    readStream (saves the schema-inference read of the files)."""
+    names = ["c1", "c2"] if cut is not None else ["c1"]
+    chunk = (F.when(F.col("ts") < F.lit(cut), "c1").otherwise("c2")
+             if cut is not None else F.lit("c1"))
+    lab = (df.withColumn("chunk", chunk)
+           .unionByName(sent.withColumn("chunk", F.lit(names[-1]))))
+    present = _drop_labeled_chunks(lab, "chunk", names, workdir, chunk_dir)
+    _pin_time_order(chunk_dir, present)
+    return lab.drop("chunk").schema
 
 
+@_reduced_shuffle  # r15 VERDICT item 2: 32 shuffle partitions made
+# every stateful micro-batch pay 32 near-empty tasks + state stores
 def stream_sessionize_batch_equivalence(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """Streaming sessionization (applyInPandasWithState, 30-min gap,
     event-time timeouts) proven cell-for-cell equal to batch
     gaps-and-islands sessionization, replayed as two time-ordered
     micro-batches CUT MID-SESSION (_session_cut_ts — so the attested
-    state provably survives a batch boundary) plus a session_flush_ts
-    sentinel under the reserved SESSION_FLUSH_USER key. The sentinel
-    advances the
+    state provably survives a batch boundary) with a session_flush_ts
+    sentinel under the reserved SESSION_FLUSH_USER key riding in the
+    final chunk (processed with-or-after every real row, which is all
+    the flush argument needs). The sentinel advances the
     final watermark past every open session's last+gap timeout, so ALL
     real sessions emit (append-mode withholding, the reason the pytest
     only asserts subset+coverage, is exactly what the sentinel
@@ -221,21 +238,19 @@ def stream_sessionize_batch_equivalence(spark: SparkSession,
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        names = _drop_time_cut_chunks(ev, _session_cut_ts(ev),
-                                      workdir, chunk_dir)
         maxts = ev.agg(F.max("ts")).collect()[0][0]
-        _drop_single_file(spark.createDataFrame(
+        sent = spark.createDataFrame(
             [(A.SESSION_FLUSH_USER,
-              A.session_flush_ts(maxts, gap_ms=_SESS_GAP_MS))],
-            "user_id long, ts timestamp"), workdir, chunk_dir,
-            "c9_sentinel")
-        _pin_time_order(chunk_dir, names + ["c9_sentinel"])
-
-        schema = spark.read.parquet(chunk_dir).schema
+              A.session_flush_ts(maxts, gap_ms=_SESS_GAP_MS,
+                                 watermark_delay_ms=_SESS_WATERMARK_MS))],
+            "user_id long, ts timestamp")
+        schema = _drop_cut_chunks_with_sentinel(
+            ev, _session_cut_ts(ev), sent, workdir, chunk_dir)
         sdf = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
         out = _ephemeral_out_dir("kafka_connect_oss_spark_sess_out_")
-        q = (A.sessionize(sdf, gap_ms=_SESS_GAP_MS)
+        q = (A.sessionize(sdf, gap_ms=_SESS_GAP_MS,
+                          watermark=_SESS_WATERMARK)
              .writeStream.outputMode("append")
              .option("checkpointLocation", f"{workdir}/ck")
              .trigger(availableNow=True).start(out))
@@ -285,6 +300,7 @@ FROM sid GROUP BY user_id, session_id
 ORDER BY user_id, session_start_us"""
 
 
+@_reduced_shuffle  # r15 VERDICT item 2 — see the r15 cohort's rows
 def stream_windowed_topk_batch_equivalence(spark: SparkSession,
                                            sf_dir: str) -> DataFrame:
     """Streaming top-k (append-final hourly counts ->
@@ -292,7 +308,9 @@ def stream_windowed_topk_batch_equivalence(spark: SparkSession,
     equal to the batch hourly top-3 per (window, event_type), replayed
     as two time-ordered micro-batches CUT MID-WINDOW (_window_cut_ts —
     so at least one window's aggregate provably accumulates across a
-    batch boundary before closing) plus a far-future sentinel event.
+    batch boundary before closing) with a far-future sentinel event
+    riding in the final chunk (processed with-or-after every real row,
+    which is all the flush argument needs).
     The sentinel pushes the final watermark past every
     real window's end (session_flush_ts with gap = the window length:
     maxts + 1h + watermark delay + margin, so watermark lands at
@@ -317,17 +335,17 @@ def stream_windowed_topk_batch_equivalence(spark: SparkSession,
             "ts", "event_type", "user_id")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        names = _drop_time_cut_chunks(ev, _window_cut_ts(ev),
-                                      workdir, chunk_dir)
         maxts = ev.agg(F.max("ts")).collect()[0][0]
-        _drop_single_file(spark.createDataFrame(
-            [(A.session_flush_ts(maxts, gap_ms=3_600_000), "sentinel",
-              -1)],
-            "ts timestamp, event_type string, user_id long"),
-            workdir, chunk_dir, "c9_sentinel")
-        _pin_time_order(chunk_dir, names + ["c9_sentinel"])
-
-        schema = spark.read.parquet(chunk_dir).schema
+        # gap = the window length and delay = the stream's watermark, so
+        # the sentinel lands at maxts + window + watermark + margin —
+        # past every real window's close threshold by construction
+        sent = spark.createDataFrame(
+            [(A.session_flush_ts(maxts, gap_ms=_TOPK_WINDOW_MS,
+                                 watermark_delay_ms=_TOPK_WATERMARK_MS),
+              "sentinel", -1)],
+            "ts timestamp, event_type string, user_id long")
+        schema = _drop_cut_chunks_with_sentinel(
+            ev, _window_cut_ts(ev), sent, workdir, chunk_dir)
         sdf = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
         out = _ephemeral_out_dir("kafka_connect_oss_spark_wtopk_out_")

@@ -15,12 +15,67 @@ batch boundaries — none of this module ships in a production pipeline.
 from __future__ import annotations
 
 import atexit
+import contextlib
 import glob
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def few_shuffle_partitions(spark: SparkSession, n: int = 4):
+    """Temporarily lower ``spark.sql.shuffle.partitions`` around a
+    bounded replay (restored on exit, even on error).
+
+    Every stateful micro-batch shuffles into — and opens a state store
+    instance for — ``spark.sql.shuffle.partitions`` partitions, and a
+    replay is a handful of micro-batches over test-SF data, so the
+    session's 32 is almost pure fixed overhead: 32 near-empty tasks
+    plus 32 state stores per stateful operator per micro-batch (plus
+    the no-data batches the sentinel flush relies on). The r15 bench
+    measured the four streaming golden rows at ~59 s of a 175 s sf0.1
+    suite, nearly all this fixed cost (r15 VERDICT item 2).
+
+    HARNESS-ONLY scoping, like everything in this module: a deployed
+    stream sizes shuffle partitions to the cluster and keeps them for
+    the life of the checkpoint (the state-store partition count is
+    baked in at first batch — which is also why a row's epochs must
+    all run inside ONE context span, as the iid row's two do)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def reduced_shuffle(fn):
+    """Decorator form of ``few_shuffle_partitions`` for a
+    ``(spark, sf_dir) -> DataFrame`` registry row: the whole replay —
+    chunk prep, the stream itself, sentinel drop — runs under the
+    reduced count; the LAZY sink read the row returns executes later,
+    under the caller's restored conf (by then the only work left is a
+    result-sized scan + sort, where the session default is right)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        with few_shuffle_partitions(spark):
+            return fn(spark, sf_dir)
+    return wrapped
+
+
+#: single session-scoped parent for every ephemeral sink (r15 ADVICE:
+#: one atexit rmtree per call accumulated handlers AND sink dirs for
+#: the life of a long process — bench reps, Hypothesis examples). One
+#: parent = one atexit handler; sinks still accumulate within a run
+#: (deliberate: a re-run must NOT delete its predecessor's sink — the
+#: Hypothesis three-way properties hold several lazy results at once),
+#: but everything vanishes in one rmtree at interpreter exit.
+_OUT_PARENT: list[str] = []
 
 
 def ephemeral_out_dir(prefix: str) -> str:
@@ -30,9 +85,11 @@ def ephemeral_out_dir(prefix: str) -> str:
     cleaned at interpreter exit — by then the driver/pytest has
     consumed the frame; a deployed stream writes to a durable sink and
     never needs this."""
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    if not _OUT_PARENT:
+        parent = tempfile.mkdtemp(prefix="kafka_connect_oss_spark_sinks_")
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _OUT_PARENT.append(parent)
+    return tempfile.mkdtemp(prefix=prefix, dir=_OUT_PARENT[0])
 
 
 def require_nodata_microbatches(spark: SparkSession, row: str) -> None:
@@ -59,6 +116,34 @@ def drop_single_file(df: DataFrame, workdir: str, chunk_dir: str,
     df.coalesce(1).write.parquet(part)
     shutil.copy(glob.glob(f"{part}/*.parquet")[0],
                 f"{chunk_dir}/{name}.parquet")
+
+
+def drop_labeled_chunks(df: DataFrame, label_col: str, names: list[str],
+                        workdir: str, chunk_dir: str) -> list[str]:
+    """Write {chunk_dir}/{name}.parquet for every label value of
+    ``df[label_col]`` in ONE write job, and return the names that
+    materialized, in the given order.
+
+    One ``drop_single_file`` per chunk costs one Spark job + parquet
+    commit each — measured at 1-8 s apiece of pure fixed latency on the
+    bench box (r15 VERDICT item 2). Hash-repartitioning on the label
+    and writing with ``partitionBy`` gives exactly one file per present
+    label (a label hashes to exactly one task; a task writes one file
+    per label directory) for one job's cost. The label column is
+    directory-encoded, so the copied-out files carry the row schema
+    WITHOUT it. A label with no rows writes no file — degenerate
+    corpora (Hypothesis minimals) — so callers replay/pin only the
+    returned names."""
+    part = f"{workdir}/{label_col}_part"
+    (df.repartition(len(names), df[label_col])
+       .write.partitionBy(label_col).parquet(part))
+    present = []
+    for name in names:
+        fs = glob.glob(f"{part}/{label_col}={name}/*.parquet")
+        if fs:
+            shutil.copy(fs[0], f"{chunk_dir}/{name}.parquet")
+            present.append(name)
+    return present
 
 
 def pin_time_order(chunk_dir: str, names: list[str]) -> None:

@@ -68,11 +68,14 @@ def main() -> None:
     # rewrite-resets-staleness (r13 judge item 2): a driver-visible row
     # whose query path was rewritten AFTER its last attestation is a
     # hard seat regardless of staleness bucket (strict >: the driver
-    # attests at round end, so same-round attestation covers a rewrite)
+    # attests at round end, so same-round attestation covers a rewrite).
+    # The seating obligation is round R+1 (the round-R window was built
+    # before the rewrite landed), so a rewrite at `nxt` itself is not
+    # due yet — it shows up when this tool plans nxt+1
     rewritten_cfg: dict[str, int] = getattr(E, "REWRITTEN", {})
     rewritten = sorted(
         n for n in qs
-        if n in last_green and rewritten_cfg.get(n, -1) > last_green[n])
+        if n in last_green and last_green[n] < rewritten_cfg.get(n, -1) < nxt)
     by_age: dict[int, list[str]] = {}
     for n in qs:
         if n in last_green and n not in rewritten:
@@ -129,6 +132,20 @@ def main() -> None:
     hard = never + latest_red + rewritten + [n for a, ns in by_age.items()
                                              if a >= 4 for n in ns]
     oblig = by_age.get(3, [])
+    # a staging cohort due at or before `nxt` brings its planned
+    # retirement trade with it — fold those retirements into the
+    # primary arithmetic instead of crying OVERFLOW for a solved round
+    # (r15 VERDICT item 6)
+    planned_ret = set()
+    for r0 in staged_by_round:
+        if r0 <= nxt:
+            planned_ret |= set(getattr(E, f"PLANNED_R{r0}_RETIREMENTS", {}))
+    retiring = sorted(planned_ret & (set(hard) | set(oblig)))
+    if retiring:
+        hard = [n for n in hard if n not in planned_ret]
+        oblig = [n for n in oblig if n not in planned_ret]
+        print(f"planned retirements folded out of the seat count: "
+              f"{retiring}")
     total = len(hard) + len(oblig) + len(staged)
     print(f"\nseats: hard={len(hard)} + staged={len(staged)} + "
           f"3-round obligation={len(oblig)} = {total} of {SAMPLE}"
@@ -166,10 +183,12 @@ def main() -> None:
             print(f"forecast r{r} plan: +{len(seats)} staged {seats} "
                   f"-{len(retire)} retired {retire} -> registry {len(live)}")
         # staged seats are hard (seat at registration), then rewritten-
-        # since-attestation rows (the r14 rule), then oldest-first
+        # since-attestation rows (the r14 rule; due from rewrite+1 on),
+        # then oldest-first
         rest = sorted(
             (n for n in live if n not in seats),
-            key=lambda n: (0 if rewritten_cfg.get(n, -1) > sim.get(n, -10**9)
+            key=lambda n: (0 if (sim.get(n, -10**9)
+                                 < rewritten_cfg.get(n, -1) < r)
                            else 1, sim.get(n, -10**9)))
         if len(seats) > SAMPLE:
             # a pile-up of staging cohorts beyond the sample size would

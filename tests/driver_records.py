@@ -22,10 +22,14 @@ def green(rec: dict) -> bool:
 def _rounds() -> list[tuple[int, dict]]:
     out = []
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        n = int(re.fullmatch(r"CORRECTNESS_r(\d+)\.json",
-                             os.path.basename(path)).group(1))
+        # the glob also matches non-canonical artifacts (e.g. a
+        # CORRECTNESS_r16_run1.json scratch file, the BENCH_SF1_rNN_runK
+        # naming convention) — skip them instead of crashing (r15 ADVICE)
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
         with open(path) as f:
-            out.append((n, json.load(f)))
+            out.append((int(m.group(1)), json.load(f)))
     return sorted(out)
 
 

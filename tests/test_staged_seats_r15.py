@@ -93,8 +93,9 @@ def test_zero_retirement_seating_executed():
     assert not hasattr(E, "PLANNED_R15_RETIREMENTS")
     assert len(E.queries()) == 150
     assert SEATED <= set(E.queries())
-    assert list(E.queries())[:2] == sorted(SEATED), (
-        "the two seated rows must hold the head of the r15 window")
+    # (the r15 window-head position was round-specific — the r16 window
+    # seats its own staged pair at the head; test_staged_seats_r16
+    # carries that assertion now)
     assert not SEATED & set(E.RETIRED_SEATS)
 
 

@@ -1,13 +1,29 @@
-"""Round-16 seat candidates (registry_staged_r16) run through the exact
-driver contract — tests/parity.compare — before they are ever
-registered, so seating them at r16 carries zero new correctness risk.
-Also pins that importing the staged module does NOT touch the live
-registry (the freeze-after-sweep invariant), that the multi-batch
-state both rows claim to attest is non-vacuous (a session / an hourly
-window really spans the chunk boundary), and the capacity plan: the
-registry is at 150, so the r16 seating trades the two
-PLANNED_R16_RETIREMENTS rows for the two staged seats."""
+"""Round-15 staged operators, seated at round 16 (registry_seated_r16).
 
+In round 15 this module ran the staged (query, oracle) pairs through
+tests/parity.compare at two SFs BEFORE registration so seating carried
+zero new correctness risk; the parity burden now lives in the
+registry-wide sweep (tests/test_oracle_parity.py picks the two up
+automatically). What this module still pins:
+
+* every staged name is registered, and the registry's callable is the
+  staged callable (the seat is verbatim, not a re-implementation);
+* every staged oracle string is the registered one;
+* the staged module on its own still never mutates the registry — only
+  importing registry_seated_r16 does (the freeze-after-sweep invariant);
+* the seating executed the PLANNED_R16_RETIREMENTS trade written at
+  r15 (sessions_per_user, events_top_users_per_type into
+  RETIRED_SEATS) and the driver-visible registry is back at exactly
+  150 (capacity);
+* the substantive semantics stay load-bearing: the replay cuts land
+  strictly INSIDE a session / an hourly window (so the attested state
+  provably crosses a micro-batch boundary — a build that dropped state
+  between batches could not pass), and the session-boundary contract
+  holds on a constructed corpus (gap-exact ties, single-event users,
+  sentinel never leaks).
+"""
+
+import importlib
 import os
 import re
 import subprocess
@@ -16,57 +32,42 @@ import sys
 import pytest
 from pyspark.sql import functions as F
 
-import kafka_connect_oss_spark.registry_llm  # noqa: F401 (registers entries)
+from kafka_connect_oss_spark import registry_seated_r16  # noqa: F401 (seats)
 from kafka_connect_oss_spark import registry_staged_r16 as S
 from kafka_connect_oss_spark.registry import LAZY_ORACLES, ORACLES, QUERIES
-from tests.parity import compare, duck_connection
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+SEATED = {"stream_sessionize_batch_equivalence",
+          "stream_windowed_topk_batch_equivalence"}
 
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    con = duck_connection(sf_dir)
-    yield con
-    con.close()
+RETIRED_WITH_SEATING = {"sessions_per_user", "events_top_users_per_type"}
 
 
-def test_staged_names_not_registered():
-    staged = set(S.STAGED_QUERIES)
-    assert staged == {"stream_sessionize_batch_equivalence",
-                      "stream_windowed_topk_batch_equivalence"}
-    assert not staged & set(QUERIES), "staged op leaked into the registry"
-    assert not staged & set(ORACLES)
-    assert not staged & set(LAZY_ORACLES)
-    # every staged query has exactly one oracle form
-    assert set(S.STAGED_ORACLES) | set(S.STAGED_LAZY_ORACLES) == staged
-    assert not set(S.STAGED_ORACLES) & set(S.STAGED_LAZY_ORACLES)
+def test_staged_set_is_exactly_the_r15_two():
+    assert set(S.STAGED_QUERIES) == SEATED
+    # every staged query has exactly one oracle form (no lazy oracles
+    # in this batch)
+    assert set(S.STAGED_ORACLES) == SEATED
+    assert not S.STAGED_LAZY_ORACLES
 
 
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity(name, spark, sf_dir, duck):
-    df = S.STAGED_QUERIES[name](spark, sf_dir)
-    compare(df, duck, S.STAGED_ORACLES[name], name)
-
-
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_parity_second_sf(name, spark, sf_dir):
-    """Second scale factor (the driver-compare SF, sf0.01 — distinct
-    from the conftest default sf0.001): the sentinel flush and the
-    cross-batch state must stay non-degenerate across SFs."""
-    sf = "/root/testdata/sf0.01"
-    if sf_dir.rstrip("/") == sf:
-        sf = "/root/testdata/sf0.001"
-    con = duck_connection(sf)
-    try:
-        df = S.STAGED_QUERIES[name](spark, sf)
-        assert df.count() > 0, f"{name} degenerate (empty) at {sf}"
-        compare(df, con, S.STAGED_ORACLES[name], name)
-    finally:
-        con.close()
+@pytest.mark.parametrize("name", sorted(SEATED))
+def test_seated_verbatim(name):
+    assert name in QUERIES, f"{name} not seated"
+    # registry.register wraps the callable (timezone pin + package ship);
+    # the wrapped closure must close over the staged function itself
+    wrapped = QUERIES[name]
+    cell_fns = [c.cell_contents for c in (wrapped.__closure__ or ())]
+    assert S.STAGED_QUERIES[name] in cell_fns, (
+        f"{name}: registry callable does not wrap the staged definition")
+    assert ORACLES[name] == S.STAGED_ORACLES[name]
+    assert name not in LAZY_ORACLES
 
 
 def test_staged_module_alone_does_not_register():
+    # fresh interpreter: importing registry_staged_r16 must leave the live
+    # registry untouched (seating happens only via registry_seated_r16)
     code = (
         "from kafka_connect_oss_spark import registry_staged_r16 as S\n"
         "from kafka_connect_oss_spark.registry import QUERIES, ORACLES\n"
@@ -77,6 +78,32 @@ def test_staged_module_alone_does_not_register():
     proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
                           capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
+
+
+def test_reimport_is_idempotent():
+    before = len(QUERIES)
+    importlib.reload(registry_seated_r16)
+    assert len(QUERIES) == before
+
+
+def test_retirement_trade_executed():
+    """Capacity arithmetic, post-seating form: the registry stood at
+    150, so the two r16 seats required the two retirements planned at
+    r15 — the planning dict is gone (executed, not pending), both
+    retirees moved to RETIRED_SEATS (still in the full registry for
+    parity/bench), and the driver-visible registry is back at exactly
+    150 with the seated rows at the head of the r16 window."""
+    import __spark_entry__ as E
+
+    assert not hasattr(E, "PLANNED_R16_RETIREMENTS")
+    assert RETIRED_WITH_SEATING <= set(E.RETIRED_SEATS)
+    qs = E.queries()
+    assert not RETIRED_WITH_SEATING & set(qs)
+    assert len(qs) == 150
+    assert SEATED <= set(qs)
+    assert list(qs)[:2] == sorted(SEATED), (
+        "the two seated rows must hold the head of the r16 window")
+    assert not SEATED & set(E.RETIRED_SEATS)
 
 
 def _events(spark, sf_dir, cols):
@@ -170,34 +197,6 @@ def test_sessionize_edge_semantics_constructed(spark, tmp_path):
         (1, us(m(60, 1)), us(m(60, 1)), 1),
         (2, us(m(5)), us(m(5)), 1),
     }, got
-
-
-def test_planned_r16_retirements_are_valid():
-    """The capacity trade is executable as written: exactly one
-    retirement per staged seat; each planned row is currently
-    driver-visible (it must still hold its r15 rotation seat), not
-    already retired, latest-green in the driver record, and its waiver
-    names a sibling that will be driver-visible after the trade (a
-    staged row or a surviving registry row). Post-trade arithmetic
-    lands back at exactly 150."""
-    import __spark_entry__ as E
-    from tests.driver_records import green, latest_rows
-
-    plan = E.PLANNED_R16_RETIREMENTS
-    assert len(plan) == len(S.STAGED_QUERIES) == 2
-    qs = E.queries()
-    latest = latest_rows()
-    for name, why in plan.items():
-        assert name in qs, f"{name} not driver-visible"
-        assert name not in E.RETIRED_SEATS
-        row = latest.get(name)
-        assert row is not None, f"{name} never driver-attested"
-        assert green(row), (
-            f"{name} latest driver row is red — fix, don't retire")
-        survivors = (set(qs) - set(plan)) | set(S.STAGED_QUERIES)
-        mentioned = set(re.findall(r"[a-z0-9_]+", why)) & survivors
-        assert mentioned, f"{name}: waiver names no surviving sibling"
-    assert len(qs) - len(plan) + len(S.STAGED_QUERIES) == 150
 
 
 def test_oracle_sql_mentions_no_spark_internals():
