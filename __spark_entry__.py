@@ -223,6 +223,50 @@ RETIRED_SEATS: dict[str, str] = {
 #: 50 to 48, so the r16 window is 2 staged + 48 = 50 exactly, zero
 #: deferrals; 150 - 2 + 2 = 150).
 
+#: Round-17 plan, written at r16: registry_staged_r17 stages
+#: stream_ingest_qc_batch_equivalence and
+#: stream_drift_monitor_batch_equivalence (the two stateless
+#: foreachBatch monitors, de-risked oracle-exact at r15 by
+#: scripts/probe_r17_monitors.py), parity-proven pre-registration by
+#: tests/test_staged_seats_r17.py at two SFs. The r17 window carries
+#: FOUR hard seats (2 staged + the 2 r16-REWRITTEN streaming rows)
+#: over the 50-row r14-attested obligation, so the seating needs FOUR
+#: retirements — each a latest-green-r14 variant/eval/first-stage row
+#: whose machinery survives in named driver-visible siblings, and all
+#: four in the r14 cohort (shrinking the obligation to 46: the window
+#: is 2 + 2 + 46 = 50 exactly, zero deferrals; registry after seating
+#: 150 - 4 + 2 = 148, the spare pair funding an r18 staging with zero
+#: retirements — the r14 precedent). The r17 builder executes this
+#: dict into RETIRED_SEATS (with COVERAGE.md waiver notes) and
+#: deletes it.
+PLANNED_R17_RETIREMENTS: dict[str, str] = {
+    "sim_random_projection": "sim_ann_rp_topk (r14 cohort, rotates in "
+                             "the r17 window) computes the same ±1 "
+                             "projection + packed sign code as its "
+                             "first stage before the bucket probe — "
+                             "the dedup_minhash_signature precedent",
+    "sim_ann_recall_eval": "an eval row: each constituent plan is its "
+                           "own driver row — sim_topk_bruteforce "
+                           "(exact scorer), "
+                           "sim_ann_lsh_multiprobe_topk and "
+                           "sim_ann_rp_topk (the probes; all r14 "
+                           "cohort, r17 window), and "
+                           "dedup_lsh_recall_eval (r15-green) keeps "
+                           "the recall-eval join shape itself "
+                           "driver-attested",
+    "corpus_duplicate_spans": "corpus_chunk_windows (r14 cohort, r17 "
+                              "window) attests the chunk_documents "
+                              "grid that is its first stage, and "
+                              "text_span_dedup (r15-green) the "
+                              "recurring-span md5 machinery plus the "
+                              "removal the span table exists to feed",
+    "text_bpe_pair_stats": "text_bpe_encode + text_bpe_fertility "
+                           "(r15-green) attest the full BPE "
+                           "train+encode path whose per-round merge "
+                           "argmax IS pair_stats — the first-stage "
+                           "precedent again",
+}
+
 #: REWRITE-RESETS-STALENESS RULE (round 14, closes the r13 judge's
 #: item 2): pure staleness rotation models "how long since the driver
 #: attested this row" but not "the code under the row changed since".
