@@ -106,7 +106,6 @@ from kafka_connect_oss_spark.streaming.replay import (  # noqa: E402
     drop_single_file as _drop_single_file,
     ephemeral_out_dir as _ephemeral_out_dir,
     pin_time_order as _pin_time_order,
-    reduced_shuffle as _reduced_shuffle,
     require_nodata_microbatches as _require_nodata_microbatches,
 )
 
@@ -168,8 +167,6 @@ def _classify_sql(inc: str, state_dig: str, state_rep: str) -> str:
 #: rows replayed after c2 would be late against c2's watermark)
 
 
-@_reduced_shuffle  # r15 VERDICT item 2: 32 shuffle partitions made
-# every stateful micro-batch pay 32 near-empty tasks + state stores
 def stream_asof_batch_equivalence(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Streaming as-of join (applyInPandasWithState, event-time
@@ -277,8 +274,6 @@ ORDER BY key, l_id"""
 _STREAM_SPLIT_MOD = 3
 
 
-@_reduced_shuffle  # both epochs run inside ONE span — the state-store
-# partition count is baked into the checkpoint at first batch
 def stream_incremental_dedup_refresh(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     """The incremental-dedup STATE path end-to-end

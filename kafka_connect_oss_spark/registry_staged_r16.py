@@ -100,7 +100,6 @@ from kafka_connect_oss_spark.streaming.replay import (
     drop_labeled_chunks as _drop_labeled_chunks,
     ephemeral_out_dir as _ephemeral_out_dir,
     pin_time_order as _pin_time_order,
-    reduced_shuffle as _reduced_shuffle,
     require_nodata_microbatches as _require_nodata_microbatches,
 )
 
@@ -204,8 +203,6 @@ def _drop_cut_chunks_with_sentinel(df: DataFrame, cut, sent: DataFrame,
     return lab.drop("chunk").schema
 
 
-@_reduced_shuffle  # r15 VERDICT item 2: 32 shuffle partitions made
-# every stateful micro-batch pay 32 near-empty tasks + state stores
 def stream_sessionize_batch_equivalence(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """Streaming sessionization (applyInPandasWithState, 30-min gap,
@@ -300,7 +297,6 @@ FROM sid GROUP BY user_id, session_id
 ORDER BY user_id, session_start_us"""
 
 
-@_reduced_shuffle  # r15 VERDICT item 2 — see the r15 cohort's rows
 def stream_windowed_topk_batch_equivalence(spark: SparkSession,
                                            sf_dir: str) -> DataFrame:
     """Streaming top-k (append-final hourly counts ->

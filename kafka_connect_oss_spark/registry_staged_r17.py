@@ -103,7 +103,6 @@ from kafka_connect_oss_spark.streaming.replay import (
     drop_labeled_chunks as _drop_labeled_chunks,
     ephemeral_out_dir as _ephemeral_out_dir,
     pin_time_order as _pin_time_order,
-    reduced_shuffle as _reduced_shuffle,
 )
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -137,8 +136,6 @@ def _stream_chunks(spark: SparkSession, df: DataFrame, chunk_expr,
             .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
 
 
-@_reduced_shuffle  # replay harness rows run under few shuffle
-# partitions (r15 VERDICT item 2) — see streaming/replay.py
 def stream_ingest_qc_batch_equivalence(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     """run_ingest_qc driven end-to-end: the documents corpus replayed
@@ -208,7 +205,6 @@ STAGED_ORACLES["stream_ingest_qc_batch_equivalence"] = (
     + " ORDER BY batch_id")
 
 
-@_reduced_shuffle
 def stream_drift_monitor_batch_equivalence(spark: SparkSession,
                                            sf_dir: str) -> DataFrame:
     """run_drift_monitor driven end-to-end: a fixed BASELINE corpus

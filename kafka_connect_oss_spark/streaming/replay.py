@@ -15,7 +15,6 @@ batch boundaries — none of this module ships in a production pipeline.
 from __future__ import annotations
 
 import atexit
-import contextlib
 import glob
 import os
 import shutil
@@ -23,49 +22,17 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-
-@contextlib.contextmanager
-def few_shuffle_partitions(spark: SparkSession, n: int = 4):
-    """Temporarily lower ``spark.sql.shuffle.partitions`` around a
-    bounded replay (restored on exit, even on error).
-
-    Every stateful micro-batch shuffles into — and opens a state store
-    instance for — ``spark.sql.shuffle.partitions`` partitions, and a
-    replay is a handful of micro-batches over test-SF data, so the
-    session's 32 is almost pure fixed overhead: 32 near-empty tasks
-    plus 32 state stores per stateful operator per micro-batch (plus
-    the no-data batches the sentinel flush relies on). The r15 bench
-    measured the four streaming golden rows at ~59 s of a 175 s sf0.1
-    suite, nearly all this fixed cost (r15 VERDICT item 2).
-
-    HARNESS-ONLY scoping, like everything in this module: a deployed
-    stream sizes shuffle partitions to the cluster and keeps them for
-    the life of the checkpoint (the state-store partition count is
-    baked in at first batch — which is also why a row's epochs must
-    all run inside ONE context span, as the iid row's two do)."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
-
-
-def reduced_shuffle(fn):
-    """Decorator form of ``few_shuffle_partitions`` for a
-    ``(spark, sf_dir) -> DataFrame`` registry row: the whole replay —
-    chunk prep, the stream itself, sentinel drop — runs under the
-    reduced count; the LAZY sink read the row returns executes later,
-    under the caller's restored conf (by then the only work left is a
-    result-sized scan + sort, where the session default is right)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        with few_shuffle_partitions(spark):
-            return fn(spark, sf_dir)
-    return wrapped
+# NOTE (r16 adjudication — do not re-try): lowering
+# spark.sql.shuffle.partitions around the replay looked like a big win
+# (stream phase 31 s -> 8 s at sf0.1) but the gain was a SESSION-WARMUP
+# artifact: the n=32 measurement was always the first streaming query
+# in its session (32 Python workers + state stores spawning), while the
+# low-n runs rode warm. Alternating warm A/B on the same box: sf0.1
+# asof 8.2 s at n=32 vs 9.2-10.9 s at n=6; sf1 19 s at n=32 vs 38 s at
+# n=21 (the pandas-heavy batch work needs the parallelism). The session
+# default — the cluster-sized value — is the right count at every SF;
+# the real r16 overhead cuts were the one-job chunk drop and the
+# sentinel riding in the final chunk (one fewer micro-batch).
 
 
 #: single session-scoped parent for every ephemeral sink (r15 ADVICE:

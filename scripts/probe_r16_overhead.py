@@ -96,7 +96,7 @@ def run_once(nparts):
             shutil.rmtree(workdir, ignore_errors=True)
 
 
-for nparts in (4, 2, 1, 4):
+for nparts in (32, 21, 8):
     marks, n, batches = run_once(nparts)
     t = dict(marks)
     print(f"\n=== shuffle.partitions={nparts}  rows={n}")
