@@ -146,7 +146,16 @@ def signature_frame(docs: DataFrame, text_col: str = "text",
     sentinel-signature rows only ever banded with each other and were
     rejected by verification — absence is equivalent and cheaper).
     """
-    pairs = shingle_hash_pairs(docs, text_col, ngram, id_col)
+    return signature_frame_from_pairs(
+        shingle_hash_pairs(docs, text_col, ngram, id_col), id_col)
+
+
+def signature_frame_from_pairs(pairs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """``signature_frame`` from an existing (id, _h) distinct pair frame —
+    the r16 recompute cut: consumers that already hold the staged shingle
+    pairs (the classify/fold cycle, compaction) aggregate them directly
+    instead of re-running the md5-shingle chain over the text."""
     mins = [F.min(F.expr(H.universal_hash("_h", a, b))).alias(f"_m{i}")
             for i, (a, b) in enumerate(H.MINHASH_COEFFS)]
     agg = (pairs.groupBy(id_col)
@@ -395,7 +404,8 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
                              jaccard_threshold: float = 0.3,
                              base_sig: DataFrame | None = None,
                              hot_shingle_df_cap: int | None =
-                             HOT_SHINGLE_DF_CAP) -> DataFrame:
+                             HOT_SHINGLE_DF_CAP,
+                             inc_posts: DataFrame | None = None) -> DataFrame:
     """Incremental (append-batch) dedup: classify each NEW document
     against the already-accepted corpus without re-clustering anything —
     the shape a 100 TB append-mostly pipeline actually runs per ingest
@@ -470,14 +480,15 @@ def incremental_dedup_status(base: DataFrame, inc: DataFrame,
                                 F.explode("hh").alias("_h"))
     return _classify_increment(breps, base_sig, bpost, inc, text_col,
                                id_col, ngram, jaccard_threshold,
-                               hot_shingle_df_cap)
+                               hot_shingle_df_cap, inc_posts=inc_posts)
 
 
 def _classify_increment(breps: DataFrame, bsig: DataFrame,
                         bpost: DataFrame, inc: DataFrame, text_col: str,
                         id_col: str, ngram: int,
                         jaccard_threshold: float,
-                        hot_shingle_df_cap: int | None) -> DataFrame:
+                        hot_shingle_df_cap: int | None,
+                        inc_posts: DataFrame | None = None) -> DataFrame:
     """Shared per-batch classification core: `breps` = (_d, _rep) base
     content digests, `bsig` = (id, hh, ...) base-rep shingle sets (only
     ``hh`` is read), `bpost` = (base_id, _h) base-rep posting list —
@@ -492,7 +503,15 @@ def _classify_increment(breps: DataFrame, bsig: DataFrame,
     ``fold_accepted_into_state`` has already folded this batch's kept
     docs into the state re-produces the original statuses bit-for-bit —
     the batch is always judged against the state as it stood BEFORE the
-    batch, never against its own contributions."""
+    batch, never against its own contributions.
+
+    ``inc_posts`` optionally supplies the increment's staged (id, _h)
+    distinct shingle-hash pairs so a caller that needs them again (the
+    streaming classify+fold cycle) shares ONE materialization; when
+    absent they are staged here. Either way the posting probe and the
+    verification sets both read the same staged pairs — previously each
+    re-ran the full md5-shingle chain over the increment text (r16
+    measurement: ~15% of the classify wall on the bench corpus)."""
     inc_ids = inc.select(F.col(id_col).alias("_iid"))
     breps = breps.join(F.broadcast(inc_ids),
                        breps["_rep"] == inc_ids["_iid"], "anti")
@@ -505,13 +524,17 @@ def _classify_increment(breps: DataFrame, bsig: DataFrame,
     # list grouped with the cap enforced BEFORE the lists build (see
     # _bounded_posting_index — the r09-judge buffer fix)
     grouped = _bounded_posting_index(bpost, "base_id", hot_shingle_df_cap)
-    ipost = shingle_hash_pairs(inc, text_col, ngram, id_col).select(
-        F.col(id_col).alias("inc_id"), "_h")
+    if inc_posts is None:
+        from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+        inc_posts = stage_local(
+            shingle_hash_pairs(inc, text_col, ngram, id_col))
+    ipost = inc_posts.select(F.col(id_col).alias("inc_id"), "_h")
     cand = (ipost.join(grouped, "_h")
             .select("inc_id", F.explode("_ids").alias("base_id"))
             .distinct())
 
-    isig = shingle_set_frame(inc, text_col, ngram, id_col)
+    isig = inc_posts.groupBy(id_col).agg(F.collect_list("_h").alias("hh"))
     ha = isig.select(F.col(id_col).alias("inc_id"),
                      F.col("hh").alias("h_a"))
     hb = bsig.select(F.col(id_col).alias("base_id"),
@@ -571,45 +594,58 @@ def compact_base_tables(base: DataFrame, prefix: str,
     Sizing: n_buckets to taste at the target SF (bucketing.py notes).
     """
     from kafka_connect_oss_spark.operators.bucketing import write_bucketed
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
     breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
     write_bucketed(breps, f"{prefix}_digests", ["_d"], n_buckets,
                    mode=mode)
+    # overwrite mode: the digests table just written IS breps — read the
+    # reps back from it (16-byte digest + id scan) instead of re-running
+    # the full-text md5 aggregation a second time for the semi-join (r16
+    # recompute cut; append mode keeps the in-plan frame, since the
+    # table then also holds earlier contents)
+    reps_src = (base.sparkSession.table(f"{prefix}_digests")
+                if mode == "overwrite" else breps)
     rep_docs = base.join(
-        breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
-    sig = signature_frame(rep_docs, text_col, ngram, id_col)
+        reps_src.select(F.col("_rep").alias(id_col)), id_col, "semi")
+    # ONE staged shingle pass feeds both the signature aggregation and
+    # the posting explode (previously the postings were re-derived by
+    # reading the just-written sig table back and exploding its arrays)
+    posts = stage_local(
+        shingle_hash_pairs(rep_docs, text_col, ngram, id_col))
+    sig = signature_frame_from_pairs(posts, id_col)
     write_bucketed(sig, f"{prefix}_sig", [id_col], n_buckets, mode=mode)
-    sig_t = base.sparkSession.table(f"{prefix}_sig")
-    post = sig_t.select(id_col, F.explode("hh").alias("_h"))
-    write_bucketed(post, f"{prefix}_postings", ["_h"], n_buckets,
-                   mode=mode)
+    write_bucketed(posts.select(id_col, "_h"), f"{prefix}_postings",
+                   ["_h"], n_buckets, mode=mode)
 
 
 def incremental_dedup_status_from_tables(
         spark, prefix: str, inc: DataFrame, text_col: str = "text",
         id_col: str = "doc_id", ngram: int = 3,
         jaccard_threshold: float = 0.3,
-        hot_shingle_df_cap: int | None = HOT_SHINGLE_DF_CAP) -> DataFrame:
+        hot_shingle_df_cap: int | None = HOT_SHINGLE_DF_CAP,
+        inc_posts: DataFrame | None = None) -> DataFrame:
     """Per-batch half of the compacted contract: classify `inc` against
     the ``compact_base_tables`` state. Semantics identical to
     ``incremental_dedup_status`` (pinned by test_round7_ops); cost is
     increment-driven — the base side is three bucketed scans (digest and
     posting joins read co-located base buckets; only increment-sized
-    frames shuffle)."""
+    frames shuffle). ``inc_posts``: see ``_classify_increment``."""
     breps = spark.table(f"{prefix}_digests")
     bsig = spark.table(f"{prefix}_sig")
     bpost = (spark.table(f"{prefix}_postings")
              .withColumnRenamed(id_col, "base_id"))
     return _classify_increment(breps, bsig, bpost, inc, text_col,
                                id_col, ngram, jaccard_threshold,
-                               hot_shingle_df_cap)
+                               hot_shingle_df_cap, inc_posts=inc_posts)
 
 
 def fold_accepted_into_state(spark, prefix: str, kept_docs: DataFrame,
                              text_col: str = "text",
                              id_col: str = "doc_id",
-                             ngram: int = 3) -> None:
+                             ngram: int = 3,
+                             kept_posts: DataFrame | None = None) -> None:
     """Refresh half of the compacted contract: fold a batch's ACCEPTED
     (status ``kept``) docs into the ``compact_base_tables`` state by
     APPEND — the cadence by which accepted batches become base for later
@@ -638,6 +674,14 @@ def fold_accepted_into_state(spark, prefix: str, kept_docs: DataFrame,
 
     Bucket counts are read from the catalog (``table_n_buckets``) so the
     appended files land in the tables' existing bucket layout.
+
+    ``kept_posts`` optionally supplies staged (id, _h) distinct
+    shingle-hash pairs covering (at least) the kept docs — the classify
+    pass already materialized exactly these, so reusing them builds the
+    appended signatures by aggregation instead of re-running the
+    md5-shingle chain over the kept text (r16 recompute cut; values
+    identical — ``signature_frame`` is that same aggregation over these
+    same pairs).
     """
     from kafka_connect_oss_spark.operators.bucketing import (
         table_n_buckets, write_bucketed)
@@ -647,9 +691,14 @@ def fold_accepted_into_state(spark, prefix: str, kept_docs: DataFrame,
     firsts = kd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
     # content-idempotency gate: digests already in state fold to nothing
     new = stage_local(firsts.join(breps, "_d", "anti"))
-    new_docs = kept_docs.join(new.select(F.col("_rep").alias(id_col)),
-                              id_col, "semi")
-    sig = stage_local(signature_frame(new_docs, text_col, ngram, id_col))
+    new_ids = new.select(F.col("_rep").alias(id_col))
+    if kept_posts is None:
+        new_docs = kept_docs.join(new_ids, id_col, "semi")
+        sig = stage_local(
+            signature_frame(new_docs, text_col, ngram, id_col))
+    else:
+        sig = stage_local(signature_frame_from_pairs(
+            kept_posts.join(new_ids, id_col, "semi"), id_col))
     # sig/postings first, digests LAST, for two reasons: (1) the digest
     # append would otherwise race the `new` anti-join's scan of the very
     # table it appends to (stage_local materializes `new` at the first

@@ -476,13 +476,20 @@ def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
     appends.
     """
     from kafka_connect_oss_spark.operators.dedup import (
-        fold_accepted_into_state, incremental_dedup_status_from_tables)
+        fold_accepted_into_state, incremental_dedup_status_from_tables,
+        shingle_hash_pairs)
     from kafka_connect_oss_spark.operators.lifecycle import stage_local
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        # ONE staged shingle pass over the batch feeds the classify
+        # (posting probe + verification sets) AND the refresh fold's
+        # appended signatures — previously each re-ran the md5-shingle
+        # chain over the batch text (r16 recompute cut)
+        posts = stage_local(
+            shingle_hash_pairs(batch, text_col, ngram, id_col))
         status = incremental_dedup_status_from_tables(
             batch.sparkSession, state_prefix, batch, text_col, id_col,
-            ngram, jaccard_threshold)
+            ngram, jaccard_threshold, inc_posts=posts)
         if refresh_state:
             # statuses feed two consumers (the sink write + the fold's
             # kept filter): one materialization, GC-released
@@ -496,7 +503,8 @@ def run_incremental_dedup(stream_docs: DataFrame, state_prefix: str,
                 status.where(F.col("status") == "kept").select(id_col),
                 id_col, "semi")
             fold_accepted_into_state(batch.sparkSession, state_prefix,
-                                     kept, text_col, id_col, ngram)
+                                     kept, text_col, id_col, ngram,
+                                     kept_posts=posts)
 
     return (stream_docs.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
