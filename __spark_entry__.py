@@ -223,22 +223,26 @@ RETIRED_SEATS: dict[str, str] = {
 #: 50 to 48, so the r16 window is 2 staged + 48 = 50 exactly, zero
 #: deferrals; 150 - 2 + 2 = 150).
 
-#: Round-17 plan, written at r16: registry_staged_r17 stages
+#: Round-17 plan, written at r16 (amended by the r16 optimization
+#: round): registry_staged_r17 stages
 #: stream_ingest_qc_batch_equivalence and
 #: stream_drift_monitor_batch_equivalence (the two stateless
 #: foreachBatch monitors, de-risked oracle-exact at r15 by
 #: scripts/probe_r17_monitors.py), parity-proven pre-registration by
 #: tests/test_staged_seats_r17.py at two SFs. The r17 window carries
-#: FOUR hard seats (2 staged + the 2 r16-REWRITTEN streaming rows)
-#: over the 50-row r14-attested obligation, so the seating needs FOUR
-#: retirements — each a latest-green-r14 variant/eval/first-stage row
+#: SIX hard seats — 2 staged + 4 r16-REWRITTEN rows
+#: (stream_asof/stream_incremental_dedup_refresh/
+#: dedup_incremental_status attested r15, plus
+#: stream_cms_batch_equivalence which is r14-attested and therefore in
+#: the rotation obligation anyway) — so the seating needs FIVE
+#: retirements: each a latest-green-r14 variant/eval/first-stage row
 #: whose machinery survives in named driver-visible siblings, and all
-#: four in the r14 cohort (shrinking the obligation to 46: the window
-#: is 2 + 2 + 46 = 50 exactly, zero deferrals; registry after seating
-#: 150 - 4 + 2 = 148, the spare pair funding an r18 staging with zero
-#: retirements — the r14 precedent). The r17 builder executes this
-#: dict into RETIRED_SEATS (with COVERAGE.md waiver notes) and
-#: deletes it.
+#: five in the r14 cohort. Arithmetic: obligation 50 − 5 retired − 1
+#: (stream_cms seats as a hard rewrite, not from the obligation) = 44;
+#: window = 2 staged + 4 rewritten + 44 = 50 exactly, zero deferrals
+#: (scripts/window_math.py forecasts it); registry after seating
+#: 150 − 5 + 2 = 147. The r17 builder executes this dict into
+#: RETIRED_SEATS (with COVERAGE.md waiver notes) and deletes it.
 PLANNED_R17_RETIREMENTS: dict[str, str] = {
     "sim_random_projection": "sim_ann_rp_topk (r14 cohort, rotates in "
                              "the r17 window) computes the same ±1 "
@@ -265,6 +269,14 @@ PLANNED_R17_RETIREMENTS: dict[str, str] = {
                            "train+encode path whose per-round merge "
                            "argmax IS pair_stats — the first-stage "
                            "precedent again",
+    # fifth retirement, added by the r16 optimization round to fund the
+    # dedup_incremental_status hard seat (see REWRITTEN)
+    "sim_embedding_quantize": "sim_ann_sq8_adc_topk (r15-green) attests "
+                              "the full SQ8 quantize+ADC probe path "
+                              "whose per-vector encode IS this row — "
+                              "the first-stage precedent "
+                              "(dedup_minhash_signature, "
+                              "text_bpe_pair_stats)",
 }
 
 #: REWRITE-RESETS-STALENESS RULE (round 14, closes the r13 judge's
@@ -301,6 +313,20 @@ REWRITTEN: dict[str, int] = {
     # same-round attestation covers them (no entry, per the rule).
     "stream_asof_batch_equivalence": 16,
     "stream_incremental_dedup_refresh": 16,
+    # round-16 optimization-phase rewrites. dedup_incremental_status:
+    # the classify core now stages ONE shingle pass for the posting
+    # probe + verification sets (operators/dedup._classify_increment,
+    # the shared-shingle-pass commit) — the row was attested green r15
+    # BEFORE that change and the original r16 entry list missed it
+    # (found by the r16 optimization audit: diff every attested row's
+    # query path against its attestation round). Hard seat at r17; the
+    # fifth planned retirement below budgets for it.
+    # stream_cms_batch_equivalence: its replay harness moved to the
+    # shared one-job labeled-chunk drop + mtime pin this round; it is
+    # r14-attested, so it rotates at r17 anyway — the flag just makes
+    # the hard seat explicit.
+    "dedup_incremental_status": 16,
+    "stream_cms_batch_equivalence": 16,
 }
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in

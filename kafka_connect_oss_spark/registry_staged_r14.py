@@ -51,7 +51,6 @@ test_plan_guards.STAGED_PINS into PINS; (6) run window_math
 
 from __future__ import annotations
 
-import glob
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -87,8 +86,19 @@ def stream_cms_batch_equivalence(spark: SparkSession,
 
     Scale note: the streamed state is d*w rows per batch (kilobytes);
     the equivalence property is what lets a 100 TB ingest keep running
-    token frequencies without ever rebuilding from the corpus."""
+    token frequencies without ever rebuilding from the corpus.
+
+    Harness note (r16 optimization): the chunk files land in ONE write
+    job via replay.drop_labeled_chunks (the one-job pattern the
+    r15/r16 cohorts use — each per-chunk coalesce(1) write previously
+    cost its own job + parquet commit of pure fixed latency), and the
+    replay order is mtime-PINNED instead of resting on copy-order
+    mtimes. The merged cells are chunking-order-invariant anyway
+    (cell-wise sums commute), so the pin hardens only the batch_id ->
+    chunk mapping, not the result."""
     from kafka_connect_oss_spark.streaming import analytics as A
+    from kafka_connect_oss_spark.streaming.replay import (
+        drop_labeled_chunks, pin_time_order)
 
     import os
 
@@ -97,13 +107,18 @@ def stream_cms_batch_equivalence(spark: SparkSession,
         docs = load_table(spark, sf_dir, "documents")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        for i in range(_CMS_STREAM_CHUNKS):
-            part = f"{workdir}/part{i}"
-            (docs.where(F.col("doc_id") % _CMS_STREAM_CHUNKS == i)
-             .coalesce(1).write.parquet(part))
-            src = glob.glob(f"{part}/*.parquet")[0]
-            shutil.copy(src, f"{chunk_dir}/c{i}.parquet")
-        schema = spark.read.parquet(chunk_dir).schema
+        # label = c{doc_id % N}: same row->chunk mapping as the old
+        # per-chunk filters (rows whose label is not a listed name —
+        # impossible for non-negative ids — are dropped identically)
+        lab = docs.withColumn(
+            "chunk", F.concat(F.lit("c"), (F.col("doc_id")
+                                           % _CMS_STREAM_CHUNKS)
+                              .cast("string")))
+        present = drop_labeled_chunks(
+            lab, "chunk", [f"c{i}" for i in range(_CMS_STREAM_CHUNKS)],
+            workdir, chunk_dir)
+        pin_time_order(chunk_dir, present)
+        schema = lab.drop("chunk").schema
         sdf = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
         q = A.run_cms_monitor(sdf, f"{workdir}/out", f"{workdir}/ck")

@@ -135,11 +135,16 @@ def _session_cut_ts(ev: DataFrame):
     which would make the multi-batch replay VACUOUS: a build that
     dropped state between batches would still pass parity. Placing the
     cut mid-session is what makes the cross-batch claim load-bearing
-    (tests/test_staged_seats_r16.py pins it). Returns None when no
-    session has two distinct ts (degenerate corpus) — the caller then
-    replays as a single real batch, still correct, just single-batch.
-    HARNESS-ONLY, like the r15 chunking: a deployed stream arrives in
-    arrival order and never plans its own batch boundaries."""
+    (tests/test_staged_seats_r16.py pins it). Returns (cut, maxts):
+    cut is None when no session has two distinct ts (degenerate
+    corpus) — the caller then replays as a single real batch, still
+    correct, just single-batch. maxts (the sentinel anchor) rides in
+    the SAME collect as a 1-row cross join: the prep phase pays one
+    driver job instead of two (r16 optimization — guide §1.2 "don't
+    compute things you throw away" applied to job count; ~0.2-0.4 s of
+    fixed per-rep latency at any SF). HARNESS-ONLY, like the r15
+    chunking: a deployed stream arrives in arrival order and never
+    plans its own batch boundaries."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -159,15 +164,17 @@ def _session_cut_ts(ev: DataFrame):
            .join(lab.alias("l"), (F.col("m.user_id") == F.col("l.user_id"))
                  & (F.col("m.sid") == F.col("l.sid"))
                  & (F.col("l.ts") > F.col("m.t0")))
-           .agg(F.min("l.ts")).collect())
-    return row[0][0] if row else None
+           .agg(F.min("l.ts").alias("cut"))
+           .crossJoin(ev.agg(F.max("ts").alias("maxts"))).collect())
+    return (row[0]["cut"], row[0]["maxts"]) if row else (None, None)
 
 
 def _window_cut_ts(ev: DataFrame):
     """Same idea for the top-k row: a timestamp strictly inside the
     earliest hourly window that has >= 2 distinct ts, so at least one
     window's streaming aggregate accumulates across two micro-batches
-    before the watermark closes it."""
+    before the watermark closes it. Returns (cut, maxts) from one
+    collect, like ``_session_cut_ts``."""
     win = (ev.groupBy(F.window("ts", _TOPK_WINDOW).alias("w"))
            .agg(F.min("ts").alias("t0"),
                 F.count_distinct("ts").alias("nts"))
@@ -178,8 +185,9 @@ def _window_cut_ts(ev: DataFrame):
                  (F.col("l.ts") >= F.col("m.w.start"))
                  & (F.col("l.ts") < F.col("m.w.end"))
                  & (F.col("l.ts") > F.col("m.t0")))
-           .agg(F.min("l.ts")).collect())
-    return row[0][0] if row else None
+           .agg(F.min("l.ts").alias("cut"))
+           .crossJoin(ev.agg(F.max("ts").alias("maxts"))).collect())
+    return (row[0]["cut"], row[0]["maxts"]) if row else (None, None)
 
 
 def _drop_cut_chunks_with_sentinel(df: DataFrame, cut, sent: DataFrame,
@@ -235,14 +243,15 @@ def stream_sessionize_batch_equivalence(spark: SparkSession,
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        maxts = ev.agg(F.max("ts")).collect()[0][0]
+        # one prep collect: the cut search carries maxts with it
+        cut, maxts = _session_cut_ts(ev)
         sent = spark.createDataFrame(
             [(A.SESSION_FLUSH_USER,
               A.session_flush_ts(maxts, gap_ms=_SESS_GAP_MS,
                                  watermark_delay_ms=_SESS_WATERMARK_MS))],
             "user_id long, ts timestamp")
         schema = _drop_cut_chunks_with_sentinel(
-            ev, _session_cut_ts(ev), sent, workdir, chunk_dir)
+            ev, cut, sent, workdir, chunk_dir)
         sdf = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
         out = _ephemeral_out_dir("kafka_connect_oss_spark_sess_out_")
@@ -331,7 +340,8 @@ def stream_windowed_topk_batch_equivalence(spark: SparkSession,
             "ts", "event_type", "user_id")
         chunk_dir = f"{workdir}/chunks"
         os.makedirs(chunk_dir)
-        maxts = ev.agg(F.max("ts")).collect()[0][0]
+        # one prep collect: the cut search carries maxts with it
+        cut, maxts = _window_cut_ts(ev)
         # gap = the window length and delay = the stream's watermark, so
         # the sentinel lands at maxts + window + watermark + margin —
         # past every real window's close threshold by construction
@@ -341,7 +351,7 @@ def stream_windowed_topk_batch_equivalence(spark: SparkSession,
               "sentinel", -1)],
             "ts timestamp, event_type string, user_id long")
         schema = _drop_cut_chunks_with_sentinel(
-            ev, _window_cut_ts(ev), sent, workdir, chunk_dir)
+            ev, cut, sent, workdir, chunk_dir)
         sdf = (spark.readStream.schema(schema)
                .option("maxFilesPerTrigger", "1").parquet(chunk_dir))
         out = _ephemeral_out_dir("kafka_connect_oss_spark_wtopk_out_")

@@ -123,8 +123,10 @@ def test_session_state_crosses_chunk_boundary(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir, ["user_id", "ts"])
-    cut = S._session_cut_ts(ev)
+    cut, maxts = S._session_cut_ts(ev)
     assert cut is not None, "no multi-ts session at this SF"
+    assert maxts == ev.agg(F.max("ts")).collect()[0][0], (
+        "the merged cut+maxts collect must carry the true max ts")
     w = Window.partitionBy("user_id").orderBy("ts")
     lab = (ev
            .withColumn("q", (F.col("ts") >= F.lit(cut)).cast("int"))
@@ -148,8 +150,10 @@ def test_topk_window_crosses_chunk_boundary(spark, sf_dir):
     so that window's streaming aggregate really accumulates across
     micro-batches before the watermark closes it."""
     ev = _events(spark, sf_dir, ["user_id", "ts", "event_type"])
-    cut = S._window_cut_ts(ev)
+    cut, maxts = S._window_cut_ts(ev)
     assert cut is not None, "no multi-ts hourly window at this SF"
+    assert maxts == ev.agg(F.max("ts")).collect()[0][0], (
+        "the merged cut+maxts collect must carry the true max ts")
     spanning = (ev
                 .withColumn("q", (F.col("ts") >= F.lit(cut)).cast("int"))
                 .groupBy(F.window("ts", S._TOPK_WINDOW).alias("w"))
