@@ -113,15 +113,17 @@ def test_drift_batches_are_distinguishable(spark, sf_dir):
 
 
 def test_planned_r17_retirements_are_valid():
-    """The capacity trade is executable as written: FOUR retirements
-    (2 for the staged seats at capacity + 2 more because the
-    r16-REWRITTEN streaming rows hard-seat at r17); each planned row
-    is currently driver-visible, not already retired, latest-green in
-    the driver record, in the r14-attested cohort (so retiring it also
-    shrinks r17's rotation obligation), and its waiver names a sibling
-    that will be driver-visible after the trade. Post-trade
-    arithmetic lands at 148 (the r14 precedent: the spare pair funds
-    an r18 staging with zero retirements)."""
+    """The capacity trade is executable as written: FIVE retirements —
+    one per hard seat that does NOT come out of r17's own rotation
+    obligation (2 staged seats at capacity + the 3 r16-REWRITTEN rows
+    last attested r15; the 4th rewritten row, stream_cms, is
+    r14-attested so its seat was in the obligation anyway); each
+    planned row is currently driver-visible, not already retired,
+    latest-green in the driver record, in the r14-attested cohort (so
+    retiring it also shrinks r17's rotation obligation), and its
+    waiver names a sibling that will be driver-visible after the
+    trade. Post-trade arithmetic lands at 147 (the spare seats fund an
+    r18 staging with zero retirements — the r14 precedent)."""
     import json
 
     import __spark_entry__ as E
@@ -129,11 +131,14 @@ def test_planned_r17_retirements_are_valid():
 
     plan = E.PLANNED_R17_RETIREMENTS
     rewritten_hard = {n for n, rnd in E.REWRITTEN.items() if rnd == 16}
-    assert len(plan) == len(S.STAGED_QUERIES) + len(rewritten_hard) == 4
+    assert len(S.STAGED_QUERIES) + len(rewritten_hard) == 6
     qs = E.queries()
     latest = latest_rows()
     with open(os.path.join(REPO, "CORRECTNESS_r14.json")) as fh:
         r14_cohort = set(json.load(fh))
+    rewritten_outside_obligation = rewritten_hard - r14_cohort
+    assert len(plan) == (len(S.STAGED_QUERIES)
+                         + len(rewritten_outside_obligation)) == 5
     for name, why in plan.items():
         assert name in qs, f"{name} not driver-visible"
         assert name not in E.RETIRED_SEATS
@@ -147,7 +152,7 @@ def test_planned_r17_retirements_are_valid():
         survivors = (set(qs) - set(plan)) | set(S.STAGED_QUERIES)
         mentioned = set(re.findall(r"[a-z0-9_]+", why)) & survivors
         assert mentioned, f"{name}: waiver names no surviving sibling"
-    assert len(qs) - len(plan) + len(S.STAGED_QUERIES) == 148
+    assert len(qs) - len(plan) + len(S.STAGED_QUERIES) == 147
 
 
 def test_oracle_sql_mentions_no_spark_internals():
