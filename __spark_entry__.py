@@ -24,6 +24,7 @@ import kafka_connect_oss_spark.registry_seated_r13  # noqa: E402,F401 (seats the
 import kafka_connect_oss_spark.registry_seated_r14  # noqa: E402,F401 (seats the r14 staged ops)
 import kafka_connect_oss_spark.registry_seated_r15  # noqa: E402,F401 (seats the r15 staged ops)
 import kafka_connect_oss_spark.registry_seated_r16  # noqa: E402,F401 (seats the r16 staged ops)
+import kafka_connect_oss_spark.registry_seated_r17  # noqa: E402,F401 (seats the r17 staged ops)
 import kafka_connect_oss_spark.registry_tpch  # noqa: E402,F401 (registers entries)
 from kafka_connect_oss_spark.registry import (LAZY_ORACLES, ORACLES,  # noqa: E402
                                               QUERIES)
@@ -186,6 +187,40 @@ RETIRED_SEATS: dict[str, str] = {
                                  "event_type), and events_daily_pivot "
                                  "(r16 window) keeps the per-type "
                                  "batch aggregation attested",
+    # round-17 retirements (the PLANNED_R17_RETIREMENTS written at r16,
+    # executed with the r17 seating; all five were latest-green r14
+    # variant/eval/first-stage rows in the r14-attested cohort, so
+    # retiring them also shrank the r17 rotation obligation from 49 to
+    # 44 — funding the 2 staged + 4 REWRITTEN hard seats exactly)
+    "sim_random_projection": "sim_ann_rp_topk (r17 window) computes the "
+                             "same ±1 projection + packed sign code as "
+                             "its first stage before the bucket probe — "
+                             "the dedup_minhash_signature precedent",
+    "sim_ann_recall_eval": "an eval row: each constituent plan is its "
+                           "own driver row — sim_topk_bruteforce "
+                           "(exact scorer), "
+                           "sim_ann_lsh_multiprobe_topk and "
+                           "sim_ann_rp_topk (the probes; all in the "
+                           "r17 window), and dedup_lsh_recall_eval "
+                           "(r15-green) keeps the recall-eval join "
+                           "shape itself driver-attested",
+    "corpus_duplicate_spans": "corpus_chunk_windows (r17 window) "
+                              "attests the chunk_documents grid that "
+                              "is its first stage, and text_span_dedup "
+                              "(r15-green) the recurring-span md5 "
+                              "machinery plus the removal the span "
+                              "table exists to feed",
+    "text_bpe_pair_stats": "text_bpe_encode + text_bpe_fertility "
+                           "(r15-green) attest the full BPE "
+                           "train+encode path whose per-round merge "
+                           "argmax IS pair_stats — the first-stage "
+                           "precedent again",
+    "sim_embedding_quantize": "sim_ann_sq8_adc_topk (r15-green) attests "
+                              "the full SQ8 quantize+ADC probe path "
+                              "whose per-vector encode IS this row — "
+                              "the first-stage precedent "
+                              "(dedup_minhash_signature, "
+                              "text_bpe_pair_stats)",
 }
 
 #: Round-15 plan, written at r14 and EXECUTED at r15:
@@ -224,60 +259,24 @@ RETIRED_SEATS: dict[str, str] = {
 #: deferrals; 150 - 2 + 2 = 150).
 
 #: Round-17 plan, written at r16 (amended by the r16 optimization
-#: round): registry_staged_r17 stages
+#: round) and EXECUTED at r17: registry_seated_r17 seats
 #: stream_ingest_qc_batch_equivalence and
 #: stream_drift_monitor_batch_equivalence (the two stateless
 #: foreachBatch monitors, de-risked oracle-exact at r15 by
-#: scripts/probe_r17_monitors.py), parity-proven pre-registration by
-#: tests/test_staged_seats_r17.py at two SFs. The r17 window carries
-#: SIX hard seats — 2 staged + 4 r16-REWRITTEN rows
+#: scripts/probe_r17_monitors.py, parity-proven pre-registration by
+#: tests/test_staged_seats_r17.py at two SFs in r16). The r17 window
+#: carries SIX hard seats — 2 staged + 4 r16-REWRITTEN rows
 #: (stream_asof/stream_incremental_dedup_refresh/
 #: dedup_incremental_status attested r15, plus
 #: stream_cms_batch_equivalence which is r14-attested and therefore in
-#: the rotation obligation anyway) — so the seating needs FIVE
-#: retirements: each a latest-green-r14 variant/eval/first-stage row
-#: whose machinery survives in named driver-visible siblings, and all
-#: five in the r14 cohort. Arithmetic: obligation 50 − 5 retired − 1
-#: (stream_cms seats as a hard rewrite, not from the obligation) = 44;
-#: window = 2 staged + 4 rewritten + 44 = 50 exactly, zero deferrals
-#: (scripts/window_math.py forecasts it); registry after seating
-#: 150 − 5 + 2 = 147. The r17 builder executes this dict into
-#: RETIRED_SEATS (with COVERAGE.md waiver notes) and deletes it.
-PLANNED_R17_RETIREMENTS: dict[str, str] = {
-    "sim_random_projection": "sim_ann_rp_topk (r14 cohort, rotates in "
-                             "the r17 window) computes the same ±1 "
-                             "projection + packed sign code as its "
-                             "first stage before the bucket probe — "
-                             "the dedup_minhash_signature precedent",
-    "sim_ann_recall_eval": "an eval row: each constituent plan is its "
-                           "own driver row — sim_topk_bruteforce "
-                           "(exact scorer), "
-                           "sim_ann_lsh_multiprobe_topk and "
-                           "sim_ann_rp_topk (the probes; all r14 "
-                           "cohort, r17 window), and "
-                           "dedup_lsh_recall_eval (r15-green) keeps "
-                           "the recall-eval join shape itself "
-                           "driver-attested",
-    "corpus_duplicate_spans": "corpus_chunk_windows (r14 cohort, r17 "
-                              "window) attests the chunk_documents "
-                              "grid that is its first stage, and "
-                              "text_span_dedup (r15-green) the "
-                              "recurring-span md5 machinery plus the "
-                              "removal the span table exists to feed",
-    "text_bpe_pair_stats": "text_bpe_encode + text_bpe_fertility "
-                           "(r15-green) attest the full BPE "
-                           "train+encode path whose per-round merge "
-                           "argmax IS pair_stats — the first-stage "
-                           "precedent again",
-    # fifth retirement, added by the r16 optimization round to fund the
-    # dedup_incremental_status hard seat (see REWRITTEN)
-    "sim_embedding_quantize": "sim_ann_sq8_adc_topk (r15-green) attests "
-                              "the full SQ8 quantize+ADC probe path "
-                              "whose per-vector encode IS this row — "
-                              "the first-stage precedent "
-                              "(dedup_minhash_signature, "
-                              "text_bpe_pair_stats)",
-}
+#: the rotation obligation anyway) — funded by the FIVE planned
+#: retirements executed into RETIRED_SEATS above (all latest-green-r14
+#: variant/eval/first-stage rows in the r14 cohort). Arithmetic:
+#: obligation 49 − 5 retired = 44; window = 2 staged + 4 rewritten +
+#: 44 = 50 exactly, zero deferrals (scripts/window_math.py confirms,
+#: and forecasts zero ≥4-stale rows through r19+); registry after
+#: seating 150 − 5 + 2 = 147 (the 3 spare seats fund an r18 staging
+#: with zero retirements — the r14 precedent).
 
 #: REWRITE-RESETS-STALENESS RULE (round 14, closes the r13 judge's
 #: item 2): pure staleness rotation models "how long since the driver
@@ -332,51 +331,55 @@ REWRITTEN: dict[str, int] = {
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in
 #: queries() dict order. This list curates that window deliberately
 #: (the round-2 lesson: new registrations silently evicted checked
-#: queries). The r16 window, per the arithmetic above: the 2 r15-staged
-#: streaming rows seat at the head (seating outranks staleness), plus
-#: the 48 rows last attested r13 — the FULL 3-round rotation
-#: obligation after the two r16 retirements shrank it from 50
-#: (sessions_per_user and events_top_users_per_type were r13-attested)
-#: = 50 exactly, zero deferrals (scripts/window_math.py forecast: zero
-#: rows ≥4-rounds-stale through r18+ with the two r16-REWRITTEN
-#: streaming rows hard-seating at r17 alongside the r17 staged cohort
-#: — the r17 window needs FOUR retirements, named in
-#: PLANNED_R17_RETIREMENTS below).
+#: queries). The r17 window, per the arithmetic above: the 2 r16-staged
+#: monitor rows seat at the head (seating outranks staleness), then the
+#: 4 r16-REWRITTEN hard seats (rewrite-resets-staleness rule), then the
+#: 44 rows last attested r14 — the FULL 3-round rotation obligation
+#: after the five r17 retirements shrank it from 49 (all five were
+#: r14-attested) = 50 exactly, zero deferrals (scripts/window_math.py
+#: forecast: zero rows ≥4-rounds-stale through r19+).
 DRIVER_WINDOW: list[str] = [
-    # (1) the 2 r15-staged streaming-state operators, seated this round
-    #     via registry_seated_r16 (parity-proven at two SFs in
-    #     test_staged_seats_r16 at r15; hardened at seating — one-job
-    #     chunk drops, sentinel merged into the final chunk, reduced-
-    #     shuffle replay span — then 5x-stability-re-proven)
-    "stream_sessionize_batch_equivalence",
-    "stream_windowed_topk_batch_equivalence",
-    # (2) the 48 r13-attested rows, 3 rounds stale — the full rotation
-    #     obligation: the remaining §2 rotation/format rows (r1_size,
-    #     r2 both, r4), the r13 TPC-H completions (q2, q11), the
-    #     multimodal family, and the r13 LLM cohort
-    "asof_purchase_attribution", "corpus_cluster_quota_sample",
-    "corpus_cross_source_overlap", "corpus_curated",
-    "corpus_decontaminated", "corpus_dsir_weights",
-    "corpus_mixture_sample", "corpus_publish_decisions",
-    "corpus_shard_manifest", "corpus_split_assign",
-    "corpus_weighted_sample", "dedup_multi_signal",
-    "dedup_semantic_flags", "dedup_takedown_expansion",
-    "events_daily_anomaly_zscore", "events_daily_pivot",
-    "events_day_over_day_retention", "events_hourly_rollup",
-    "events_user_running_value", "events_value_median_exact",
-    "events_value_percentiles", "multimodal_catalog",
-    "multimodal_embed", "multimodal_image_resize",
-    "multimodal_near_dup", "multimodal_video_frames",
-    "pack_efficiency_report", "q11_important_supply",
-    "q2_min_cost_supplier", "r1_size_rotation_files",
-    "r2_anchored_rotation_files", "r2_interval_rotation_files",
-    "r4_scheduled_rotation", "sim_ann_ivf_kmeans_topk",
-    "sim_ann_ivf_topk", "sim_embedding_diversity",
-    "sim_hybrid_rrf_topk", "sketch_cms_calibration",
-    "sketch_distinct_users_kmv", "text_bm25_topk",
-    "text_fingerprints", "text_language_id", "text_line_dedup",
-    "text_ngram_topk", "text_novelty_score", "text_pii_redacted",
-    "text_prune_frequent_tokens", "text_vocab_stats",
+    # (1) the 2 r16-staged stateless foreachBatch monitors, seated this
+    #     round via registry_seated_r17 (parity-proven at two SFs in
+    #     test_staged_seats_r17 at r16; de-risked oracle-exact at r15
+    #     by scripts/probe_r17_monitors.py)
+    "stream_drift_monitor_batch_equivalence",
+    "stream_ingest_qc_batch_equivalence",
+    # (2) the 4 r16-REWRITTEN hard seats (rewrite-resets-staleness):
+    #     the two r16 streaming-harness rewrites attested r15, the
+    #     shared-shingle-pass classify rewrite attested r15, and the
+    #     CMS row whose replay harness moved to the shared one-job
+    #     chunk drop (r14-attested, due by rotation anyway)
+    "dedup_incremental_status",
+    "stream_asof_batch_equivalence",
+    "stream_cms_batch_equivalence",
+    "stream_incremental_dedup_refresh",
+    # (3) the 44 r14-attested rows, 3 rounds stale — the full rotation
+    #     obligation after the five retirements: the r14 TPC-H batch,
+    #     the events/corpus/text/sim r14 cohort, and the remaining
+    #     pair-family rows
+    "corpus_chunk_windows", "corpus_decontam_overlap",
+    "corpus_dup_rate_by_source", "corpus_epoch_plan",
+    "corpus_expectations_report", "corpus_global_shuffle",
+    "corpus_pagerank_centrality", "corpus_snapshot_diff",
+    "corpus_source_cap", "corpus_token_budget",
+    "corpus_training_order_export", "dedup_embedding_cosine_pairs",
+    "dedup_ngram_jaccard_pairs", "events_cohort_retention_matrix",
+    "events_rollup_day_type", "events_signup_funnel",
+    "events_sliding_rollup", "events_value_histogram",
+    "orders_without_recent_lineitems", "q10_returned_items",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q15_top_supplier", "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit",
+    "sim_ann_lsh_multiprobe_topk", "sim_ann_pq_topk",
+    "sim_ann_rp_topk", "sim_knn_join",
+    "sim_topk_bruteforce", "sketch_kmv_source_overlap",
+    "text_normalized", "text_quality_model_score",
+    "text_rare_token_score", "text_repetition_signals",
+    "text_token_entropy", "text_unigram_nll",
 ]
 
 

@@ -234,6 +234,12 @@ HEADLINE += [
     # reduced-shuffle span, one-job chunk drops, merged sentinel)
     "stream_sessionize_batch_equivalence",
     "stream_windowed_topk_batch_equivalence",
+    # round-17: the two r16-staged stateless foreachBatch monitors
+    # seated into the registry (their staged auto-enumerated bench rows
+    # retire — same operators, same names, so the wall-time series
+    # continues unbroken)
+    "stream_drift_monitor_batch_equivalence",
+    "stream_ingest_qc_batch_equivalence",
 ]
 
 #: queries with driver-measured 10-35s rep-to-rep spreads on the shared

@@ -91,7 +91,10 @@ def test_zero_retirement_seating_executed():
     import __spark_entry__ as E
 
     assert not hasattr(E, "PLANNED_R15_RETIREMENTS")
-    assert len(E.queries()) == 150
+    # the registry stood at exactly 150 (capacity) from this seating
+    # until the r17 trade (150 - 5 + 2 = 147); the live size is pinned
+    # by the current round's seat test — here only the r15 invariants
+    assert len(E.queries()) <= 150
     assert SEATED <= set(E.queries())
     # (the r15 window-head position was round-specific — the r16 window
     # seats its own staged pair at the head; test_staged_seats_r16

@@ -99,10 +99,14 @@ def test_retirement_trade_executed():
     assert RETIRED_WITH_SEATING <= set(E.RETIRED_SEATS)
     qs = E.queries()
     assert not RETIRED_WITH_SEATING & set(qs)
-    assert len(qs) == 150
+    # the trade landed the registry back at exactly 150; the r17 trade
+    # later took it to 147 — the live size is pinned by the current
+    # round's seat test, here only the r16 invariants
+    assert len(qs) <= 150
     assert SEATED <= set(qs)
-    assert list(qs)[:2] == sorted(SEATED), (
-        "the two seated rows must hold the head of the r16 window")
+    # (the r16 window-head position was round-specific — the r17 window
+    # seats its own staged pair at the head; test_staged_seats_r17
+    # carries that assertion now)
     assert not SEATED & set(E.RETIRED_SEATS)
 
 
