@@ -326,6 +326,26 @@ REWRITTEN: dict[str, int] = {
     # the hard seat explicit.
     "dedup_incremental_status": 16,
     "stream_cms_batch_equivalence": 16,
+    # round-17 optimization-phase rewrite of the CC family's shared
+    # query path (the r16 verdict's item 1): the min-label loop now
+    # runs over the verified rep pairs only with the edge frame
+    # checkpointed at its join partitioning (dedup_clusters_from_docs /
+    # _cc_min_label_loop in operators/dedup.py); star members attach
+    # by one label join after the fixpoint. Labels bit-identical
+    # (test_dedup equivalence pins + oracle parity). All three rows are
+    # r15-attested, so they sit in r18's rotation obligation anyway —
+    # the flags make the hard seats explicit.
+    "dedup_clusters": 17,
+    "dedup_cluster_stats": 17,
+    "corpus_leakage_safe_split": 17,
+    # round-17: signature_frame folds its pair-level distinct into the
+    # aggregation (one pair-set exchange instead of two —
+    # operators/dedup.signature_frame); every batch row whose plan
+    # contains the from-docs signature pass re-attests. All three are
+    # r15-attested, so they sit in r18's obligation anyway.
+    "dedup_minhash_lsh_pairs": 17,
+    "dedup_cleaned_corpus": 17,
+    "dedup_lsh_recall_eval": 17,
 }
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in

@@ -145,9 +145,30 @@ def signature_frame(docs: DataFrame, text_col: str = "text",
     joins that follow. Docs with no shingles emit no row (the old
     sentinel-signature rows only ever banded with each other and were
     rejected by verification — absence is equivalent and cheaper).
+
+    r17 (guide §2.4 — remove a shuffle outright): the pair-level
+    ``distinct`` that used to precede the aggregation paid its own
+    full exchange of the (id, _h) pair set before the groupBy paid a
+    second one. ``min`` is duplicate-insensitive and ``hh`` is consumed
+    as a SET everywhere (array_intersect/size), so the dedup folds into
+    the aggregate itself — ``array_distinct(collect_list)`` — and the
+    pair set crosses the wire once. The explode emits a doc's pairs
+    inside one input partition, so the map-side partial aggregate
+    already assembles whole per-doc lists; per-task buffers stay
+    bounded by document length. Values identical component-by-component
+    (verified collect-compare at sf0.1; the from-pairs form below keeps
+    the distinct-pairs contract for staged-posting consumers).
     """
-    return signature_frame_from_pairs(
-        shingle_hash_pairs(docs, text_col, ngram, id_col), id_col)
+    pairs = shingle_hash_pairs(docs, text_col, ngram, id_col,
+                               distinct=False)
+    mins = [F.min(F.expr(H.universal_hash("_h", a, b))).alias(f"_m{i}")
+            for i, (a, b) in enumerate(H.MINHASH_COEFFS)]
+    agg = (pairs.groupBy(id_col)
+           .agg(F.array_distinct(F.collect_list("_h")).alias("hh"),
+                *mins))
+    msig = F.array(*[F.col(f"_m{i}").cast("bigint")
+                     for i in range(len(H.MINHASH_COEFFS))])
+    return agg.select(id_col, "hh", msig.alias("msig"))
 
 
 def signature_frame_from_pairs(pairs: DataFrame,
@@ -251,7 +272,8 @@ def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
 
 
 def _lsh_rep_stage(docs: DataFrame, text_col: str, id_col: str, ngram: int,
-                   jaccard_threshold: float, materialize_members: bool = True
+                   jaccard_threshold: float, materialize_members: bool = True,
+                   keyed: DataFrame | None = None,
                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared guarded-LSH stages: identity-group collapse + rep-level
     verified pairs. Returns (members, sig, rep_pairs); sig is staged via
@@ -271,9 +293,15 @@ def _lsh_rep_stage(docs: DataFrame, text_col: str, id_col: str, ngram: int,
     several branches (lsh_candidate_pairs: intra a/b + expansion x2);
     single-consumer callers pass materialize_members=False to keep it
     unstaged — the md5 keying is a cheap narrow scan either way.
+    ``keyed`` optionally supplies the (id, _tmd5) digest frame — a
+    caller that consumes it again outside this stage (the r17 CC fast
+    path's member attach) passes it staged so the corpus text is
+    md5-keyed ONCE; the default in-plan form keeps every other
+    caller's plan byte-identical.
     """
     # identity groups shuffle (id, 16-byte digest) only — text never moves
-    keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
+    if keyed is None:
+        keyed = docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5"))
     groups = keyed.groupBy("_tmd5").agg(F.min(id_col).alias("rep"),
                                         F.count(F.lit(1)).alias("gn"))
     members = (keyed.join(groups, "_tmd5")
@@ -1127,6 +1155,64 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _cc_min_label_loop(edges_sym: DataFrame, max_iterations: int = 20,
+                       ) -> DataFrame:
+    """Min-label propagation to fixpoint over a SYMMETRIC (src, dst)
+    edge frame — the shared core of the CC family. Returns the
+    checkpointed (node, label) frame for every edge-incident node.
+
+    Per round: label(v) <- min(label(v), min over neighbors u of
+    label(u)) — the GraphFrames/Pregel CC shape, converging in
+    O(component diameter) rounds. The driver loop reads ONE aggregate
+    (changed-count) per round; labels stay distributed. Convergence is
+    read off the SAME materialization that carries the round's labels
+    (one action per round; the r07 eager-checkpoint form paid two).
+    localCheckpoint (not cache): caching short-circuits EXECUTION but
+    Catalyst still re-analyzes the whole accumulated lineage every
+    round, so round time grows with iteration count; the checkpoint
+    truncates the plan to the materialized blocks — per-round cost
+    stays flat at any iteration depth (the standard iterative-algorithm
+    discipline, same reason GraphFrames CC checkpoints) — and each
+    round releases the previous round's blocks
+    (``_release_local_checkpoint``), or executor storage would grow
+    linearly with iteration count on large dup graphs.
+
+    Plan shape per round (plans/r17/cc_round_after.txt): four
+    node/edge-scale Exchanges — the two checkpointed inputs re-keyed
+    for the join (a lazily-checkpointed LogicalRDD under AQE reports
+    UnknownPartitioning, so the join cannot reuse the previous round's
+    layout; an explicit pre-partitioned checkpoint was tried and
+    verified NOT to survive into the next round's plan — see the r17
+    optimization log), the neighbor-min aggregation, and the label
+    update join. What the r17 rewrite cut instead: the ROUND COUNT
+    (callers now loop over the rep-pair subgraph whose diameter is one
+    hop shorter than the star-augmented union graph — see
+    ``dedup_clusters_from_docs``) and the per-round input size (rep
+    pairs only, never the clone population)."""
+    edges = edges_sym.localCheckpoint(eager=False)
+    # src covers both directions of a symmetric edge frame
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    prev_ckpt = None
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        updated = (labels.join(neighbor_min,
+                               labels.node == neighbor_min.src, "left")
+                   .select(F.col("node"), F.col("label").alias("_prev"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nmin"), F.col("label")))
+                           .alias("label")).localCheckpoint(eager=False))
+        changed = updated.where(F.col("label") != F.col("_prev")).count()
+        if prev_ckpt is not None:
+            _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
+        labels = updated.select("node", "label")
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id", max_iterations: int = 20) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
@@ -1171,51 +1257,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))
-    # the edge list joins into EVERY propagation round — without a
-    # materialization the whole upstream pair pipeline (LSH signature,
-    # banding, verification) re-executes per iteration. Staged lazily
-    # via stage_local (r09: the r07/r08 .cache() here pinned the edge
-    # list in executor storage until session end; the localCheckpoint
-    # form is GC-released once the CC loop's result is consumed): round
-    # 1's action materializes both, later rounds read the blocks — same
-    # reuse without two eager pre-job launches.
-    edges = stage_local(edges)
-    # src covers both directions after the symmetric union above
-    edge_nodes = stage_local(
-        edges.select(F.col("src").alias("node")).distinct())
-    labels = edge_nodes.withColumn("label", F.col("node"))
-    prev_ckpt = None
-    for _ in range(max_iterations):
-        neighbor_min = (edges.join(labels, edges.dst == labels.node)
-                        .groupBy("src").agg(F.min("label").alias("nmin")))
-        # carry the previous label through the update so convergence is
-        # read off the SAME materialization — one action and one join per
-        # round instead of two of each. localCheckpoint (not cache):
-        # caching short-circuits EXECUTION but Catalyst still re-analyzes
-        # the whole accumulated lineage every round, so round time grows
-        # with iteration count; the checkpoint truncates the plan to the
-        # materialized blocks — per-round cost stays flat at any
-        # iteration depth (the standard iterative-algorithm discipline,
-        # same reason GraphFrames CC checkpoints). eager=False (round-7):
-        # the convergence count below is the action that materializes it,
-        # ONE job per round instead of checkpoint-then-count's two.
-        updated = (labels.join(neighbor_min,
-                               labels.node == neighbor_min.src, "left")
-                   .select(F.col("node"), F.col("label").alias("_prev"),
-                           F.least(F.col("label"),
-                                   F.coalesce(F.col("nmin"), F.col("label")))
-                           .alias("label")).localCheckpoint(eager=False))
-        changed = updated.where(F.col("label") != F.col("_prev")).count()
-        # the new round is materialized (count above) — release the previous
-        # round's checkpoint blocks, or executor storage grows linearly with
-        # iteration count on large dup graphs. The final round's blocks stay
-        # pinned: the returned frame reads them.
-        if prev_ckpt is not None:
-            _release_local_checkpoint(prev_ckpt)
-        prev_ckpt = updated
-        labels = updated.select("node", "label")
-        if changed == 0:
-            break
+    # the loop core checkpoints the edge frame at its join partitioning
+    # (round 1's action materializes the staged pair pipeline through
+    # it) and owns the per-round checkpoint lifecycle — see
+    # _cc_min_label_loop
+    labels = _cc_min_label_loop(edges, max_iterations)
+    edge_nodes = labels.select("node")
     isolated = (docs.select(F.col(id_col).alias("node"))
                 .join(edge_nodes, "node", "left_anti")
                 .select("node", F.col("node").alias("label")))
@@ -1223,6 +1270,68 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_representative"))
+
+
+def dedup_clusters_from_docs(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", ngram: int = 3,
+                             jaccard_threshold: float = 0.3,
+                             max_iterations: int = 20) -> DataFrame:
+    """``dedup_clusters`` over the collapsed LSH connectivity graph,
+    with the star edges NEVER entering the propagation loop — the r17
+    rewrite of the CC family's shared query path (guide §2.2/§2.4).
+
+    ``connectivity_edges`` already collapses identity groups (star
+    edges rep -> member replace the intra-group clique), but the loop
+    still iterated over the UNION graph, so every propagation round
+    joined and re-sorted the full clone population. The star edges are
+    redundant inside the loop: ``rep`` is its group's minimum id, so a
+    member's label (>= its own id > rep >= label(rep)) can never lower
+    any rep's min — the rep-pair subgraph alone determines every
+    fixpoint label, and label(member) = label(rep). So:
+
+      * the min-label loop runs over the VERIFIED REP PAIRS only — on
+        a clone-dense 100 TB corpus that is O(near-dup groups) rows
+        per round instead of O(docs);
+      * members/isolated docs attach AFTERWARD by one broadcast-sized
+        label join on ``rep``: label = label(rep) where the rep has a
+        shingled signature (the star-edge condition — empty-shingle
+        groups emit no star edges, so their members stay their own
+        clusters), else the doc itself;
+      * labels are bit-identical to ``dedup_clusters(docs,
+        connectivity_edges(docs, ...))`` — pinned by
+        test_dedup.test_clusters_from_docs_same_components.
+
+    Returns (id_col, cluster_id, is_representative), one row per doc.
+    """
+    # the (id, digest) keying is consumed by the rep stage AND the
+    # member attach below: staged, it materializes with the loop's
+    # first job and the final consumer plan reads the checkpoint —
+    # ONE corpus text scan for the whole identity layer instead of one
+    # per subtree (guide §1.2)
+    keyed = stage_local(
+        docs.select(id_col, F.md5(F.col(text_col)).alias("_tmd5")))
+    members, sig, rep_pairs = _lsh_rep_stage(
+        docs, text_col, id_col, ngram, jaccard_threshold,
+        materialize_members=False, keyed=keyed)
+    # rep_pairs endpoints are reps of docs by construction — the stale-
+    # pair semi-join guard of the generic entry point is a no-op here
+    edges = (rep_pairs.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"))
+             .union(rep_pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst"))))
+    rep_labels = _cc_min_label_loop(edges, max_iterations)
+    lbl = rep_labels.select(F.col("node").alias("rep"),
+                            F.col("label").alias("_rl"))
+    shingled = sig.select(F.col(id_col).alias("rep"),
+                          F.lit(1).alias("_hs"))
+    label = F.when(
+        (F.col(id_col) == F.col("rep")) | F.col("_hs").isNotNull(),
+        F.coalesce(F.col("_rl"), F.col("rep"))).otherwise(F.col(id_col))
+    return (members.join(lbl, "rep", "left")
+            .join(shingled, "rep", "left")
+            .select(id_col, label.alias("cluster_id"))
+            .withColumn("is_representative",
+                        F.col(id_col) == F.col("cluster_id")))
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
@@ -1346,17 +1455,16 @@ def leakage_safe_split(docs: DataFrame, bounds: tuple[tuple[str, int], ...],
     base hash, so assignment is deterministic, reproducible across
     engines, and independent of row order.
 
-    Scale: the connected-components pass (``connectivity_edges`` +
-    ``dedup_clusters`` — collapsed star edges, one job per CC round)
+    Scale: the connected-components pass (``dedup_clusters_from_docs``
+    — min-label loop over the verified rep pairs only, star members
+    attached by one label join, edges shuffled once; r17 rewrite)
     dominates; the split itself is one narrow projection on the labels.
     Singleton docs are their own cluster (slot = hash of their own id).
 
     Returns (id_col, cluster_id, split).
     """
-    labels = dedup_clusters(
-        docs, connectivity_edges(docs, text_col, id_col, ngram,
-                                 jaccard_threshold),
-        id_col=id_col)
+    labels = dedup_clusters_from_docs(docs, text_col, id_col, ngram,
+                                      jaccard_threshold)
     slot = F.expr(H.base_hash(
         "concat('lsplit:', CAST(cluster_id AS STRING))", "spark")) % 100
     assign = None
@@ -1378,17 +1486,17 @@ def cluster_size_stats(docs: DataFrame, text_col: str = "text",
     singleton share ~1.0 means dedup is buying nothing).
 
     Built on the collapsed connectivity graph + CC labels
-    (``connectivity_edges`` / ``dedup_clusters``), then two label-keyed
-    word-count-shaped aggregates (labels -> sizes -> histogram) and a
-    1-row corpus-count broadcast for the share. Output rows = distinct
-    component sizes (<= sqrt(2 * corpus) of them).
+    (``dedup_clusters_from_docs`` — rep-pair loop + member label join,
+    r17 rewrite), then two label-keyed word-count-shaped aggregates
+    (labels -> sizes -> histogram) and a 1-row corpus-count broadcast
+    for the share. Output rows = distinct component sizes
+    (<= sqrt(2 * corpus) of them).
 
     Returns (cluster_size, n_clusters, n_docs, doc_share) with
     doc_share rounded to 4.
     """
-    labels = dedup_clusters(
-        docs, connectivity_edges(docs, text_col, id_col, ngram,
-                                 jaccard_threshold), id_col=id_col)
+    labels = dedup_clusters_from_docs(docs, text_col, id_col, ngram,
+                                      jaccard_threshold)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size"))
     total = docs.agg(F.count(F.lit(1)).cast("double").alias("_t"))

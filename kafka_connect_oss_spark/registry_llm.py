@@ -927,15 +927,18 @@ def _clusters_oracle() -> str:
 @register("dedup_clusters", _clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure dedup clustering: connected components over the
-    verified LSH pair graph (operators/dedup.dedup_clusters — iterative
-    min-label propagation, the Pregel CC shape). The edge input is the
-    connectivity-equivalent collapsed graph (rep pairs + identity-group
-    star edges), NOT the expanded pair set — components and labels are
-    identical, but the CC loop never shuffles the quadratic intra-group
-    pair explosion (operators/dedup.connectivity_edges)."""
+    verified LSH pair graph (operators/dedup.dedup_clusters_from_docs —
+    iterative min-label propagation, the Pregel CC shape). The loop runs
+    over the verified REP PAIRS only (r17 rewrite): identity-group star
+    edges are connectivity-redundant inside the loop (rep = group min,
+    so member labels never lower a rep's min), so members attach by one
+    label join after the fixpoint and the propagation rounds never
+    shuffle the clone population, let alone the quadratic intra-group
+    pair explosion. Labels bit-identical to the expanded-pair and
+    union-graph forms (test_dedup pins both equivalences)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.connectivity_edges(docs, jaccard_threshold=JACCARD_DEMO)
-    return dedup.dedup_clusters(docs, pairs)
+    return dedup.dedup_clusters_from_docs(docs,
+                                          jaccard_threshold=JACCARD_DEMO)
 
 
 # --------------------------------------------------------------------------

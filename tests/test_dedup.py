@@ -101,6 +101,46 @@ def test_connectivity_edges_same_components_clone_cluster(spark):
     assert labels[21] == 21 and labels[22] == 22     # empties stay apart
 
 
+def test_clusters_from_docs_same_components(spark, sf_dir):
+    # the r17 collapsed fast path (min-label loop over verified REP
+    # PAIRS only, star members attached by one label join afterward)
+    # must produce bit-identical labels to the generic union-graph loop
+    # over connectivity_edges — the structural claim it rests on: rep =
+    # group min, so member labels never lower any rep's fixpoint min
+    from kafka_connect_oss_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    union_graph = dedup.dedup_clusters(
+        docs, dedup.connectivity_edges(docs, jaccard_threshold=0.3))
+    fast = dedup.dedup_clusters_from_docs(docs, jaccard_threshold=0.3)
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, union_graph.collect()))
+
+
+def test_clusters_from_docs_same_components_constructed(spark):
+    # constructed corner cases: clone mega-group, near-dup clone pair,
+    # a rep chain (transitive closure through reps), isolated doc,
+    # empty-text identity group (no star edges — members stay apart)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    far = near.replace("iota", "mu")  # chains 0-cluster via 10/11
+    rows = ([(i, base) for i in range(6)]            # 6 identical clones
+            + [(10, near), (11, near)]               # near-dup clone pair
+            + [(12, far)]                            # 2-hop rep chain
+            + [(20, "unrelated totally different tokens entirely"),
+               (21, ""), (22, "")])                  # empty docs: no edges
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    union_graph = dedup.dedup_clusters(
+        docs, dedup.connectivity_edges(docs, jaccard_threshold=0.3))
+    got = sorted(map(tuple, dedup.dedup_clusters_from_docs(
+        docs, jaccard_threshold=0.3).collect()))
+    assert got == sorted(map(tuple, union_graph.collect()))
+    labels = {doc_id: cid for doc_id, cid, _ in got}
+    assert labels[0] == labels[5] == labels[10] == labels[11] == 0
+    assert labels[20] == 20
+    assert labels[21] == 21 and labels[22] == 22     # empties stay apart
+
+
 def test_connectivity_edges_same_drop_set(spark, sf_dir):
     # cleaned-corpus drop semantics: distinct id_b (docs with a smaller
     # near-dup neighbor) must be identical between pair set and edge set
