@@ -346,6 +346,11 @@ REWRITTEN: dict[str, int] = {
     "dedup_minhash_lsh_pairs": 17,
     "dedup_cleaned_corpus": 17,
     "dedup_lsh_recall_eval": 17,
+    # round-17: q21's two countDistincts became a two-level aggregate
+    # (Expand removed — 1x instead of 3x rows into the heavy shuffle).
+    # q21 is IN the r17 window, so the same-round attestation covers
+    # the rewrite (the flag is history, per the rule above).
+    "q21_waiting_suppliers": 17,
 }
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in

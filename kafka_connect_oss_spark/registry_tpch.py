@@ -679,7 +679,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 rows (the supplier's late lines in qualifying orders), exactly the
     classic semantics. The region-filtered supplier dim is broadcast
     (bounded fraction of a dim); top-k is TakeOrderedAndProject with
-    s_name as the unique group key/tiebreak."""
+    s_name as the unique group key/tiebreak.
+
+    r17 (guide §2.3 — aggregate before you shuffle): the two
+    countDistincts planned as an Expand that TRIPLED every joined line
+    into the first shuffle (one replica per distinct-aggregate group
+    id). The same numbers fall out of a two-level aggregate — per
+    (order, supplier) first (count(*) = distinct suppliers,
+    max(late) = supplier lateness, the late-line count rides along),
+    then per order — so the heavy shuffle carries each (order,
+    supplier) pair once, map-side-combined, and the Expand node is
+    gone (plans/r17/q21_waiting_suppliers_{before,after}.txt). Values
+    identical: suppliers are distinct after the first grouping, so
+    count(*) == countDistinct(suppkey), a supplier is late iff any of
+    its lines is, and summing per-supplier late-line counts is the
+    order's late-line count."""
     orders = (load_table(spark, sf_dir, "orders")
               .where(F.col("o_orderstatus") == "F")
               .select("o_orderkey", "o_orderdate"))
@@ -690,12 +704,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("l_shipdate") >
                       F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
                      .alias("late")))
-    per_order = (lined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
-        .alias("n_late_supp"),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines")))
+    per_supp = (lined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0))
+        .alias("supp_late_lines")))
+    per_order = (per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("supp_late"), F.lit(1))).alias("n_late_supp"),
+        F.max(F.when(F.col("supp_late"), F.col("l_suppkey")))
+        .alias("late_supp"),
+        F.sum("supp_late_lines").alias("n_late_lines")))
     waiting = per_order.where((F.col("n_supp") > 1) &
                               (F.col("n_late_supp") == 1))
     nat = load_table(spark, sf_dir, "nation")
