@@ -351,6 +351,11 @@ REWRITTEN: dict[str, int] = {
     # q21 is IN the r17 window, so the same-round attestation covers
     # the rewrite (the flag is history, per the rule above).
     "q21_waiting_suppliers": 17,
+    # round-17: takedown expansion stages the works frame, its shingle
+    # pass, and the corpus digest/rep frame once each (previously the
+    # wpost/wsig/digest-union subtrees re-ran the works chain and breps
+    # re-aggregated per consumer). r16-attested -> hard seat at r18.
+    "dedup_takedown_expansion": 17,
 }
 
 #: The driver's CORRECTNESS artifact samples the FIRST 50 queries in

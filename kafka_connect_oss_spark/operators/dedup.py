@@ -1711,22 +1711,28 @@ def _near_matched_base_ids(bsig: DataFrame, bpost: DataFrame,
     not per-increment statuses.
 
     The work key is the text's md5, not monotonically_increasing_id:
-    the un-staged works frame is evaluated independently in the wpost
-    and wsig plan subtrees, and a nondeterministic row id can differ
-    between those evaluations (silently dropping matches in a
-    compliance expansion); a content hash is stable across
+    the works frame feeds several plan subtrees, and a nondeterministic
+    row id could differ between evaluations (silently dropping matches
+    in a compliance expansion); a content hash is stable across
     re-evaluations, and byte-identical works collapsing to one key is
     a no-op for the matched-base-ids answer (same shingle set, and
-    ``shingle_hash_pairs``'s distinct already merges the postings)."""
-    w = works.withColumn("_wid", F.md5(F.col(text_col)))
+    ``shingle_hash_pairs``'s distinct already merges the postings).
+
+    r17 (guide §1.2 — one pass): ``w`` is expected PRE-STAGED by the
+    caller (``stage_local``), and ONE staged works shingle pass feeds
+    both the posting probe and the verification sets — previously the
+    wpost and wsig subtrees each re-ran the scan -> filter -> shingle
+    -> md5 chain over the works text (the set frame is the same
+    distinct (key, _h) rows grouped by key)."""
+    w = works
     grouped = _bounded_posting_index(bpost, "base_id", hot_shingle_df_cap)
-    wpost = shingle_hash_pairs(w, text_col, ngram, "_wid").select(
-        F.col("_wid"), "_h")
+    wpost = stage_local(
+        shingle_hash_pairs(w, text_col, ngram, "_wid").select(
+            F.col("_wid"), "_h"))
     cand = (wpost.join(grouped, "_h")
             .select("_wid", F.explode("_ids").alias("base_id"))
             .distinct())
-    wsig = shingle_set_frame(w, text_col, ngram, "_wid").select(
-        "_wid", F.col("hh").alias("h_a"))
+    wsig = wpost.groupBy("_wid").agg(F.collect_list("_h").alias("h_a"))
     hb = bsig.select(F.col(id_col).alias("base_id"),
                      F.col("hh").alias("h_b"))
     return (cand.join(wsig, "_wid").join(hb, "base_id")
@@ -1769,24 +1775,30 @@ def expand_takedown_works(base: DataFrame, works: DataFrame,
     Returns a one-column ``digest`` DataFrame (md5 of work texts ∪
     digests of matched corpus contents), distinct.
     """
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
+    # staged once (r17, guide §1.2): breps feeds the rep semi-join AND
+    # the matched-digest lookup — unstaged, each consumer re-ran the
+    # full-text md5 aggregation over the corpus
     bd = base.select(id_col, F.md5(F.col(text_col)).alias("_d"))
-    breps = bd.groupBy("_d").agg(F.min(id_col).alias("_rep"))
+    breps = stage_local(bd.groupBy("_d").agg(F.min(id_col).alias("_rep")))
     rep_docs = base.join(
         breps.select(F.col("_rep").alias(id_col)), id_col, "semi")
     # one staged shingle pipeline for both sig sets and postings (r11)
-    from kafka_connect_oss_spark.operators.lifecycle import stage_local
-
     posts = stage_local(shingle_hash_pairs(rep_docs, text_col, ngram,
                                            id_col))
     bsig = posts.groupBy(id_col).agg(F.collect_list("_h").alias("hh"))
     bpost = posts.select(F.col(id_col).alias("base_id"), "_h")
-    matched = _near_matched_base_ids(bsig, bpost, works, text_col, id_col,
+    # the works frame feeds the shingle pass AND the final digest
+    # union; staged, the (tiny) request set materializes once (r17)
+    w = stage_local(works.withColumn("_wid", F.md5(F.col(text_col))))
+    matched = _near_matched_base_ids(bsig, bpost, w, text_col, id_col,
                                      ngram, jaccard_threshold,
                                      hot_shingle_df_cap)
     matched_digests = (breps.join(
         matched, breps["_rep"] == matched["base_id"], "semi")
         .select(F.col("_d").alias("digest")))
-    return (works.select(F.md5(F.col(text_col)).alias("digest"))
+    return (w.select(F.col("_wid").alias("digest"))
             .union(matched_digests).distinct())
 
 
@@ -1804,13 +1816,16 @@ def expand_takedown_works_from_tables(
     maps matched reps to content digests)."""
     breps = spark.table(f"{prefix}_digests")
     bsig = spark.table(f"{prefix}_sig")
+    from kafka_connect_oss_spark.operators.lifecycle import stage_local
+
     bpost = (spark.table(f"{prefix}_postings")
              .withColumnRenamed(id_col, "base_id"))
-    matched = _near_matched_base_ids(bsig, bpost, works, text_col, id_col,
+    w = stage_local(works.withColumn("_wid", F.md5(F.col(text_col))))
+    matched = _near_matched_base_ids(bsig, bpost, w, text_col, id_col,
                                      ngram, jaccard_threshold,
                                      hot_shingle_df_cap)
     matched_digests = (breps.join(
         matched, breps["_rep"] == matched["base_id"], "semi")
         .select(F.col("_d").alias("digest")))
-    return (works.select(F.md5(F.col(text_col)).alias("digest"))
+    return (w.select(F.col("_wid").alias("digest"))
             .union(matched_digests).distinct())
