@@ -846,11 +846,25 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     the index re-derives what the list already holds — a double explode
     emits the identical pair set with zero extra exchange of posting
     rows), and the verification sets are the same distinct (id, _h)
-    rows grouped by id instead of by _h. The capped postings are staged
-    AT the semi-join's hash(_h) partitioning, so the index groupBy
-    reuses it exchange-free; _bounded_posting_index keeps the join form
-    for the cross-probe consumers (incremental / takedown tiers), whose
-    probe side is a different corpus.
+    rows grouped by id instead of by _h. _bounded_posting_index keeps
+    the join form for the cross-probe consumers (incremental / takedown
+    tiers), whose probe side is a different corpus.
+
+    r17 (guide §2.4/§5.4 — the c8504de lesson applied here): the capped
+    posting frame has exactly ONE consumer (the index groupBy), so the
+    stage_local it used to carry was a pure extra materialization of
+    the whole capped posting set — one more job, one more executor-
+    storage copy, one more Catalyst pass — bought on the claim that the
+    index groupBy would reuse the staged partitioning. The plan says
+    otherwise: the cap's semi-join resolves as a BROADCAST of the
+    surviving-shingle set (and a LogicalRDD's partitioning does not
+    survive into the consumer under AQE anyway), so the groupBy paid
+    its hash(_h) Exchange in BOTH forms. Unstaged, the count+semi+group
+    chain runs inline from the staged `posts` frame: identical exchange
+    count at sf0.1, one fewer materialization, and at deploy scale
+    (where the semi-join goes sort-merge) the groupBy reuses the join's
+    hash(_h) partitioning directly — the exchange-free layout the
+    staging was supposed to buy.
 
     Returns (id_a, id_b, containment) with id_a < id_b, containment
     rounded to 4 (identical double math in the DuckDB oracle).
@@ -870,7 +884,7 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     if hot_shingle_df_cap is not None:
         ok = (posts.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
               .where(F.col("_df") <= hot_shingle_df_cap).select("_h"))
-        capped = stage_local(posts.join(ok, "_h", "semi"))
+        capped = posts.join(ok, "_h", "semi")
     else:
         capped = posts
     idx = capped.groupBy("_h").agg(F.collect_list(id_col).alias("_ids"))
